@@ -1,0 +1,216 @@
+"""Image-of-warped-events (IWE) kernels: event warping + bilinear splatting.
+
+Behavioral reference: utils/iwe.py (purge_unfeasible :4-17, get_interpolation
+:20-71, interpolate :74-93, deblur_events :96-130, compute_pol_iwe :133-154,
+upsample_flow :157-176).
+
+Conventions (match the reference):
+  * event lists are ``[B, N, 4]`` rows ``(ts, y, x, p)`` with ts normalized
+    to [0, 1] inside a window (offset by pass index when windows accumulate);
+  * flow maps are ``[B, H, W, 2]`` with channels ``(x, y)`` (NHWC layout —
+    the reference uses NCHW ``[B, 2, H, W]`` with channel 0 = horizontal);
+  * per-event flow vectors are ``[B, N, 2]`` in ``(y, x)`` order, matching
+    the ``(y, x)`` spatial order of event coordinates.
+
+TPU notes: event windows have variable length; everything here takes a static
+padded ``N`` plus a validity mask folded into the splat weights, so shapes
+stay static under ``jit``. The splat is an XLA scatter-add over a flattened
+``[B, H*W]`` image; padded/out-of-bounds events land at index 0 with weight 0.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "lookup_event_flow",
+    "get_interpolation",
+    "interpolate",
+    "deblur_events",
+    "compute_pol_iwe",
+    "upsample_flow",
+]
+
+
+def _event_linear_idx(events: jax.Array, res: Sequence[int]) -> jax.Array:
+    """Row-major linear pixel index of each event: floor(y)*W + floor(x).
+
+    Matches the truncating ``.long()`` cast in the reference
+    (loss/flow.py:67-69 / utils/iwe.py:110-112); coordinates are >= 0 so
+    floor == trunc.
+    """
+    ys = jnp.floor(events[..., 1]).astype(jnp.int32)
+    xs = jnp.floor(events[..., 2]).astype(jnp.int32)
+    lin = ys * res[1] + xs
+    return jnp.clip(lin, 0, res[0] * res[1] - 1)
+
+
+def lookup_event_flow(
+    flow_map: jax.Array, events: jax.Array, res: Optional[Sequence[int]] = None
+) -> jax.Array:
+    """Gather the flow vector under each event.
+
+    Reference: the gather block repeated at loss/flow.py:66-81 and
+    utils/iwe.py:109-120.
+
+    Args:
+      flow_map: ``[B, H, W, 2]`` with channels (x, y).
+      events: ``[B, N, 4]`` rows (ts, y, x, p).
+    Returns:
+      ``[B, N, 2]`` per-event flow in (y, x) order.
+    """
+    B, H, W, _ = flow_map.shape
+    if res is None:
+        res = (H, W)
+    lin = _event_linear_idx(events, res)  # [B, N]
+    flat = flow_map.reshape(B, H * W, 2)
+    gathered = jnp.take_along_axis(flat, lin[..., None], axis=1)  # [B, N, 2] (x, y)
+    return gathered[..., ::-1]  # -> (y, x)
+
+
+def get_interpolation(
+    events: jax.Array,
+    flow: jax.Array,
+    tref: jax.Array | float,
+    res: Sequence[int],
+    flow_scaling: float,
+    round_idx: bool = False,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Warp events toward ``tref`` and compute splat indices + weights.
+
+    Reference: utils/iwe.py:20-71 (+ purge_unfeasible :4-17).
+
+      warped = (y, x) + (tref - ts) * flow * flow_scaling
+      bilinear: 4 corner indices with weights prod(max(0, 1 - |warped - idx|))
+      rounding: 1 nearest index with weight 1
+      out-of-bounds corners get weight 0.
+
+    Args:
+      events: ``[B, N, 4]`` (ts, y, x, p).
+      flow: ``[B, N, 2]`` per-event flow (y, x).
+      valid: optional ``[B, N]`` float/bool mask for padded events.
+    Returns:
+      (lin_idx ``[B, M]`` int32, weights ``[B, M]``) with M = N (round) or 4N.
+    """
+    H, W = int(res[0]), int(res[1])
+    ts = events[..., 0:1]
+    yx = events[..., 1:3]
+    warped = yx + (tref - ts) * flow * flow_scaling  # [B, N, 2]
+
+    if round_idx:
+        idx = jnp.round(warped)
+        weights = jnp.ones(idx.shape[:2], dtype=warped.dtype)
+    else:
+        top_y = jnp.floor(warped[..., 0:1])
+        bot_y = jnp.floor(warped[..., 0:1] + 1.0)
+        left_x = jnp.floor(warped[..., 1:2])
+        right_x = jnp.floor(warped[..., 1:2] + 1.0)
+        idx = jnp.concatenate(
+            [
+                jnp.concatenate([top_y, left_x], axis=-1),
+                jnp.concatenate([top_y, right_x], axis=-1),
+                jnp.concatenate([bot_y, left_x], axis=-1),
+                jnp.concatenate([bot_y, right_x], axis=-1),
+            ],
+            axis=1,
+        )  # [B, 4N, 2]
+        warped4 = jnp.tile(warped, (1, 4, 1))
+        weights = jnp.prod(
+            jnp.maximum(0.0, 1.0 - jnp.abs(warped4 - idx)), axis=-1
+        )  # [B, 4N]
+
+    in_bounds = (
+        (idx[..., 0] >= 0)
+        & (idx[..., 0] < H)
+        & (idx[..., 1] >= 0)
+        & (idx[..., 1] < W)
+    )
+    weights = weights * in_bounds.astype(weights.dtype)
+    if valid is not None:
+        reps = idx.shape[1] // valid.shape[1]
+        weights = weights * jnp.tile(valid.astype(weights.dtype), (1, reps))
+
+    lin_idx = idx[..., 0].astype(jnp.int32) * W + idx[..., 1].astype(jnp.int32)
+    lin_idx = jnp.where(in_bounds, lin_idx, 0)
+    return lin_idx, weights
+
+
+def interpolate(
+    lin_idx: jax.Array,
+    weights: jax.Array,
+    res: Sequence[int],
+    polarity_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scatter-add weighted events into an image. utils/iwe.py:74-93.
+
+    Args:
+      lin_idx: ``[B, M]`` int32 linear pixel indices.
+      weights: ``[B, M]`` splat weights (0 for purged/padded events).
+      polarity_mask: optional ``[B, M]`` multiplier.
+    Returns:
+      ``[B, H, W]`` image of warped events.
+    """
+    H, W = int(res[0]), int(res[1])
+    if polarity_mask is not None:
+        weights = weights * polarity_mask
+    B = lin_idx.shape[0]
+    img = jnp.zeros((B, H * W), dtype=weights.dtype)
+    img = img.at[jnp.arange(B)[:, None], lin_idx].add(weights)
+    return img.reshape(B, H, W)
+
+
+def deblur_events(
+    flow_map: jax.Array,
+    events: jax.Array,
+    res: Sequence[int],
+    flow_scaling: float = 128,
+    round_idx: bool = True,
+    polarity_mask: Optional[jax.Array] = None,
+    valid: Optional[jax.Array] = None,
+    tref: jax.Array | float = 1.0,
+) -> jax.Array:
+    """Forward-warp events by the flow under them. utils/iwe.py:96-130."""
+    event_flow = lookup_event_flow(flow_map, events, res)
+    idx, weights = get_interpolation(
+        events, event_flow, tref, res, flow_scaling, round_idx=round_idx, valid=valid
+    )
+    if not round_idx and polarity_mask is not None:
+        polarity_mask = jnp.tile(polarity_mask, (1, 4))
+    return interpolate(idx, weights, res, polarity_mask=polarity_mask)
+
+
+def compute_pol_iwe(
+    flow_map: jax.Array,
+    events: jax.Array,
+    res: Sequence[int],
+    pos_mask: jax.Array,
+    neg_mask: jax.Array,
+    flow_scaling: float = 128,
+    round_idx: bool = True,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-polarity IWE pair. utils/iwe.py:133-154.
+
+    Returns ``[B, H, W, 2]`` (pos, neg channels last — NHWC vs. the
+    reference's NCHW).
+    """
+    iwe_pos = deblur_events(
+        flow_map, events, res, flow_scaling, round_idx, pos_mask, valid
+    )
+    iwe_neg = deblur_events(
+        flow_map, events, res, flow_scaling, round_idx, neg_mask, valid
+    )
+    return jnp.stack([iwe_pos, iwe_neg], axis=-1)
+
+
+def upsample_flow(flow: jax.Array, target_h: int, target_w: int) -> jax.Array:
+    """Nearest-neighbor flow upsampling (preserves direction sharpness).
+
+    Reference: utils/iwe.py:157-176. ``flow`` is ``[B, H, W, C]``.
+    """
+    B, H, W, C = flow.shape
+    return jax.image.resize(flow, (B, target_h, target_w, C), method="nearest")
