@@ -1,0 +1,401 @@
+"""Convolutional spiking LIF cells as flax modules (channels-last).
+
+Two families, matching the reference:
+
+* ``SNNConvLIF`` / ``SNNConvLIFRecurrent`` — the current default cells:
+  conv (no bias) → BatchNorm/TEBN → snn.Leaky dynamics with per-channel
+  learnable beta/threshold, hard ("zero") or soft ("subtract") reset,
+  per-step membrane detach, optional MPBN and int8 membrane fake-quant.
+  Behavioral reference: models/SNNtorch_spiking_submodules.py:124-567.
+
+* ``ConvLIF`` / ``ConvLIFRecurrent`` — the original autograd cells:
+  sigmoid-stabilised leak, ``(1 - leak)`` input scaling, detached reset,
+  selectable surrogate. Behavioral reference:
+  models/spiking_submodules.py:29-300.
+
+State is an explicit ``LIFState(mem, spk)`` pytree passed in and out —
+no module-held mutable state — so cells drop directly into
+``jax.lax.scan`` carries and shard under ``pjit``. Passing ``state=None``
+initializes zeros (the reference's lazy init at first forward).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from evflow.models.norm import MPBN, TEBN, BatchNorm
+from evflow.ops.lif import LIFState, THRESH_MIN, leaky_step, sigmoid_lif_step
+
+__all__ = ["SNNConvLIF", "SNNConvLIFRecurrent", "ConvLIF", "ConvLIFRecurrent"]
+
+
+def uniform_init(scale: float):
+    """U(-scale, scale) kernel init (reference w_scale = sqrt(1/fan_in_channels),
+    SNNtorch_spiking_submodules.py:242-243)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+def uniform_range_init(lo: float, hi: float):
+    """U(lo, hi) per-channel parameter init (leak/thresh ranges)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, lo, hi)
+
+    return init
+
+
+def normal_init(mean: float, std: float):
+    """N(mean, std) per-channel init (original-cell leak/thresh,
+    spiking_submodules.py:89-96)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std + mean
+
+    return init
+
+
+def _maybe_stop(x: jax.Array, learn: bool) -> jax.Array:
+    return x if learn else jax.lax.stop_gradient(x)
+
+
+class SNNConvLIF(nn.Module):
+    """Feedforward conv + BN + snn.Leaky cell.
+
+    Reference: SNNtorch_ConvLIF (SNNtorch_spiking_submodules.py:124-322).
+    """
+
+    input_size: int
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    leak: Tuple[float, float] = (0.0, 1.0)
+    thresh: Tuple[float, float] = (0.0, 0.8)
+    learn_leak: bool = True
+    learn_thresh: bool = True
+    hard_reset: bool = True
+    detach: bool = True
+    alpha: float = 2.0  # snntorch ATan surrogate sharpness
+    tebn: bool = False
+    num_timesteps: int = 4
+    mpbn: bool = False
+    state_quant: Optional[Callable[[jax.Array], jax.Array]] = None
+    conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        state: Optional[LIFState],
+        train: bool = False,
+        timestep: Optional[jax.Array] = None,
+        residual: jax.Array | float = 0.0,  # accepted but unused, like the reference
+    ) -> Tuple[jax.Array, LIFState]:
+        w_scale = math.sqrt(1.0 / self.input_size)
+        conv = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding="SAME",
+            use_bias=False,
+            kernel_init=uniform_init(w_scale),
+            dtype=self.dtype,
+            name="ff",
+        )
+        if self.conv_fake_quant is not None:
+            x = self.conv_fake_quant(x, "input")
+        ff = conv(x)
+        if self.conv_fake_quant is not None:
+            ff = self.conv_fake_quant(ff, "output")
+
+        if self.tebn:
+            ff = TEBN(self.features, self.num_timesteps, name="bn")(
+                ff, train, timestep
+            )
+        else:
+            ff = BatchNorm(name="bn")(ff, train)
+        ff = ff.astype(jnp.float32)
+
+        beta = self.param("beta", uniform_range_init(*self.leak), (self.features,))
+        theta = self.param(
+            "threshold", uniform_range_init(*self.thresh), (self.features,)
+        )
+        beta = _maybe_stop(beta, self.learn_leak)
+        theta = jnp.maximum(_maybe_stop(theta, self.learn_thresh), THRESH_MIN)
+
+        mem = jnp.zeros_like(ff) if state is None else state.mem
+        spk, mem_out = leaky_step(
+            ff,
+            mem,
+            beta,
+            theta,
+            reset="zero" if self.hard_reset else "subtract",
+            alpha=self.alpha,
+            state_quant=self.state_quant,
+        )
+
+        if self.detach:
+            mem_out = jax.lax.stop_gradient(mem_out)
+        if self.mpbn:
+            mem_out = MPBN(name="mpbn")(mem_out, train)
+
+        return spk, LIFState(mem_out, spk)
+
+
+class SNNConvLIFRecurrent(nn.Module):
+    """Recurrent conv + BN + snn.Leaky cell: adds a conv over previous
+    spikes to the input current.
+
+    Reference: SNNtorch_ConvLIFRecurrent
+    (SNNtorch_spiking_submodules.py:324-567). The spike element of the carry
+    is NOT detached, so recurrent gradients flow within a loss window.
+    """
+
+    input_size: int
+    features: int
+    kernel_size: int = 3
+    leak: Tuple[float, float] = (0.0, 1.0)
+    thresh: Tuple[float, float] = (0.0, 0.8)
+    learn_leak: bool = True
+    learn_thresh: bool = True
+    hard_reset: bool = True
+    detach: bool = True
+    alpha: float = 2.0
+    tebn: bool = False
+    num_timesteps: int = 4
+    mpbn: bool = False
+    state_quant: Optional[Callable[[jax.Array], jax.Array]] = None
+    conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        state: Optional[LIFState],
+        train: bool = False,
+        timestep: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, LIFState]:
+        w_ff = math.sqrt(1.0 / self.input_size)
+        w_rec = math.sqrt(1.0 / self.features)
+        if self.conv_fake_quant is not None:
+            x = self.conv_fake_quant(x, "input")
+        ff = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=uniform_init(w_ff),
+            dtype=self.dtype,
+            name="ff",
+        )(x)
+
+        if state is None:
+            mem = jnp.zeros_like(ff)
+            prev_spk = jnp.zeros_like(ff)
+        else:
+            mem, prev_spk = state.mem, state.spk
+
+        rec = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=uniform_init(w_rec),
+            dtype=self.dtype,
+            name="rec",
+        )(prev_spk)
+        if self.conv_fake_quant is not None:
+            ff = self.conv_fake_quant(ff, "output")
+            rec = self.conv_fake_quant(rec, "output")
+
+        total = ff + rec
+        if self.tebn:
+            total = TEBN(self.features, self.num_timesteps, name="bn")(
+                total, train, timestep
+            )
+        else:
+            total = BatchNorm(name="bn")(total, train)
+        total = total.astype(jnp.float32)
+
+        beta = self.param("beta", uniform_range_init(*self.leak), (self.features,))
+        theta = self.param(
+            "threshold", uniform_range_init(*self.thresh), (self.features,)
+        )
+        beta = _maybe_stop(beta, self.learn_leak)
+        theta = jnp.maximum(_maybe_stop(theta, self.learn_thresh), THRESH_MIN)
+
+        spk, mem_out = leaky_step(
+            total,
+            mem,
+            beta,
+            theta,
+            reset="zero" if self.hard_reset else "subtract",
+            alpha=self.alpha,
+            state_quant=self.state_quant,
+        )
+
+        if self.detach:
+            mem_out = jax.lax.stop_gradient(mem_out)
+        if self.mpbn:
+            mem_out = MPBN(name="mpbn")(mem_out, train)
+
+        return spk, LIFState(mem_out, spk)
+
+
+class ConvLIF(nn.Module):
+    """Original feedforward cell: sigmoid leak, (1-leak) input scaling.
+
+    Reference: spiking_submodules.py:29-151. ``residual`` is added to the
+    output spikes (Fang et al. 2021 style).
+    """
+
+    input_size: int
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    activation: str = "arctanspike"
+    act_width: float = 10.0
+    leak: Tuple[float, float] = (-4.0, 0.1)  # (mean, std) of normal init
+    thresh: Tuple[float, float] = (0.8, 0.0)
+    learn_leak: bool = True
+    learn_thresh: bool = True
+    hard_reset: bool = True
+    detach: bool = True
+    norm: Optional[str] = None
+    conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        state: Optional[LIFState],
+        train: bool = False,
+        timestep: Optional[jax.Array] = None,
+        residual: jax.Array | float = 0.0,
+    ) -> Tuple[jax.Array, LIFState]:
+        if self.norm == "group":
+            x = nn.GroupNorm(num_groups=1, name="norm")(x)
+        w_scale = math.sqrt(1.0 / self.input_size)
+        ff = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding="SAME",
+            use_bias=False,
+            kernel_init=uniform_init(w_scale),
+            dtype=self.dtype,
+            name="ff",
+        )(x).astype(jnp.float32)
+
+        if state is None:
+            v = jnp.zeros_like(ff)
+            z = jnp.zeros_like(ff)
+        else:
+            v, z = state.mem, state.spk
+
+        leak = self.param("leak", normal_init(*self.leak), (self.features,))
+        thresh = self.param("thresh", normal_init(*self.thresh), (self.features,))
+        leak = _maybe_stop(leak, self.learn_leak)
+        thresh = _maybe_stop(thresh, self.learn_thresh)
+
+        z_out, v_out = sigmoid_lif_step(
+            ff,
+            v,
+            z,
+            leak,
+            thresh,
+            hard_reset=self.hard_reset,
+            detach_reset=self.detach,
+            activation=self.activation,
+            act_width=self.act_width,
+        )
+        return z_out + residual, LIFState(v_out, z_out)
+
+
+class ConvLIFRecurrent(nn.Module):
+    """Original recurrent cell (spiking_submodules.py:154-300)."""
+
+    input_size: int
+    features: int
+    kernel_size: int = 3
+    activation: str = "arctanspike"
+    act_width: float = 10.0
+    leak: Tuple[float, float] = (-4.0, 0.1)
+    thresh: Tuple[float, float] = (0.8, 0.0)
+    learn_leak: bool = True
+    learn_thresh: bool = True
+    hard_reset: bool = True
+    detach: bool = True
+    norm: Optional[str] = None
+    conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        state: Optional[LIFState],
+        train: bool = False,
+        timestep: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, LIFState]:
+        if self.norm == "group":
+            x = nn.GroupNorm(num_groups=1, name="norm_ff")(x)
+        w_ff = math.sqrt(1.0 / self.input_size)
+        w_rec = math.sqrt(1.0 / self.features)
+        ff = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=uniform_init(w_ff),
+            dtype=self.dtype,
+            name="ff",
+        )(x)
+
+        if state is None:
+            v = jnp.zeros_like(ff)
+            z = jnp.zeros_like(ff)
+        else:
+            v, z = state.mem, state.spk
+
+        z_in = z
+        if self.norm == "group":
+            z_in = nn.GroupNorm(num_groups=1, name="norm_rec")(z_in)
+        rec = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=uniform_init(w_rec),
+            dtype=self.dtype,
+            name="rec",
+        )(z_in)
+
+        leak = self.param("leak", normal_init(*self.leak), (self.features,))
+        thresh = self.param("thresh", normal_init(*self.thresh), (self.features,))
+        leak = _maybe_stop(leak, self.learn_leak)
+        thresh = _maybe_stop(thresh, self.learn_thresh)
+
+        z_out, v_out = sigmoid_lif_step(
+            (ff + rec).astype(jnp.float32),
+            v,
+            z,
+            leak,
+            thresh,
+            hard_reset=self.hard_reset,
+            detach_reset=self.detach,
+            activation=self.activation,
+            act_width=self.act_width,
+        )
+        return z_out, LIFState(v_out, z_out)

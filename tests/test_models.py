@@ -1,0 +1,187 @@
+"""Model zoo: shapes, state carry, gradient-detach semantics (SURVEY §2 L3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evflow.models.cells import SNNConvLIF, SNNConvLIFRecurrent
+from evflow.ops.lif import LIFState
+from evflow.registry import build_model, model_names
+
+
+def base_cfg(name, **kw):
+    cfg = {
+        "name": name,
+        "num_bins": 2,
+        "base_num_channels": 8,
+        "kernel_size": 3,
+        "encoding": "cnt",
+        "spiking_neuron": {
+            "leak": [0.0, 1.0],
+            "thresh": [0.0, 0.8],
+            "learn_leak": True,
+            "learn_thresh": True,
+            "hard_reset": True,
+        },
+    }
+    cfg.update(kw)
+    return cfg
+
+
+@pytest.mark.parametrize("name", ["LIFFireNet", "LIFFireNet_short", "LIFFireFlowNet", "LIFFireFlowNet_short"])
+def test_firenet_forward_shapes(name):
+    m = build_model(base_cfg(name))
+    B, H, W = 2, 16, 16
+    cnt = jnp.ones((B, H, W, 2))
+    states = m.init_states(B, H, W)
+    v = m.init(jax.random.PRNGKey(0), None, cnt, states)
+    out, ns = m.apply(v, None, cnt, states)
+    assert out["flow"][0].shape == (B, H, W, 2)
+    assert len(ns) == (5 if "short" in name else 7)
+    # tanh prediction head bounds
+    assert float(jnp.abs(out["flow"][0]).max()) <= 1.0
+
+
+def test_registry_lists_reference_zoo():
+    for name in ["LIFFireNet", "LIFFireNet_short", "LIFFireFlowNet", "LIFFireFlowNet_short", "SpikingRecEVFlowNet"]:
+        assert name in model_names()
+
+
+def test_voxel_encoding_path():
+    m = build_model(base_cfg("LIFFireNet", encoding="voxel", num_bins=5))
+    B, H, W = 1, 16, 16
+    vox = jnp.ones((B, H, W, 5))
+    states = m.init_states(B, H, W)
+    v = m.init(jax.random.PRNGKey(0), vox, None, states)
+    out, _ = m.apply(v, vox, None, states)
+    assert out["flow"][0].shape == (B, H, W, 2)
+
+
+def test_activity_logging_keys():
+    m = build_model(base_cfg("LIFFireNet"))
+    B, H, W = 1, 16, 16
+    cnt = jnp.ones((B, H, W, 2))
+    states = m.init_states(B, H, W)
+    v = m.init(jax.random.PRNGKey(0), None, cnt, states)
+    out, _ = m.apply(v, None, cnt, states, log=True)
+    assert list(out["activity"]) == [
+        "0:input", "1:head", "2:G1", "3:R1a", "4:R1b", "5:G2", "6:R2a", "7:R2b", "8:pred",
+    ]
+    assert all(0.0 <= float(v) <= 1.0 for v in out["activity"].values())
+
+
+def test_recurrent_state_affects_output():
+    """G1/G2 recurrence: previous spikes change the next output."""
+    m = build_model(base_cfg("LIFFireNet"))
+    B, H, W = 1, 16, 16
+    cnt = jnp.ones((B, H, W, 2))
+    s0 = m.init_states(B, H, W)
+    v = m.init(jax.random.PRNGKey(0), None, cnt, s0)
+    _, s1 = m.apply(v, None, cnt, s0)
+    out_a, _ = m.apply(v, None, cnt, s0)
+    out_b, _ = m.apply(v, None, cnt, s1)
+    assert not np.allclose(np.asarray(out_a["flow"][0]), np.asarray(out_b["flow"][0]))
+
+
+def test_mem_carry_is_detached_but_spike_carry_is_not():
+    """Per-step TBPTT semantics (SNNtorch_spiking_submodules.py:307-311):
+    grads through the membrane carry are cut; grads through the recurrent
+    spike carry flow."""
+    x = jnp.ones((1, 8, 8, 4))
+    zeros = jnp.zeros((1, 8, 8, 4))
+
+    # Feedforward cell: the only cross-step path is the membrane carry,
+    # which is stop_gradient'ed -> two-step grad w.r.t. initial mem is zero.
+    ff_cell = SNNConvLIF(input_size=4, features=4)
+    v_ff = ff_cell.init(jax.random.PRNGKey(1), x, LIFState(zeros, zeros))
+
+    def chained_ff(mem_in):
+        _, s1 = ff_cell.apply(v_ff, x, LIFState(mem_in, zeros))
+        spk2, _ = ff_cell.apply(v_ff, x, s1)
+        return spk2.sum()
+
+    g = jax.grad(chained_ff)(jnp.full((1, 8, 8, 4), 0.3))
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+    # Recurrent cell: the spike carry is NOT detached, so gradients flow
+    # across steps through the recurrent conv (within a loss window).
+    rec_cell = SNNConvLIFRecurrent(input_size=4, features=4)
+    v_rec = rec_cell.init(jax.random.PRNGKey(1), x, LIFState(zeros, zeros))
+
+    def two_step_loss(variables):
+        spk1, s1 = rec_cell.apply(variables, x, LIFState(zeros, zeros))
+        spk2, _ = rec_cell.apply(variables, x, s1)
+        return spk2.sum()
+
+    g_params = jax.grad(two_step_loss)(v_rec)["params"]
+    rec_grad = np.abs(np.asarray(g_params["rec"]["kernel"])).sum()
+    assert rec_grad > 0.0
+
+
+def test_batch_stats_update_in_train_mode():
+    cell = SNNConvLIF(input_size=2, features=4)
+    x = jnp.ones((2, 8, 8, 2)) * 3.0
+    v = cell.init(jax.random.PRNGKey(0), x, None)
+    before = np.asarray(v["batch_stats"]["bn"]["BatchNorm_0"]["mean"]).copy()
+    _, mut = cell.apply(v, x, None, True, mutable=["batch_stats"])
+    after = np.asarray(mut["batch_stats"]["bn"]["BatchNorm_0"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_eval_mode_does_not_mutate_stats():
+    cell = SNNConvLIF(input_size=2, features=4)
+    x = jnp.ones((2, 8, 8, 2))
+    v = cell.init(jax.random.PRNGKey(0), x, None)
+    out, state = cell.apply(v, x, None, False)  # no mutable needed
+    assert out.shape == (2, 8, 8, 4)
+
+
+def test_spiking_rec_evflownet_multires():
+    m = build_model(base_cfg("SpikingRecEVFlowNet",
+                            spiking_neuron={"leak": [-4.0, 0.1], "thresh": [0.8, 0.0]}))
+    B, H, W = 1, 48, 48
+    cnt = jnp.ones((B, H, W, 2))
+    states = m.init_states(B, H, W)
+    assert len(states) == 16
+    v = m.init(jax.random.PRNGKey(0), None, cnt, states)
+    out, ns = m.apply(v, None, cnt, states)
+    assert len(out["flow"]) == 4
+    for f in out["flow"]:
+        assert f.shape == (B, H, W, 2)
+
+
+def test_tebn_timestep_scaling():
+    cfg = base_cfg("LIFFireNet")
+    cfg["tebn"] = {"enabled": True, "num_timesteps": 4}
+    m = build_model(cfg)
+    B, H, W = 1, 16, 16
+    cnt = jnp.ones((B, H, W, 2))
+    states = m.init_states(B, H, W)
+    v = m.init(jax.random.PRNGKey(0), None, cnt, states, timestep=0)
+    out, _ = m.apply(v, None, cnt, states, timestep=jnp.array(1))
+    assert out["flow"][0].shape == (B, H, W, 2)
+
+
+def test_mpbn_cell():
+    cfg = base_cfg("LIFFireNet_short")
+    cfg["mpbn"] = {"enabled": True}
+    m = build_model(cfg)
+    B, H, W = 2, 16, 16
+    cnt = jnp.ones((B, H, W, 2))
+    states = m.init_states(B, H, W)
+    v = m.init(jax.random.PRNGKey(0), None, cnt, states, train=True)
+    (out, _), mut = m.apply(v, None, cnt, states, train=True, mutable=["batch_stats"])
+    assert out["flow"][0].shape == (B, H, W, 2)
+
+
+def test_sigmoid_cell_family():
+    cfg = base_cfg("LIFFireNet", cell_family="sigmoid",
+                   spiking_neuron={"leak": [-4.0, 0.1], "thresh": [0.8, 0.0]})
+    m = build_model(cfg)
+    B, H, W = 1, 16, 16
+    cnt = jnp.ones((B, H, W, 2))
+    states = m.init_states(B, H, W)
+    v = m.init(jax.random.PRNGKey(0), None, cnt, states)
+    out, _ = m.apply(v, None, cnt, states)
+    assert out["flow"][0].shape == (B, H, W, 2)
