@@ -1,0 +1,211 @@
+"""H5EventStream: windowing, rollover, augmentation, padding (SURVEY §2 L2)."""
+
+import numpy as np
+import pytest
+
+from evflow.data.h5_stream import H5EventStream, Prefetcher, bucket_size
+from evflow.data.synthetic import make_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    flows = [(10.0, -5.0), (-8.0, 4.0)]
+    make_dataset(root, num_sequences=2, resolution=(32, 32), events_per_sec=20_000,
+                 duration=0.5, flows=flows, gt_hz=10.0)
+    return root, flows
+
+
+def events_cfg(root, window=1000, batch=1, res=(32, 32)):
+    return {
+        "data": {"path": root, "mode": "events", "window": window},
+        "loader": {
+            "resolution": list(res),
+            "std_resolution": list(res),
+            "batch_size": batch,
+            "augment": [],
+            "augment_prob": [],
+            "seed": 0,
+        },
+        "hot_filter": {"enabled": False},
+        "vis": {"bars": False},
+    }
+
+
+def gtflow_cfg(root, window=1, batch=1, res=(32, 32)):
+    cfg = events_cfg(root, window, batch, res)
+    cfg["data"]["mode"] = "gtflow_dt1"
+    return cfg
+
+
+def test_events_mode_fixed_window(dataset):
+    root, _ = dataset
+    s = H5EventStream(events_cfg(root, window=500), num_bins=2)
+    b = s.next_batch()
+    assert b["event_list"].shape == (1, 500, 4)
+    assert b["event_valid"].sum() == 500
+    assert b["event_cnt"].shape == (1, 32, 32, 2)
+    assert b["event_voxel"].shape == (1, 32, 32, 2)
+    assert b["event_mask"].shape == (1, 32, 32, 1)
+    # ts normalized to [0, 1]
+    ts = b["event_list"][0, :, 0]
+    assert ts.min() >= 0.0 and ts.max() <= 1.0
+    # polarity is ±1
+    assert set(np.unique(b["event_list"][0, :, 3])) <= {-1.0, 1.0}
+    s.close()
+
+
+def test_event_count_conservation(dataset):
+    root, _ = dataset
+    s = H5EventStream(events_cfg(root, window=400), num_bins=2)
+    b = s.next_batch()
+    assert float(b["event_cnt"].sum()) == 400.0
+    s.close()
+
+
+def test_sequence_rollover_and_epoch(dataset):
+    root, _ = dataset
+    s = H5EventStream(events_cfg(root, window=4000), num_bins=2)
+    rollovers = 0
+    for _ in range(30):
+        b = s.next_batch()
+        if b["new_seq"].any():
+            rollovers += 1
+        if b["epoch_done"]:
+            break
+    assert rollovers >= 1
+    assert s.seq_num >= 2
+    s.close()
+
+
+def test_gtflow_mode(dataset):
+    root, flows = dataset
+    s = H5EventStream(gtflow_cfg(root), num_bins=2)
+    b = s.next_batch()
+    assert "gtflow" in b
+    assert b["gtflow"].shape == (1, 32, 32, 2)
+    # synthetic GT is constant (vx, vy)*dt with dt=0.1s
+    vx, vy = flows[0]
+    np.testing.assert_allclose(b["gtflow"][0, 0, 0], [vx * 0.1, vy * 0.1], rtol=1e-5)
+    assert b["dt_gt"][0] > 0
+    assert b["dt_input"][0] > 0
+    s.close()
+
+
+def test_gtflow_padding_bucketed(dataset):
+    root, _ = dataset
+    s = H5EventStream(gtflow_cfg(root), num_bins=2)
+    b = s.next_batch()
+    n = b["event_list"].shape[1]
+    assert n == bucket_size(int(b["event_valid"].sum()))
+    s.close()
+
+
+def test_batch_slots_stream_different_files(dataset):
+    root, _ = dataset
+    s = H5EventStream(events_cfg(root, window=500, batch=2), num_bins=2)
+    assert s.batch_idx == [0, 1]
+    b = s.next_batch()
+    assert b["event_cnt"].shape[0] == 2
+    s.close()
+
+
+def test_horizontal_flip_augmentation(dataset):
+    root, _ = dataset
+    cfg = events_cfg(root, window=500)
+    cfg["loader"]["augment"] = ["Horizontal"]
+    cfg["loader"]["augment_prob"] = [1.0]
+    s = H5EventStream(cfg, num_bins=2)
+    b = s.next_batch()
+
+    cfg2 = events_cfg(root, window=500)
+    s2 = H5EventStream(cfg2, num_bins=2)
+    b2 = s2.next_batch()
+    # flip acts on raw float coords: x' = W - 1 - x (dataloader/base.py:115-117)
+    np.testing.assert_allclose(
+        b["event_list"][0, :, 2], 31.0 - b2["event_list"][0, :, 2], atol=1e-5
+    )
+    np.testing.assert_allclose(b["event_list"][0, :, 1], b2["event_list"][0, :, 1])
+    s.close(); s2.close()
+
+
+def test_polarity_flip_augmentation(dataset):
+    root, _ = dataset
+    cfg = events_cfg(root, window=500)
+    cfg["loader"]["augment"] = ["Polarity"]
+    cfg["loader"]["augment_prob"] = [1.0]
+    s = H5EventStream(cfg, num_bins=2)
+    b = s.next_batch()
+    s2 = H5EventStream(events_cfg(root, window=500), num_bins=2)
+    b2 = s2.next_batch()
+    # polarity channels swap
+    np.testing.assert_allclose(b["event_cnt"][0, ..., 0], b2["event_cnt"][0, ..., 1], atol=1e-5)
+    s.close(); s2.close()
+
+
+def test_downsample_path(dataset):
+    root, _ = dataset
+    cfg = gtflow_cfg(root, res=(16, 16))
+    cfg["loader"]["std_resolution"] = [32, 32]
+    s = H5EventStream(cfg, num_bins=2)
+    b = s.next_batch()
+    assert b["event_cnt"].shape == (1, 16, 16, 2)
+    assert b["gtflow"].shape == (1, 16, 16, 2)
+    assert b["event_mask"].shape == (1, 16, 16, 1)
+    el = b["event_list"][b["event_valid"].astype(bool)]
+    assert el[:, 1].max() <= 15 and el[:, 2].max() <= 15
+    s.close()
+
+
+def test_keep_gt_full_res(dataset):
+    root, _ = dataset
+    cfg = gtflow_cfg(root, res=(16, 16))
+    cfg["loader"]["std_resolution"] = [32, 32]
+    cfg["loader"]["keep_gt_full_res"] = True
+    s = H5EventStream(cfg, num_bins=2)
+    b = s.next_batch()
+    assert b["event_cnt"].shape == (1, 16, 16, 2)
+    assert b["gtflow"].shape == (1, 32, 32, 2)   # GT stays full res
+    assert b["event_mask"].shape == (1, 32, 32, 1)  # mask stays full res
+    s.close()
+
+
+def test_hot_filter_state(dataset):
+    root, _ = dataset
+    cfg = events_cfg(root, window=500)
+    cfg["hot_filter"] = {"enabled": True, "max_px": 10, "min_obvs": 1, "max_rate": 0.8}
+    s = H5EventStream(cfg, num_bins=2)
+    for _ in range(4):
+        b = s.next_batch()
+    assert s.hot_idx[0] == 4
+    s.close()
+
+
+def test_prefetcher(dataset):
+    root, _ = dataset
+    s = H5EventStream(events_cfg(root, window=500), num_bins=2)
+    pf = Prefetcher(s)
+    b1 = next(pf)
+    b2 = next(pf)
+    assert b1["event_cnt"].shape == b2["event_cnt"].shape
+    pf.close()
+    s.close()
+
+
+def test_spatial_filter_events_mode(dataset):
+    root, _ = dataset
+    cfg = events_cfg(root, window=300, res=(16, 16))
+    cfg["loader"]["std_resolution"] = [32, 32]
+    s = H5EventStream(cfg, num_bins=2)
+    b = s.next_batch()
+    el = b["event_list"][b["event_valid"].astype(bool)]
+    assert el.shape[0] == 300
+    assert el[:, 1].max() < 16 and el[:, 2].max() < 16
+    s.close()
+
+
+def test_get_iters(dataset):
+    root, _ = dataset
+    s = H5EventStream(gtflow_cfg(root), num_bins=2)
+    assert s.get_iters(0) == 5  # 6 GT frames over 0.5 s at 10 Hz -> 5 windows
+    s.close()
