@@ -1,0 +1,269 @@
+"""Ground-truth evaluation loop (MVSEC-style AEE/AAE protocol).
+
+Behavioral reference: eval_flow.py:49-397. Protocol details preserved:
+  * asserts: AEE requires a gtflow mode and window <= 1 with integer
+    inverse (eval_flow.py:62-71);
+  * reset model state at sequence boundaries (:211-214);
+  * IWE computed at model resolution before any upsampling (:229-237);
+  * ``keep_gt_full_res``: predictions nearest-upsampled to GT resolution
+    with flow values rescaled by the spatial factor (:239-252), metric
+    resolution switched to std_resolution and flow_scaling adjusted by
+    ``base * (model_res / 128) / 2`` (:162-174);
+  * AEE cadence gate ``idx_AEE == round(1/window)`` and the ``dt_gt > 0``
+    skip (:273-278);
+  * per-HDF5-file result accumulation with percent-outlier tracking
+    (:289-304) and metrics_N.yml output (:350-363).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evflow import registry
+from evflow.data.h5_stream import H5EventStream
+from evflow.ops.iwe import compute_pol_iwe, upsample_flow
+from evflow.utils.checkpoint import load_checkpoint
+from evflow.utils.tracker import create_model_dir, log_config, log_results
+
+__all__ = ["evaluate", "make_eval_step"]
+
+
+def make_eval_step(model):
+    """Jitted eval forward: (variables, voxel, cnt, states) -> (flow list, states)."""
+
+    @jax.jit
+    def step(variables, voxel, cnt, states):
+        out, new_states = model.apply(variables, voxel, cnt, states, train=False)
+        return tuple(out["flow"]), new_states
+
+    return step
+
+
+def _reset_slot_states(states, model, flags, B, H, W):
+    """Mask-reset carries for slots that started a new sequence."""
+    if not flags.any():
+        return states
+    fresh = model.init_states(B, H, W)
+    keep = jnp.asarray(~flags, jnp.float32).reshape(B, *([1] * 3))
+
+    def mix(old, new):
+        return old * keep + new * (1.0 - keep)
+
+    return jax.tree.map(mix, states, fresh)
+
+
+def evaluate(
+    config: Dict[str, Any],
+    checkpoint: Optional[str] = None,
+    variables: Optional[Dict[str, Any]] = None,
+    path_results: str = "results_inference",
+    runid: str = "eval",
+    debug: bool = False,
+    max_windows: Optional[int] = None,
+    collect_vis: bool = False,
+    verbose: bool = True,
+):
+    """Run the full evaluation protocol; returns the per-file results dict.
+
+    Provide either ``checkpoint`` (evflow msgpack dir/file, or a reference
+    ``.pth`` which is imported via the torch shim) or ready ``variables``.
+    """
+    metrics_cfg = config.get("metrics", {})
+    names = metrics_cfg.get("name", [])
+    mode = config["data"]["mode"]
+    window = config["data"]["window"]
+
+    if "AEE" in names:
+        if mode not in ("gtflow_dt1", "gtflow_dt4"):
+            raise ValueError("AEE computation not possible without ground truth mode")
+        if window > 1:
+            raise ValueError("AEE computation not compatible with window > 1")
+        if not np.isclose((1.0 / window) % 1.0, 0.0):
+            raise ValueError("AEE needs a window whose inverse is an integer")
+
+    model_cfg = config["model"]
+    model = registry.build_model(model_cfg)
+    loader = config["loader"]
+    H, W = loader["resolution"]
+    B = int(loader.get("batch_size", 1))
+
+    states = model.init_states(B, H, W)
+    dummy_cnt = jnp.zeros((B, H, W, 2), jnp.float32)
+    dummy_vox = jnp.zeros((B, H, W, model_cfg.get("num_bins", 2)), jnp.float32)
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(0), dummy_vox, dummy_cnt, states)
+        if checkpoint:
+            if checkpoint.endswith((".pth", ".pt")):
+                from evflow.utils.checkpoint import import_torch_checkpoint
+
+                variables, _ = import_torch_checkpoint(checkpoint, variables)
+            else:
+                tmpl = {
+                    "params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                }
+                restored = load_checkpoint(
+                    checkpoint,
+                    {**tmpl, "opt_state": None, "epoch": 0, "loss": 0.0,
+                     "loss_variance": 0.0},
+                )
+                variables = {
+                    "params": restored["params"],
+                    "batch_stats": restored["batch_stats"],
+                }
+
+    flow_scaling = float(metrics_cfg.get("flow_scaling", 128))
+    criteria = registry.build_metrics(config, flow_scaling)
+
+    keep_gt_full_res = bool(loader.get("keep_gt_full_res", False))
+    if keep_gt_full_res and criteria:
+        std_res = tuple(loader.get("std_resolution", loader["resolution"]))
+        training_resolution = 128  # reference models trained at 128x128
+        adjusted = flow_scaling * (loader["resolution"][0] / training_resolution) / 2
+        for c in criteria:
+            c.res = std_res
+            c.flow_scaling = adjusted
+
+    if not debug:
+        path_results = create_model_dir(path_results, runid)
+        eval_id = log_config(path_results, runid, config)
+    else:
+        eval_id = -1
+
+    data = H5EventStream(config, model_cfg.get("num_bins", 2),
+                         model_cfg.get("round_encoding", False))
+    step_fn = make_eval_step(model)
+
+    idx_AEE = 0
+    val_results: Dict[str, Dict[str, Dict[str, float]]] = {}
+    vis_frames = []
+    windows_done = 0
+
+    while True:
+        batch = data.next_batch()
+        if batch["epoch_done"]:
+            break
+        if batch["new_seq"].any():
+            data.new_seq = False
+            states = _reset_slot_states(
+                states, model, batch["new_seq"], B, H, W
+            )
+            for c in criteria:
+                c.reset()
+
+        voxel = jnp.asarray(batch["event_voxel"])
+        cnt = jnp.asarray(batch["event_cnt"])
+        flows, states = step_fn(variables, voxel, cnt, states)
+        flows = list(flows)
+
+        iwe = None
+        if collect_vis:
+            iwe = compute_pol_iwe(
+                flows[-1],
+                jnp.asarray(batch["event_list"]),
+                tuple(loader["resolution"]),
+                jnp.asarray(batch["event_list_pol_mask"][..., 0]),
+                jnp.asarray(batch["event_list_pol_mask"][..., 1]),
+                flow_scaling=flow_scaling,
+                round_idx=True,
+                valid=jnp.asarray(batch["event_valid"]),
+            )
+
+        # upsample predictions when GT stays at full resolution
+        if keep_gt_full_res and "gtflow" in batch:
+            gh, gw = batch["gtflow"].shape[1:3]
+            ph, pw = flows[-1].shape[1:3]
+            if gh > ph or gw > pw:
+                up = upsample_flow(flows[-1], gh, gw)
+                scale = jnp.array([gw / pw, gh / ph], jnp.float32)  # (x, y)
+                flows[-1] = up * scale
+        if collect_vis:
+            vis_frames.append(
+                {
+                    "flow": np.asarray(flows[-1]),
+                    "iwe": np.asarray(iwe),
+                    "event_cnt": batch["event_cnt"],
+                    "gtflow": batch.get("gtflow"),
+                }
+            )
+
+        if names:
+            inputs = {
+                "gtflow": jnp.asarray(batch["gtflow"]) if "gtflow" in batch else None,
+                "event_mask": jnp.asarray(batch["event_mask"]),
+                "dt_gt": jnp.asarray(batch["dt_gt"]),
+                "dt_input": jnp.asarray(batch["dt_input"]),
+            }
+            for c in criteria:
+                c.event_flow_association(flows, inputs)
+            for i, mname in enumerate(names):
+                if mname == "AEE" and float(batch["dt_gt"][0]) <= 0.0:
+                    continue
+                if mname == "AEE":
+                    idx_AEE += 1
+                    if idx_AEE != int(np.round(1.0 / window)):
+                        continue
+                val = criteria[i]()
+                if mname == "AEE":
+                    idx_AEE = 0
+                for b in range(B):
+                    fname = os.path.basename(
+                        data.files[data.batch_idx[b] % len(data.files)]
+                    )
+                    slot = val_results.setdefault(fname, {})
+                    entry = slot.setdefault(
+                        mname, {"metric": 0.0, "it": 0, "percent": 0.0}
+                    )
+                    entry["it"] += 1
+                    if criteria[i].has_percent:
+                        entry["metric"] += float(np.asarray(val[0][b]))
+                        entry["percent"] += float(np.asarray(val[1][b]))
+                    else:
+                        entry["metric"] += float(np.asarray(val)[b])
+                criteria[i].reset()
+
+        windows_done += B
+        if verbose and windows_done % 100 == 0:
+            print(f"eval: {windows_done} windows, seq {data.seq_num}", end="\r")
+        if max_windows is not None and windows_done >= max_windows:
+            break
+
+    data.close()
+
+    results: Dict[str, Dict[str, str]] = {}
+    for mname in names:
+        results[mname] = {}
+        pct_key = mname + "_percent"
+        has_pct = any(
+            mname in v and v[mname]["it"] and criteria[names.index(mname)].has_percent
+            for v in val_results.values()
+        )
+        if has_pct:
+            results[pct_key] = {}
+        for fname, v in val_results.items():
+            if mname not in v or v[mname]["it"] == 0:
+                continue
+            results[mname][fname] = str(v[mname]["metric"] / v[mname]["it"])
+            if has_pct:
+                results[pct_key][fname] = str(v[mname]["percent"] / v[mname]["it"])
+
+    if not debug and names:
+        log_results(runid, results, path_results, eval_id)
+        if metrics_cfg.get("heat_map", False):
+            heat_dir = os.path.join(path_results, "heatmaps")
+            os.makedirs(heat_dir, exist_ok=True)
+            for i, mname in enumerate(names):
+                if mname in ("AEE", "AAE", "NAAE"):
+                    criteria[i].save_error_heatmap(
+                        os.path.join(heat_dir, f"{mname}_heatmap.png"),
+                        title=f"Aggregated {mname} Error Distribution",
+                    )
+
+    if collect_vis:
+        return results, vis_frames
+    return results

@@ -103,8 +103,11 @@ class FireNet(nn.Module):
         """Zero state pytree (replaces reference ``reset_states``,
         models/model.py:129-130)."""
         shape = (batch, height, width, self.base_num_channels)
-        z = jnp.zeros(shape, jnp.float32)
-        return tuple(LIFState(z, z) for _ in range(self.num_units))
+        # distinct buffers per leaf so the train step can donate the carry
+        return tuple(
+            LIFState(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+            for _ in range(self.num_units)
+        )
 
     def _layer_quant(self, idx: int):
         if self.state_quant_per_layer is not None:

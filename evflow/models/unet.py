@@ -236,20 +236,23 @@ class SpikingMultiResUNetRecurrent(nn.Module):
     def init_states(self, batch: int, height: int, width: int):
         """Zero flat state tuple; (height, width) must be 2^E-divisible
         (use CropParameters otherwise)."""
+        def zs(h, w, c):
+            return LIFState(
+                jnp.zeros((batch, h, w, c), jnp.float32),
+                jnp.zeros((batch, h, w, c), jnp.float32),
+            )
+
         states = []
         h, w = height, width
         outs = self.encoder_output_sizes
         for c in outs:
             h, w = h // 2, w // 2
-            z = jnp.zeros((batch, h, w, c), jnp.float32)
-            states += [LIFState(z, z), LIFState(z, z)]
-        cmax = outs[-1]
-        z = jnp.zeros((batch, h, w, cmax), jnp.float32)
-        states += [LIFState(z, z)] * (2 * self.num_residual_blocks)
+            states += [zs(h, w, c), zs(h, w, c)]
+        for _ in range(2 * self.num_residual_blocks):
+            states.append(zs(h, w, outs[-1]))
         for c in reversed(self.encoder_input_sizes):
             h, w = h * 2, w * 2
-            z = jnp.zeros((batch, h, w, c), jnp.float32)
-            states.append(LIFState(z, z))
+            states.append(zs(h, w, c))
         return tuple(states)
 
     @nn.compact
@@ -388,17 +391,21 @@ class SpikingRecEVFlowNet(nn.Module):
         C, m, E = self.base_num_channels, 2, self.num_encoders
         out_sizes = [int(C * m ** (i + 1)) for i in range(E)]
         in_sizes = [int(C * m**i) for i in range(E)]
+        def zs(h, w, c):
+            return LIFState(
+                jnp.zeros((batch, h, w, c), jnp.float32),
+                jnp.zeros((batch, h, w, c), jnp.float32),
+            )
+
         states = []
         for c in out_sizes:
             h, w = h // 2, w // 2
-            z = jnp.zeros((batch, h, w, c), jnp.float32)
-            states += [LIFState(z, z), LIFState(z, z)]
-        z = jnp.zeros((batch, h, w, out_sizes[-1]), jnp.float32)
-        states += [LIFState(z, z)] * (2 * self.num_residual_blocks)
+            states += [zs(h, w, c), zs(h, w, c)]
+        for _ in range(2 * self.num_residual_blocks):
+            states.append(zs(h, w, out_sizes[-1]))
         for c in reversed(in_sizes):
             h, w = h * 2, w * 2
-            z = jnp.zeros((batch, h, w, c), jnp.float32)
-            states.append(LIFState(z, z))
+            states.append(zs(h, w, c))
         return tuple(states)
 
     @nn.compact

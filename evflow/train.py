@@ -1,0 +1,284 @@
+"""Self-supervised training loop: scan-based TBPTT under jit, data-parallel
+over a device mesh.
+
+Behavioral reference: train_flow.py:29-326. Loop semantics preserved:
+  * accumulate windows until ``window_loss`` events then backprop — here the
+    pass count P = window_loss // window is static, the whole loss window is
+    one jitted step: ``lax.scan`` over P model steps, EventWarping loss over
+    the stacked flows, one Adam update with global-norm clipping;
+  * membrane/spike carries persist across loss windows (values only — the
+    jit boundary is the TBPTT truncation, matching ``detach_states()`` at
+    train_flow.py:278);
+  * on sequence rollover: discard the partial window, reset carries and
+    start accumulating fresh (train_flow.py:114-119 resets globally);
+  * epoch bookkeeping driven by ``seq_num >= len(files)``
+    (train_flow.py:121), 3-policy checkpoints, loss-variance tracking over a
+    50-step window, patience-50 early stop;
+  * threshold params are projected to >= 0.01 after each update (the
+    functional analog of the reference's in-place ``clamp_`` at every
+    forward, SNNtorch_spiking_submodules.py:284).
+
+TPU notes: batches are sharded on the batch axis over a 1-D ``data`` mesh;
+params/opt-state replicated; the summed loss makes GSPMD insert the gradient
+all-reduce over ICI. Host streaming/encoding overlaps device compute via the
+Prefetcher.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from evflow import registry
+from evflow.data.h5_stream import H5EventStream
+from evflow.loss.warp_loss import EventWarpingConfig
+from evflow.parallel.mesh import make_mesh
+from evflow.utils.checkpoint import CheckpointPolicy, load_checkpoint
+from evflow.utils.tracker import Run, grad_stats, save_csv
+
+__all__ = ["train", "make_train_step", "stack_window", "clamp_thresholds"]
+
+
+def clamp_thresholds(params):
+    """Project threshold parameters to >= 0.01 (reference clamp_ semantics)."""
+
+    def fix(path, v):
+        leaf = str(getattr(path[-1], "key", path[-1]))
+        if leaf in ("threshold", "thresh"):
+            return jnp.maximum(v, 0.01)
+        return v
+
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
+def stack_window(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack P host batches into [P, ...] arrays, padding event lists to a
+    common static N."""
+    n_max = max(b["event_list"].shape[1] for b in batches)
+    out: Dict[str, np.ndarray] = {}
+    P_ = len(batches)
+    B = batches[0]["event_list"].shape[0]
+    el = np.zeros((P_, B, n_max, 4), np.float32)
+    pm = np.zeros((P_, B, n_max, 2), np.float32)
+    va = np.zeros((P_, B, n_max), np.float32)
+    for p, b in enumerate(batches):
+        n = b["event_list"].shape[1]
+        el[p, :, :n] = b["event_list"]
+        pm[p, :, :n] = b["event_list_pol_mask"]
+        va[p, :, :n] = b["event_valid"]
+    out["event_list"] = el
+    out["event_list_pol_mask"] = pm
+    out["event_valid"] = va
+    for key in ("event_cnt", "event_voxel", "event_mask"):
+        out[key] = np.stack([b[key] for b in batches])
+    return out
+
+
+def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int = 4):
+    """Build the jitted TBPTT train step."""
+
+    def train_step(params, batch_stats, opt_state, states, window):
+        tsteps = jnp.arange(window["event_cnt"].shape[0]) % num_timesteps
+
+        def loss_fn(p):
+            def step(carry, inp):
+                st, bs = carry
+                (out, new_st), mut = model.apply(
+                    {"params": p, "batch_stats": bs},
+                    inp["event_voxel"],
+                    inp["event_cnt"],
+                    st,
+                    train=True,
+                    timestep=inp["t"],
+                    mutable=["batch_stats"],
+                )
+                return (new_st, mut["batch_stats"]), tuple(out["flow"])
+
+            scan_in = {
+                "event_voxel": window["event_voxel"],
+                "event_cnt": window["event_cnt"],
+                "t": tsteps,
+            }
+            (fin_st, fin_bs), flows = jax.lax.scan(
+                step, (states, batch_stats), scan_in
+            )
+            loss = warp_cfg(
+                list(flows),
+                window["event_list"],
+                window["event_list_pol_mask"],
+                window["event_mask"],
+                window["event_valid"],
+            )
+            return loss, (fin_st, fin_bs)
+
+        (loss, (fin_st, fin_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = clamp_thresholds(optax.apply_updates(params, updates))
+        return loss, new_params, fin_bs, new_opt, fin_st, grads
+
+    return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+
+def _shard_window(window, mesh):
+    if mesh is None:
+        return window
+    pb = NamedSharding(mesh, P(None, "data"))
+
+    def put(x):
+        return jax.device_put(x, pb)
+
+    return jax.tree.map(put, window)
+
+
+def train(
+    config: Dict[str, Any],
+    path_runs: str = "runs",
+    prev_ckpt: Optional[str] = None,
+    mesh=None,
+    max_steps: Optional[int] = None,
+    verbose: bool = True,
+):
+    """Train a FireNet-family model (train_flow.py ``train()`` equivalent).
+
+    Returns the tracking Run (its dir holds checkpoints + metrics).
+    """
+    if config["data"]["mode"] == "frames":
+        raise ValueError("Training pipeline not compatible with frames mode")
+
+    model_cfg = config["model"]
+    model = registry.build_model(model_cfg)
+    data = H5EventStream(config, model_cfg.get("num_bins", 2), model_cfg.get("round_encoding", False))
+    data.shuffle()
+
+    run = Run(path_runs, config.get("experiment", "Default"))
+    run.log_params(config)
+    run.save_diff()
+
+    warp_cfg = EventWarpingConfig(config)
+    clip = config.get("loss", {}).get("clip_grad")
+    tx = registry.build_optimizer(config.get("optimizer", {"name": "Adam", "lr": 2e-4}))
+    if clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+
+    loader = config["loader"]
+    H, W = loader["resolution"]
+    B = loader["batch_size"]
+    P_ = max(1, int(config["data"].get("window_loss", config["data"]["window"])
+                    // config["data"]["window"]))
+
+    # init
+    rng = jax.random.PRNGKey(int(loader.get("seed", 0)))
+    states = model.init_states(B, H, W)
+    dummy_cnt = jnp.zeros((B, H, W, 2), jnp.float32)
+    dummy_vox = jnp.zeros((B, H, W, model_cfg.get("num_bins", 2)), jnp.float32)
+    variables = model.init(rng, dummy_vox, dummy_cnt, states, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    if prev_ckpt:
+        restored = load_checkpoint(
+            prev_ckpt,
+            {"params": params, "batch_stats": batch_stats, "opt_state": opt_state,
+             "epoch": 0, "loss": 0.0, "loss_variance": 0.0},
+        )
+        params = restored["params"]
+        batch_stats = restored["batch_stats"]
+        opt_state = restored["opt_state"]
+
+    tebn_T = 4
+    tebn = model_cfg.get("tebn") or {}
+    if isinstance(tebn, dict):
+        tebn_T = int(tebn.get("num_timesteps", 4))
+    step_fn = make_train_step(model, tx, warp_cfg, tebn_T)
+
+    ckpt_policy = CheckpointPolicy(os.path.join(run.dir, "checkpoints"))
+    patience = 50
+    epochs_without_improvement = 0
+    train_loss = 0.0
+    recent_losses: List[float] = []
+    grads_rows: List[dict] = []
+    n_epochs = int(loader.get("n_epochs", 100))
+    store_grads = bool(config.get("vis", {}).get("store_grads", False))
+
+    pending: List[dict] = []
+    steps = 0
+    t_start = time.time()
+    while True:
+        batch = data.next_batch()
+
+        if batch["new_seq"].any():
+            data.new_seq = False
+            pending = []  # discard the partial loss window (global reset)
+            states = model.init_states(B, H, W)
+
+        if batch["epoch_done"]:
+            avg = train_loss / (data.samples + 1)
+            var = float(np.var(recent_losses)) if len(recent_losses) > 1 else float("inf")
+            run.log_metric("loss", avg, step=data.epoch)
+            run.log_metric("loss_variance", var, step=data.epoch)
+            if verbose:
+                print(f"Epoch {data.epoch:04d} - loss {avg:.6f} var {var:.6f}")
+            state_dict = {
+                "params": jax.device_get(params),
+                "batch_stats": jax.device_get(batch_stats),
+                "opt_state": jax.device_get(opt_state),
+            }
+            wrote = ckpt_policy.update(
+                data.epoch, avg, var, len(recent_losses), state_dict, config
+            )
+            if wrote["lowest_loss"]:
+                epochs_without_improvement = 0
+            else:
+                epochs_without_improvement += 1
+            data.epoch += 1
+            train_loss = 0.0
+            data.end_epoch()
+            if store_grads and grads_rows:
+                save_csv(grads_rows, os.path.join(run.dir, "grads_w.csv"))
+                grads_rows = []
+            if data.epoch >= n_epochs or epochs_without_improvement >= patience:
+                if verbose:
+                    print(f"Stopping at epoch {data.epoch}.")
+                break
+
+        pending.append(batch)
+        if len(pending) < P_:
+            continue
+
+        window = _shard_window(stack_window(pending), mesh)
+        pending = []
+        loss, params, batch_stats, opt_state, states, grads = step_fn(
+            params, batch_stats, opt_state, states, window
+        )
+        loss_val = float(loss)
+        train_loss += loss_val
+        data.samples += B
+        recent_losses.append(loss_val)
+        if len(recent_losses) > 50:
+            recent_losses.pop(0)
+        if store_grads:
+            grads_rows.append(grad_stats(jax.device_get(grads)))
+        steps += 1
+        if verbose and steps % 10 == 0:
+            rate = steps * P_ * B / (time.time() - t_start)
+            print(
+                f"Epoch {data.epoch:04d} [{data.seq_num:03d}/{len(data.files):03d}] "
+                f"loss {train_loss / (data.samples + 1):.6f} ({rate:.1f} win/s)",
+                end="\r",
+            )
+        if max_steps is not None and steps >= max_steps:
+            break
+
+    data.close()
+    return run

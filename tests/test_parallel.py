@@ -1,0 +1,116 @@
+"""Multi-device data parallelism on the forced 8-CPU mesh (SURVEY §2.9/§5.8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from evflow.data.synthetic import make_dataset
+from evflow.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    make_dataset(root, num_sequences=2, resolution=(32, 32), events_per_sec=30_000,
+                 duration=0.5, flows=[(10.0, -5.0), (-8.0, 4.0)], gt_hz=10.0)
+    return root
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_places_batch_axis():
+    mesh = make_mesh()
+    batch = {"x": np.ones((8, 4, 4)), "s": np.float32(1.0)}
+    out = shard_batch(batch, mesh)
+    assert out["x"].sharding.spec == P("data")
+    # scalar replicated
+    assert out["s"].sharding.spec == P()
+
+
+def test_sharded_forward_matches_single_device(dataset):
+    """Same params, batch split over 8 devices vs single device — identical flows."""
+    from evflow.registry import build_model
+
+    cfg = {"name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": 8,
+           "kernel_size": 3, "encoding": "cnt",
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    model = build_model(cfg)
+    B, H, W = 8, 16, 16
+    rng = np.random.default_rng(0)
+    cnt = rng.normal(size=(B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+
+    out_single, _ = jax.jit(
+        lambda v, c, s: model.apply(v, None, c, s)
+    )(v, jnp.asarray(cnt), states)
+
+    mesh = make_mesh()
+    bs = batch_sharding(mesh)
+    cnt_sh = jax.device_put(cnt, bs)
+    states_sh = jax.tree.map(lambda x: jax.device_put(x, bs), states)
+    v_rep = replicate(v, mesh)
+    out_sharded, _ = jax.jit(
+        lambda v, c, s: model.apply(v, None, c, s)
+    )(v_rep, cnt_sh, states_sh)
+
+    np.testing.assert_allclose(
+        np.asarray(out_single["flow"][0]), np.asarray(out_sharded["flow"][0]), atol=1e-5
+    )
+
+
+def test_data_parallel_grads_match_single_device():
+    """Summed-loss gradient under an 8-way sharded batch == single-device grads
+    (GSPMD inserts the all-reduce)."""
+    from evflow.models.cells import SNNConvLIF
+
+    cell = SNNConvLIF(input_size=2, features=4)
+    B, H, W = 8, 8, 8
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, H, W, 2)).astype(np.float32)
+    v = cell.init(jax.random.PRNGKey(0), jnp.asarray(x), None)
+
+    def loss(params, x):
+        out, _ = cell.apply({"params": params, "batch_stats": v["batch_stats"]}, x, None)
+        return (out * out).sum()
+
+    g_single = jax.grad(loss)(v["params"], jnp.asarray(x))
+
+    mesh = make_mesh()
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    p_rep = replicate(v["params"], mesh)
+    g_sharded = jax.jit(jax.grad(loss))(p_rep, x_sh)
+
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_on_mesh(dataset, tmp_path):
+    """Full TBPTT train step under an 8-way data mesh."""
+    from tests.test_train_eval import train_cfg
+    from evflow.train import train
+
+    cfg = train_cfg(dataset, batch=8)
+    mesh = make_mesh()
+    run = train(cfg, path_runs=str(tmp_path / "runs"), max_steps=3, mesh=mesh,
+                verbose=False)
+    assert run is not None
+
+
+def test_eval_fanout_batched_sequences(dataset, tmp_path):
+    """Batched eval across sequences: batch slots stream different files
+    (the reference's per-slot assignment, now one slot per shard)."""
+    from tests.test_train_eval import eval_cfg
+    from evflow.eval import evaluate
+
+    cfg = eval_cfg(dataset)
+    cfg["loader"]["batch_size"] = 2
+    results = evaluate(cfg, path_results=str(tmp_path / "r"), debug=True,
+                       max_windows=8, verbose=False)
+    # both sequences contribute results
+    assert len(results["AEE"]) == 2
