@@ -53,6 +53,17 @@ class LIFState(NamedTuple):
     spk: jax.Array
 
 
+# make LIFState serializable inside jax.export artifacts (evflow/export.py)
+try:
+    from jax import export as _jexport
+
+    _jexport.register_namedtuple_serialization(
+        LIFState, serialized_name="evflow.ops.lif.LIFState"
+    )
+except Exception:  # pragma: no cover - older jax without the API
+    pass
+
+
 def leaky_step(
     ff: jax.Array,
     mem: jax.Array,
