@@ -1,0 +1,65 @@
+"""Evaluate a trained model against ground-truth optical flow (AEE/AAE/...).
+
+CLI equivalent of the reference eval_flow.py:399-421:
+  python eval_flow.py <checkpoint> --config configs/eval_MVSEC.yml
+The checkpoint may be an evflow checkpoint dir/msgpack, a run id under
+--path_runs, or a reference PyTorch .pth (imported automatically).
+"""
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("checkpoint", help="checkpoint path / run id / reference .pth")
+    parser.add_argument("--config", default="configs/eval_MVSEC.yml",
+                        help="config file, overwrites training settings")
+    parser.add_argument("--path_runs", default="runs")
+    parser.add_argument("--path_results", default="results_inference/")
+    parser.add_argument("--debug", action="store_true", help="don't save stuff")
+    parser.add_argument("--max_windows", type=int, default=None)
+    args = parser.parse_args()
+
+    from evflow.config import load_config, merge_configs
+    from evflow.eval import evaluate
+
+    config = load_config(args.config)
+
+    ckpt = args.checkpoint
+    runid = os.path.basename(ckpt.rstrip("/")) or "eval"
+    # run-id resolution: merge training params back like the reference merges
+    # MLflow run params (eval_flow.py:52-53)
+    for exp in (os.listdir(args.path_runs) if os.path.isdir(args.path_runs) else []):
+        cand = os.path.join(args.path_runs, exp, ckpt)
+        if os.path.isdir(cand):
+            import yaml
+
+            with open(os.path.join(cand, "params.yaml")) as f:
+                train_params = yaml.safe_load(f)
+            config = merge_configs(
+                {k: str(v) for k, v in train_params.items()}, config
+            )
+            config = load_config(args.config)  # eval settings win
+            ckpt = os.path.join(cand, "checkpoints", "lowest_loss")
+            if os.path.isdir(ckpt):
+                ckpt = os.path.join(ckpt, sorted(os.listdir(ckpt))[-1])
+            runid = args.checkpoint
+            break
+
+    results = evaluate(
+        config,
+        checkpoint=ckpt,
+        path_results=args.path_results,
+        runid=runid,
+        debug=args.debug,
+        max_windows=args.max_windows,
+    )
+    print()
+    for metric, per_file in results.items():
+        for fname, val in per_file.items():
+            print(f"{metric:16s} {fname:32s} {val}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Analysis & profiling: voltage dynamics, spike statistics, IWE demos.
+
+Behavioral reference: analyze_voltage_dynamics.py (VoltageProfiler :33-241,
+analyze_model :244-361, report :364-678), tools/demo_iwe.py (brute-force
+contrast-maximization heatmap :20-116), tools/compare_dynrange.py,
+tools/compare_inits.py.
+
+TPU design: instead of forward hooks mutating python state, statistics are
+computed on device from the explicit state pytree each step (one jitted
+reduction per window) and streamed into Welford accumulators on host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evflow.ops.iwe import deblur_events
+
+__all__ = ["VoltageProfiler", "analyze_model", "contrast_heatmap", "activity_vs_window"]
+
+
+@jax.jit
+def _state_summary(states):
+    """Per-unit membrane stats + per-channel/neuron spike indicators."""
+    out = []
+    for st in states:
+        mem, spk = st.mem, st.spk
+        out.append(
+            {
+                "mem_min": mem.min(),
+                "mem_max": mem.max(),
+                "mem_sum": mem.sum(),
+                "mem_sumsq": (mem * mem).sum(),
+                "mem_count": jnp.float32(mem.size),
+                "spike_channel": spk.mean(axis=(0, 1, 2)),  # [C] rate this step
+                "spike_neuron_any": (spk > 0).any(axis=0),  # [H, W, C]
+                "spike_rate": spk.mean(),
+            }
+        )
+    return out
+
+
+class VoltageProfiler:
+    """Streaming membrane/spike statistics over an evaluation run.
+
+    Equivalent of the forward-hook profiler at
+    analyze_voltage_dynamics.py:33-241: per-unit membrane min/max/mean/std,
+    per-channel mean spike rates, per-neuron ever-spiked masks and
+    dead-neuron counts.
+    """
+
+    def __init__(self, unit_names: Sequence[str]):
+        self.unit_names = list(unit_names)
+        n = len(self.unit_names)
+        self.mem_min = [np.inf] * n
+        self.mem_max = [-np.inf] * n
+        self.mem_sum = [0.0] * n
+        self.mem_sumsq = [0.0] * n
+        self.mem_count = [0.0] * n
+        self.spike_channel_sum: List[Optional[np.ndarray]] = [None] * n
+        self.neuron_ever_spiked: List[Optional[np.ndarray]] = [None] * n
+        self.spike_rate_sum = [0.0] * n
+        self.steps = 0
+
+    def update(self, states):
+        stats = jax.device_get(_state_summary(states))
+        for i, s in enumerate(stats):
+            self.mem_min[i] = min(self.mem_min[i], float(s["mem_min"]))
+            self.mem_max[i] = max(self.mem_max[i], float(s["mem_max"]))
+            self.mem_sum[i] += float(s["mem_sum"])
+            self.mem_sumsq[i] += float(s["mem_sumsq"])
+            self.mem_count[i] += float(s["mem_count"])
+            ch = np.asarray(s["spike_channel"])
+            self.spike_channel_sum[i] = (
+                ch if self.spike_channel_sum[i] is None else self.spike_channel_sum[i] + ch
+            )
+            ever = np.asarray(s["spike_neuron_any"])
+            self.neuron_ever_spiked[i] = (
+                ever
+                if self.neuron_ever_spiked[i] is None
+                else (self.neuron_ever_spiked[i] | ever)
+            )
+            self.spike_rate_sum[i] += float(s["spike_rate"])
+        self.steps += 1
+
+    def report(self) -> Dict[str, Dict[str, object]]:
+        out = {}
+        for i, name in enumerate(self.unit_names):
+            if self.mem_count[i] == 0:
+                continue
+            mean = self.mem_sum[i] / self.mem_count[i]
+            var = max(0.0, self.mem_sumsq[i] / self.mem_count[i] - mean * mean)
+            ch_rate = (
+                self.spike_channel_sum[i] / max(1, self.steps)
+                if self.spike_channel_sum[i] is not None
+                else None
+            )
+            ever = self.neuron_ever_spiked[i]
+            out[name] = {
+                "mem_min": self.mem_min[i],
+                "mem_max": self.mem_max[i],
+                "mem_mean": mean,
+                "mem_std": float(np.sqrt(var)),
+                "spike_rate": self.spike_rate_sum[i] / max(1, self.steps),
+                "channel_spike_rate": ch_rate,
+                "dead_channels": int((ch_rate == 0).sum()) if ch_rate is not None else 0,
+                "dead_neurons": int((~ever).sum()) if ever is not None else 0,
+                "total_neurons": int(ever.size) if ever is not None else 0,
+            }
+        return out
+
+    def print_table(self):
+        rep = self.report()
+        print(f"{'unit':8s} {'mem_min':>9s} {'mem_max':>9s} {'mem_mean':>9s} "
+              f"{'mem_std':>8s} {'spk_rate':>8s} {'dead_ch':>7s} {'dead_n':>8s}")
+        for name, r in rep.items():
+            print(
+                f"{name:8s} {r['mem_min']:9.3f} {r['mem_max']:9.3f} "
+                f"{r['mem_mean']:9.4f} {r['mem_std']:8.4f} {r['spike_rate']:8.4f} "
+                f"{r['dead_channels']:7d} {r['dead_neurons']:8d}"
+            )
+
+
+def analyze_model(model, variables, stream, num_batches: int = 100,
+                  verbose: bool = True):
+    """Stream batches and profile voltage dynamics
+    (analyze_voltage_dynamics.py:244-361)."""
+    loader = stream.config["loader"]
+    B = int(loader.get("batch_size", 1))
+    H, W = loader["resolution"]
+    states = model.init_states(B, H, W)
+    profiler = VoltageProfiler(model.unit_names)
+
+    @jax.jit
+    def step(variables, voxel, cnt, states):
+        out, new_states = model.apply(variables, voxel, cnt, states, train=False)
+        return new_states
+
+    for _ in range(num_batches):
+        batch = stream.next_batch()
+        if batch["epoch_done"]:
+            break
+        if batch["new_seq"].any():
+            stream.new_seq = False
+            states = model.init_states(B, H, W)
+        states = step(
+            variables,
+            jnp.asarray(batch["event_voxel"]),
+            jnp.asarray(batch["event_cnt"]),
+            states,
+        )
+        profiler.update(states)
+
+    if verbose:
+        profiler.print_table()
+    return profiler
+
+
+def contrast_heatmap(
+    events: np.ndarray,
+    res: Tuple[int, int],
+    flow_range: Tuple[float, float] = (-1.0, 1.0),
+    steps: int = 21,
+    flow_scaling: float = 128,
+) -> np.ndarray:
+    """Brute-force contrast-maximization landscape (tools/demo_iwe.py:20-116):
+    for a grid of constant (fx, fy) flows, warp the events and measure image
+    contrast (variance of the IWE). Returns [steps, steps] contrast values;
+    the max should be at the true flow.
+    """
+    H, W = res
+    fxs = np.linspace(*flow_range, steps)
+    ev = jnp.asarray(events[None] if events.ndim == 2 else events)
+    heat = np.zeros((steps, steps), np.float32)
+    for i, fy in enumerate(fxs):
+        for j, fx in enumerate(fxs):
+            fm = jnp.zeros((1, H, W, 2), jnp.float32).at[..., 0].set(fx).at[..., 1].set(fy)
+            iwe = deblur_events(fm, ev, res, flow_scaling=flow_scaling, round_idx=False)
+            heat[i, j] = float(jnp.var(iwe))
+    return heat
+
+
+def activity_vs_window(model, variables, stream_factory, windows: Sequence[int],
+                       num_batches: int = 20) -> Dict[int, float]:
+    """Mean spike activity as a function of event-window size
+    (tools/compare_dynrange.py behavior)."""
+    out = {}
+    for w in windows:
+        stream = stream_factory(w)
+        loader = stream.config["loader"]
+        B = int(loader.get("batch_size", 1))
+        H, Wd = loader["resolution"]
+        states = model.init_states(B, H, Wd)
+        total, n = 0.0, 0
+        for _ in range(num_batches):
+            batch = stream.next_batch()
+            if batch["epoch_done"]:
+                break
+            if batch["new_seq"].any():
+                stream.new_seq = False
+                states = model.init_states(B, H, Wd)
+            out_, states = model.apply(
+                variables,
+                jnp.asarray(batch["event_voxel"]),
+                jnp.asarray(batch["event_cnt"]),
+                states,
+                log=True,
+            )
+            acts = [v for k, v in out_["activity"].items() if not k.startswith("0:")]
+            total += float(np.mean([float(a) for a in acts]))
+            n += 1
+        stream.close()
+        out[w] = total / max(1, n)
+    return out

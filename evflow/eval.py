@@ -61,6 +61,7 @@ def evaluate(
     config: Dict[str, Any],
     checkpoint: Optional[str] = None,
     variables: Optional[Dict[str, Any]] = None,
+    model=None,
     path_results: str = "results_inference",
     runid: str = "eval",
     debug: bool = False,
@@ -87,7 +88,8 @@ def evaluate(
             raise ValueError("AEE needs a window whose inverse is an integer")
 
     model_cfg = config["model"]
-    model = registry.build_model(model_cfg)
+    if model is None:
+        model = registry.build_model(model_cfg)
     loader = config["loader"]
     H, W = loader["resolution"]
     B = int(loader.get("batch_size", 1))

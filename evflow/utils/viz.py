@@ -1,0 +1,282 @@
+"""Visualization: flow color wheel, event images, error heatmaps, vector
+fields, per-sequence image/video storage, activity plots.
+
+Behavioral reference: utils/visualization.py (Visualization.update :43-220,
+.store :222-570, error_to_image :617-645, flow_to_image :648-709,
+flow_to_vector :711-1022, events_to_image :1036-1084, vis_activity
+:1087-1126).
+
+Everything renders headless to uint8 RGB numpy arrays; cv2 is used for
+storage (PNG / mp4) and the optional live windows, guarded so the module
+works without a display.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+__all__ = [
+    "flow_to_image",
+    "events_to_image",
+    "error_to_image",
+    "flow_to_vector",
+    "Visualization",
+    "vis_activity",
+]
+
+
+def flow_to_image(flow: np.ndarray, percentile: float = 99.0, gamma: float = 0.6) -> np.ndarray:
+    """HSV color-wheel flow rendering (visualization.py:648-709).
+
+    flow: [H, W, 2] (x, y). Hue = direction, value = magnitude normalized by
+    a high percentile with a gamma boost for visibility.
+    """
+    fx, fy = flow[..., 0], flow[..., 1]
+    mag = np.sqrt(fx**2 + fy**2)
+    ang = np.arctan2(fy, fx)  # [-pi, pi]
+    hue = ((ang + np.pi) / (2 * np.pi) * 179).astype(np.uint8)
+    p = np.percentile(mag, percentile)
+    val = np.clip(mag / (p + 1e-9), 0, 1) ** gamma
+    hsv = np.stack(
+        [hue, np.full_like(hue, 255), (val * 255).astype(np.uint8)], axis=-1
+    )
+    if cv2 is not None:
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    # minimal fallback conversion
+    import colorsys
+
+    out = np.zeros(hsv.shape, np.uint8)
+    for i in range(hsv.shape[0]):
+        for j in range(hsv.shape[1]):
+            r, g, b = colorsys.hsv_to_rgb(hsv[i, j, 0] / 179, 1.0, hsv[i, j, 2] / 255)
+            out[i, j] = (int(r * 255), int(g * 255), int(b * 255))
+    return out
+
+
+def events_to_image(event_cnt: np.ndarray) -> np.ndarray:
+    """Green(+)/red(−) event count rendering (visualization.py:1036-1084).
+
+    event_cnt: [H, W, 2] per-polarity counts."""
+    pos, neg = event_cnt[..., 0], event_cnt[..., 1]
+    img = np.zeros((*pos.shape, 3), np.uint8)
+    scale = max(1.0, np.percentile(pos + neg, 99))
+    img[..., 1] = np.clip(pos / scale * 255, 0, 255).astype(np.uint8)
+    img[..., 0] = np.clip(neg / scale * 255, 0, 255).astype(np.uint8)
+    return img
+
+
+def error_to_image(error: np.ndarray, mask: Optional[np.ndarray] = None,
+                   rad_to_deg: bool = False) -> np.ndarray:
+    """Red error heatmap (visualization.py:617-645)."""
+    e = error.astype(np.float32).copy()
+    if rad_to_deg:
+        e = np.degrees(e) / 180.0
+    else:
+        p = np.percentile(e, 95)
+        e = e / (p + 1e-9)
+    e = np.clip(e, 0, 1)
+    if mask is not None:
+        e = e * mask
+    img = np.zeros((*e.shape, 3), np.uint8)
+    img[..., 0] = (e * 255).astype(np.uint8)
+    return img
+
+
+def flow_to_vector(
+    flow: np.ndarray,
+    step: int = 8,
+    scale: float = 1.0,
+    gtflow: Optional[np.ndarray] = None,
+    mode: str = "grid",
+) -> np.ndarray:
+    """Arrow-field rendering (visualization.py:711-1022, grid and center
+    modes). Predicted arrows green; optional GT overlay in blue."""
+    H, W = flow.shape[:2]
+    img = np.zeros((H, W, 3), np.uint8)
+    if cv2 is None:
+        return img
+
+    def draw(f, color):
+        if mode == "center":
+            ys, xs = [H // 2], [W // 2]
+            mean = f.reshape(-1, 2).mean(axis=0)
+            vecs = [mean]
+            for y, x, v in zip(ys, xs, vecs):
+                cv2.arrowedLine(
+                    img, (x, y),
+                    (int(x + v[0] * scale * 10), int(y + v[1] * scale * 10)),
+                    color, 1, tipLength=0.3,
+                )
+            return
+        for y in range(step // 2, H, step):
+            for x in range(step // 2, W, step):
+                v = f[y, x]
+                cv2.arrowedLine(
+                    img, (x, y),
+                    (int(x + v[0] * scale), int(y + v[1] * scale)),
+                    color, 1, tipLength=0.3,
+                )
+
+    draw(flow, (0, 255, 0))
+    if gtflow is not None:
+        draw(gtflow, (255, 128, 0))
+    return img
+
+
+class Visualization:
+    """Store (and optionally display) per-window visual artifacts.
+
+    Mirrors the reference's directory layout: per-sequence subfolders
+    ``events/ flow/ gtflow/ masked_flow/ iwe/ error/ stitched/`` holding
+    numbered PNGs, or mp4 writers in video mode; ``store_interval``
+    throttles by event timestamp (visualization.py:222-570)."""
+
+    KINDS = ("events", "flow", "gtflow", "masked_flow", "iwe", "error", "stitched")
+
+    def __init__(self, config: Dict, eval_id: int = -1, path_results: Optional[str] = None,
+                 vis_type: str = "gradients"):
+        vis = config.get("vis", {})
+        self.px = int(vis.get("px", 400))
+        self.store_type = vis.get("store_type", "image")
+        self.store_interval = float(vis.get("store_interval", 0.0))
+        self.enabled_live = bool(vis.get("enabled", False))
+        self.vis_type = vis_type
+        self.path = None
+        if path_results is not None:
+            self.path = os.path.join(path_results, f"eval_{eval_id}")
+        self.frame_idx: Dict[str, int] = {}
+        self.writers: Dict[str, object] = {}
+        self.last_store_ts: Dict[str, float] = {}
+
+    def _dir(self, sequence: str, kind: str) -> str:
+        d = os.path.join(self.path, sequence, kind)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _write(self, sequence: str, kind: str, img: np.ndarray):
+        if cv2 is None or self.path is None:
+            return
+        key = f"{sequence}/{kind}"
+        idx = self.frame_idx.get(key, 0)
+        bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        if self.store_type == "video":
+            if key not in self.writers:
+                path = os.path.join(self._dir(sequence, kind), f"{kind}.mp4")
+                self.writers[key] = cv2.VideoWriter(
+                    path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                    (img.shape[1], img.shape[0]),
+                )
+            self.writers[key].write(bgr)
+        else:
+            cv2.imwrite(os.path.join(self._dir(sequence, kind), f"{idx:06d}.png"), bgr)
+        self.frame_idx[key] = idx + 1
+
+    def store(
+        self,
+        inputs: Dict[str, np.ndarray],
+        flow: np.ndarray,
+        iwe: Optional[np.ndarray],
+        sequence: str,
+        events_window=None,
+        masked_flow=None,
+        iwe_window=None,
+        ts: float = 0.0,
+        error_map: Optional[np.ndarray] = None,
+    ):
+        """Store one window's renderings (eval_flow.py:324-336 call shape).
+
+        Arrays are NHWC batch-1 or already [H, W, C]."""
+        if self.path is None:
+            return
+        if self.store_interval > 0.0:
+            last = self.last_store_ts.get(sequence, -1e18)
+            if ts - last < self.store_interval:
+                return
+            self.last_store_ts[sequence] = ts
+
+        def first(x):
+            x = np.asarray(x)
+            return x[0] if x.ndim == 4 else x
+
+        panels = {}
+        panels["events"] = events_to_image(first(inputs["event_cnt"]))
+        panels["flow"] = flow_to_image(first(flow))
+        if "gtflow" in inputs and inputs["gtflow"] is not None:
+            panels["gtflow"] = flow_to_image(first(inputs["gtflow"]))
+        if masked_flow is not None:
+            panels["masked_flow"] = flow_to_image(first(masked_flow))
+        if iwe is not None:
+            panels["iwe"] = events_to_image(first(iwe))
+        if error_map is not None:
+            e = np.asarray(error_map)
+            panels["error"] = error_to_image(e[0] if e.ndim == 3 else e)
+
+        for kind, img in panels.items():
+            self._write(sequence, kind, img)
+
+        # labeled 2x2 stitched panel (visualization.py labeled stitch)
+        keys = [k for k in ("events", "flow", "gtflow", "iwe") if k in panels]
+        if len(keys) >= 2 and cv2 is not None:
+            h = max(panels[k].shape[0] for k in keys)
+            w = max(panels[k].shape[1] for k in keys)
+            cells = []
+            for k in keys[:4]:
+                img = cv2.resize(panels[k], (w, h))
+                cv2.putText(img, k, (4, 14), cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                            (255, 255, 255), 1)
+                cells.append(img)
+            while len(cells) < 4:
+                cells.append(np.zeros((h, w, 3), np.uint8))
+            stitched = np.vstack([np.hstack(cells[:2]), np.hstack(cells[2:])])
+            self._write(sequence, "stitched", stitched)
+
+    def update(self, inputs, flow, iwe=None, *args, **kwargs):
+        """Live windows (visualization.py:43-220); no-op without a display."""
+        if not self.enabled_live or cv2 is None or not os.environ.get("DISPLAY"):
+            return
+        img = flow_to_image(np.asarray(flow)[0] if np.asarray(flow).ndim == 4 else flow)
+        cv2.imshow("flow", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        cv2.waitKey(1)
+
+    def close_videos(self):
+        for w in self.writers.values():
+            try:
+                w.release()
+            except Exception:
+                pass
+        self.writers = {}
+
+
+def vis_activity(activity: Dict[str, float], activity_log: Optional[Dict[str, list]],
+                 save_path: Optional[str] = None):
+    """Accumulate + (optionally) plot per-layer nonzero-activity traces
+    (visualization.py:1087-1126). Returns the updated log."""
+    if activity is None:
+        return activity_log
+    if activity_log is None:
+        activity_log = {k: [] for k in activity}
+    for k, v in activity.items():
+        activity_log.setdefault(k, []).append(float(v))
+    if save_path is not None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 5))
+        for k, vals in activity_log.items():
+            ax.plot(vals, label=k)
+        ax.set_xlabel("window")
+        ax.set_ylabel("fraction nonzero")
+        ax.legend(fontsize=7)
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return activity_log

@@ -1,0 +1,68 @@
+"""Export a trained model to a deployable StableHLO artifact + golden data.
+
+CLI equivalent of the reference Model_export.py / Model_export_RealQuant.py /
+LIF_layer_export.py / ConvLIF_layer_export.py (the ONNX + custom-C++-operator
+pipeline collapses into jax.export on TPU).
+"""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("checkpoint", nargs="?", default=None,
+                        help="checkpoint path / reference .pth (omit for random init)")
+    parser.add_argument("--config", default="configs/eval_MVSEC.yml")
+    parser.add_argument("--out", default="exported_models")
+    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--width", type=int, default=256)
+    parser.add_argument("--what", default="model",
+                        choices=["model", "lif_layer", "conv_lif_layer"])
+    args = parser.parse_args()
+
+    from evflow import export as E
+
+    if args.what == "lif_layer":
+        print(E.export_lif_layer(args.out))
+        return
+    if args.what == "conv_lif_layer":
+        print(E.export_conv_lif_layer(args.out))
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from evflow.config import load_config
+    from evflow.registry import build_model
+
+    config = load_config(args.config)
+    model = build_model(config["model"])
+    H, W = args.height, args.width
+    states = model.init_states(1, H, W)
+    variables = model.init(jax.random.PRNGKey(0), None, jnp.zeros((1, H, W, 2)), states)
+    if args.checkpoint:
+        if args.checkpoint.endswith((".pth", ".pt")):
+            from evflow.utils.checkpoint import import_torch_checkpoint
+
+            variables, leftover = import_torch_checkpoint(args.checkpoint, variables)
+            if leftover:
+                print(f"note: {len(leftover)} unmatched torch keys")
+        else:
+            from evflow.utils.checkpoint import load_checkpoint
+
+            restored = load_checkpoint(
+                args.checkpoint,
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {}),
+                 "opt_state": None, "epoch": 0, "loss": 0.0, "loss_variance": 0.0},
+            )
+            variables = {"params": restored["params"],
+                         "batch_stats": restored["batch_stats"]}
+
+    out = E.export_model(model, variables, args.out, height=H, width=W)
+    for k, v in out.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

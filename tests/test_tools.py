@@ -1,0 +1,148 @@
+"""Analysis tools + visualization smoke tests (SURVEY §2 L7 / §5.1)."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evflow.analysis import VoltageProfiler, analyze_model, contrast_heatmap
+from evflow.utils import viz
+
+
+def test_contrast_heatmap_peaks_at_true_flow():
+    """demo_iwe sanity: contrast maximal at the true flow."""
+    rng = np.random.default_rng(0)
+    N, H, W = 400, 32, 32
+    v = 4.0
+    t = rng.uniform(0, 1, N).astype(np.float32)
+    y = rng.integers(4, 28, N).astype(np.float32)
+    x = np.clip(rng.integers(2, 24, N) + v * t, 0, W - 1).astype(np.float32)
+    events = np.stack([t, y, x, np.ones_like(t)], -1)
+    heat = contrast_heatmap(events, (H, W), flow_range=(-0.5, 0.5), steps=5,
+                            flow_scaling=8.0)
+    # true flow = +4 px / (scaling 8) = 0.5 -> rightmost column, middle row
+    i, j = np.unravel_index(np.argmax(heat), heat.shape)
+    assert j == 4 and i == 2
+
+
+def test_voltage_profiler(rng):
+    from evflow.ops.lif import LIFState
+
+    prof = VoltageProfiler(["head", "G1"])
+    for _ in range(3):
+        states = tuple(
+            LIFState(jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32)),
+                     jnp.asarray((rng.uniform(size=(1, 4, 4, 2)) > 0.5).astype(np.float32)))
+            for _ in range(2)
+        )
+        prof.update(states)
+    rep = prof.report()
+    assert set(rep) == {"head", "G1"}
+    r = rep["head"]
+    assert r["mem_min"] <= r["mem_mean"] <= r["mem_max"]
+    assert 0 <= r["spike_rate"] <= 1
+    assert r["total_neurons"] == 32
+    prof.print_table()
+
+
+def test_analyze_model(tmp_path):
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.data.synthetic import make_dataset
+    from evflow.registry import build_model
+
+    root = str(tmp_path / "d")
+    make_dataset(root, num_sequences=1, resolution=(32, 32), events_per_sec=20000,
+                 duration=0.3, flows=[(8.0, 0.0)])
+    cfg = {
+        "data": {"path": root, "mode": "events", "window": 500},
+        "loader": {"resolution": [32, 32], "std_resolution": [32, 32],
+                   "batch_size": 1, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False}, "vis": {"bars": False},
+    }
+    model = build_model({"name": "LIFFireNet_short", "num_bins": 2,
+                         "base_num_channels": 8, "kernel_size": 3, "encoding": "cnt",
+                         "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}})
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((1, 32, 32, 2)), states)
+    stream = H5EventStream(cfg, 2)
+    prof = analyze_model(model, v, stream, num_batches=3, verbose=False)
+    stream.close()
+    assert prof.steps == 3
+
+
+def test_flow_to_image():
+    flow = np.zeros((16, 16, 2), np.float32)
+    flow[:8, :, 0] = 1.0
+    flow[8:, :, 0] = -1.0
+    img = viz.flow_to_image(flow)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # opposite directions get different hues
+    assert not np.array_equal(img[0, 0], img[15, 0])
+
+
+def test_events_to_image_colors():
+    cnt = np.zeros((8, 8, 2), np.float32)
+    cnt[2, 2, 0] = 5  # positive -> green
+    cnt[5, 5, 1] = 5  # negative -> red
+    img = viz.events_to_image(cnt)
+    assert img[2, 2, 1] > 0 and img[2, 2, 0] == 0
+    assert img[5, 5, 0] > 0 and img[5, 5, 1] == 0
+
+
+def test_error_to_image():
+    err = np.random.default_rng(0).uniform(0, 2, (8, 8)).astype(np.float32)
+    img = viz.error_to_image(err)
+    assert img.shape == (8, 8, 3)
+    assert img[..., 1].max() == 0  # red channel only
+
+
+def test_visualization_store(tmp_path):
+    cfg = {"vis": {"store_type": "image", "store_interval": 0.0}}
+    v = viz.Visualization(cfg, eval_id=0, path_results=str(tmp_path))
+    inputs = {"event_cnt": np.random.rand(1, 16, 16, 2).astype(np.float32),
+              "gtflow": np.random.randn(1, 16, 16, 2).astype(np.float32)}
+    flow = np.random.randn(1, 16, 16, 2).astype(np.float32)
+    iwe = np.random.rand(1, 16, 16, 2).astype(np.float32)
+    v.store(inputs, flow, iwe, "seq_a", ts=0.1)
+    v.store(inputs, flow, iwe, "seq_a", ts=0.2)
+    base = os.path.join(str(tmp_path), "eval_0", "seq_a")
+    for kind in ("events", "flow", "gtflow", "iwe", "stitched"):
+        files = os.listdir(os.path.join(base, kind))
+        assert len(files) == 2, kind
+    v.close_videos()
+
+
+def test_visualization_store_interval_throttling(tmp_path):
+    cfg = {"vis": {"store_type": "image", "store_interval": 1.0}}
+    v = viz.Visualization(cfg, eval_id=0, path_results=str(tmp_path))
+    inputs = {"event_cnt": np.random.rand(1, 8, 8, 2).astype(np.float32)}
+    flow = np.random.randn(1, 8, 8, 2).astype(np.float32)
+    for ts in (0.0, 0.5, 1.2, 1.3):
+        v.store(inputs, flow, None, "s", ts=ts)
+    files = os.listdir(os.path.join(str(tmp_path), "eval_0", "s", "flow"))
+    assert len(files) == 2  # ts 0.0 and 1.2 only
+
+
+def test_vis_activity_accumulates(tmp_path):
+    log = viz.vis_activity({"1:head": 0.5}, None)
+    log = viz.vis_activity({"1:head": 0.7}, log, save_path=str(tmp_path / "act.png"))
+    assert log["1:head"] == [0.5, 0.7]
+    assert os.path.exists(str(tmp_path / "act.png"))
+
+
+@pytest.mark.parametrize("script,args", [
+    ("tools/compare_inits.py", []),
+    ("plot_evaluation_comparison.py", []),
+])
+def test_cli_tools_run(script, args, tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    out = subprocess.run(
+        [sys.executable, script, "--out", str(tmp_path / "o.png")] + args,
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(str(tmp_path / "o.png"))
