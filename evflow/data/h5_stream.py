@@ -151,6 +151,16 @@ class H5EventStream:
             self._open_slot(b, self.files[b % len(self.files)])
             self._resample_aug(b)
 
+        # native C++ encoder (native/evflow_host.cpp) with numpy fallback
+        self._native = None
+        if bool(loader.get("native_encoder", True)):
+            try:
+                from evflow.data.native import NativeEncoder
+
+                self._native = NativeEncoder()
+            except Exception:
+                self._native = None
+
     # -- slot management ---------------------------------------------------
 
     def _open_slot(self, b: int, path: str):
@@ -363,14 +373,30 @@ class H5EventStream:
             if aug.get("Polarity"):
                 ps = -ps
 
-            # encodings
-            event_cnt = enc.np_events_to_channels(xs, ys, ps, (H, W))
-            event_mask = enc.np_events_to_mask(xs, ys, ps, (H, W))
-            event_voxel = enc.np_events_to_voxel(
-                xs, ys, tsn, ps, self.num_bins, (H, W), self.round_encoding
-            )
+            # encodings (native C++ kernels when built, numpy otherwise)
+            if self._native is not None:
+                event_cnt = self._native.count_encoding(xs, ys, ps, (H, W))
+                event_mask = self._native.mask_encoding(xs, ys, ps, (H, W))
+                event_voxel = self._native.voxel_encoding(
+                    xs, ys, tsn, ps, self.num_bins, (H, W), self.round_encoding
+                )
+                pol_mask = (
+                    self._native.polarity_mask(ps)
+                    if ps.size
+                    else np.zeros((0, 2), np.float32)
+                )
+            else:
+                event_cnt = enc.np_events_to_channels(xs, ys, ps, (H, W))
+                event_mask = enc.np_events_to_mask(xs, ys, ps, (H, W))
+                event_voxel = enc.np_events_to_voxel(
+                    xs, ys, tsn, ps, self.num_bins, (H, W), self.round_encoding
+                )
+                pol_mask = (
+                    enc.np_polarity_mask(ps)
+                    if ps.size
+                    else np.zeros((0, 2), np.float32)
+                )
             event_list = np.stack([tsn, ys, xs, ps], axis=-1) if xs.size else np.zeros((0, 4), np.float32)
-            pol_mask = enc.np_polarity_mask(ps) if ps.size else np.zeros((0, 2), np.float32)
 
             # hot pixel removal (h5.py:327-333)
             if self.hot_enabled:

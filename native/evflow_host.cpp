@@ -1,0 +1,134 @@
+// evflow native host runtime: event-stream encoding kernels + reference LIF.
+//
+// Role: the hot host-side data path. The reference computes all event
+// encodings with torch scatter ops on host inside the dataloader
+// (dataloader/encodings.py:30-103); here the same kernels are plain C++
+// (OpenMP across batch slots / bins) feeding the device input pipeline, plus
+// a scalar reference implementation of the deployment LIF kernel
+// (ONNX_LIF_operator/src/lif_op.cpp:8-56 semantics) used to cross-check
+// exported StableHLO artifacts without JAX on the deployment host.
+//
+// Plain C ABI (no pybind11 in this image); see evflow/data/native.py for the
+// ctypes bindings. Build: `make -C native` (g++ -O3 -march=native -fopenmp).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Per-polarity count image: out[H, W, 2], channel 0 = +, 1 = -.
+// Matches dataloader/encodings.py:70-85 with ps in {-1, +1}.
+void ev_count_encoding(const float* xs, const float* ys, const float* ps,
+                       int64_t n, int64_t H, int64_t W, float* out /*H*W*2*/) {
+  std::memset(out, 0, sizeof(float) * H * W * 2);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t x = (int64_t)xs[i];
+    int64_t y = (int64_t)ys[i];
+    if (x < 0 || x >= W || y < 0 || y >= H) continue;
+    float p = ps[i];
+    out[(y * W + x) * 2 + (p > 0.f ? 0 : 1)] += p * p;  // ps^2 == |count|
+  }
+}
+
+// Temporal-bilinear voxel grid: out[H, W, B]; ts normalized to [0, 1].
+// Matches dataloader/encodings.py:48-67 (weight max(0, 1-|ts*(B-1)-b|)).
+void ev_voxel_encoding(const float* xs, const float* ys, const float* ts,
+                       const float* ps, int64_t n, int64_t bins, int64_t H,
+                       int64_t W, int round_ts, float* out /*H*W*bins*/) {
+  std::memset(out, 0, sizeof(float) * H * W * bins);
+  const float scale = (float)(bins - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t x = (int64_t)xs[i];
+    int64_t y = (int64_t)ys[i];
+    if (x < 0 || x >= W || y < 0 || y >= H) continue;
+    float tb = ts[i] * scale;
+    if (round_ts) tb = std::nearbyint(tb);
+    float* px = out + (y * W + x) * bins;
+    // at most two adjacent bins get nonzero weight
+    int64_t b0 = (int64_t)std::floor(tb);
+    for (int64_t b = std::max<int64_t>(0, b0); b <= std::min(bins - 1, b0 + 1); ++b) {
+      float w = 1.f - std::fabs(tb - (float)b);
+      if (w > 0.f) px[b] += ps[i] * w;
+    }
+  }
+}
+
+// Binary event-presence mask: out[H, W] in {0, 1}
+// (dataloader/base.py:172-184, accumulate=False last-write).
+void ev_mask_encoding(const float* xs, const float* ys, const float* ps,
+                      int64_t n, int64_t H, int64_t W, float* out /*H*W*/) {
+  std::memset(out, 0, sizeof(float) * H * W);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t x = (int64_t)xs[i];
+    int64_t y = (int64_t)ys[i];
+    if (x < 0 || x >= W || y < 0 || y >= H) continue;
+    out[y * W + x] = std::fabs(ps[i]) > 0.f ? 1.f : 0.f;
+  }
+}
+
+// Accumulating scatter image (dataloader/encodings.py:30-45).
+void ev_image(const float* xs, const float* ys, const float* vals, int64_t n,
+              int64_t H, int64_t W, float* out /*H*W*/) {
+  std::memset(out, 0, sizeof(float) * H * W);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t x = (int64_t)xs[i];
+    int64_t y = (int64_t)ys[i];
+    if (x < 0 || x >= W || y < 0 || y >= H) continue;
+    out[y * W + x] += vals[i];
+  }
+}
+
+// Polarity mask [N, 2] (dataloader/base.py:223-235).
+void ev_polarity_mask(const float* ps, int64_t n, float* out /*N*2*/) {
+  for (int64_t i = 0; i < n; ++i) {
+    float p = ps[i];
+    out[i * 2 + 0] = p > 0.f ? p : 0.f;
+    out[i * 2 + 1] = p < 0.f ? -p : 0.f;
+  }
+}
+
+// Deployment LIF reference kernel, NHWC with per-channel beta/theta.
+// Semantics of ONNX_LIF_operator/src/lif_op.cpp:41-49:
+//   u = beta*mem + x; spike = (u >= theta); mem' = spike ? 0 : u.
+void lif_forward(const float* x, const float* mem, const float* beta,
+                 const float* theta, int64_t n_px, int64_t C, float* spike,
+                 float* mem_out) {
+  for (int64_t i = 0; i < n_px; ++i) {
+    const float* xi = x + i * C;
+    const float* mi = mem + i * C;
+    float* si = spike + i * C;
+    float* oi = mem_out + i * C;
+    for (int64_t c = 0; c < C; ++c) {
+      float u = beta[c] * mi[c] + xi[c];
+      if (u >= theta[c]) {
+        si[c] = 1.f;
+        oi[c] = 0.f;
+      } else {
+        si[c] = 0.f;
+        oi[c] = u;
+      }
+    }
+  }
+}
+
+// Normalize timestamps to [0, 1] in place and return (last-first) duration
+// (dataloader/base.py:89-99).
+double ev_normalize_ts(double* ts, int64_t n) {
+  if (n == 0) return 0.0;
+  double lo = ts[0], hi = ts[0];
+  for (int64_t i = 1; i < n; ++i) {
+    lo = std::min(lo, ts[i]);
+    hi = std::max(hi, ts[i]);
+  }
+  double range = hi - lo;
+  if (range > 0) {
+    for (int64_t i = 0; i < n; ++i) ts[i] = (ts[i] - lo) / range;
+  } else {
+    for (int64_t i = 0; i < n; ++i) ts[i] = 0.0;
+  }
+  return range;
+}
+
+}  // extern "C"
