@@ -33,13 +33,15 @@ from evflow.utils.tracker import create_model_dir, log_config, log_results
 __all__ = ["evaluate", "make_eval_step"]
 
 
-def make_eval_step(model):
-    """Jitted eval forward: (variables, voxel, cnt, states) -> (flow list, states)."""
+def make_eval_step(model, log: bool = False):
+    """Jitted eval forward: (variables, voxel, cnt, states) ->
+    (flow list, states, activity)."""
 
     @jax.jit
     def step(variables, voxel, cnt, states):
-        out, new_states = model.apply(variables, voxel, cnt, states, train=False)
-        return tuple(out["flow"]), new_states
+        out, new_states = model.apply(variables, voxel, cnt, states, train=False,
+                                      log=log)
+        return tuple(out["flow"]), new_states, out["activity"]
 
     return step
 
@@ -137,9 +139,19 @@ def evaluate(
     else:
         eval_id = -1
 
+    vis_cfg = config.get("vis", {})
+    log_activity = bool(vis_cfg.get("activity", False))
+    store_vis = bool(vis_cfg.get("store", False)) and not debug
+    vis = None
+    if store_vis:
+        from evflow.utils.viz import Visualization
+
+        vis = Visualization(config, eval_id=eval_id, path_results=path_results)
+    activity_log = None
+
     data = H5EventStream(config, model_cfg.get("num_bins", 2),
                          model_cfg.get("round_encoding", False))
-    step_fn = make_eval_step(model)
+    step_fn = make_eval_step(model, log=log_activity)
 
     idx_AEE = 0
     val_results: Dict[str, Dict[str, Dict[str, float]]] = {}
@@ -152,6 +164,7 @@ def evaluate(
             break
         if batch["new_seq"].any():
             data.new_seq = False
+            activity_log = None
             states = _reset_slot_states(
                 states, model, batch["new_seq"], B, H, W
             )
@@ -160,11 +173,17 @@ def evaluate(
 
         voxel = jnp.asarray(batch["event_voxel"])
         cnt = jnp.asarray(batch["event_cnt"])
-        flows, states = step_fn(variables, voxel, cnt, states)
+        flows, states, activity = step_fn(variables, voxel, cnt, states)
         flows = list(flows)
+        if log_activity and activity is not None:
+            from evflow.utils.viz import vis_activity
+
+            activity_log = vis_activity(
+                {k: float(v) for k, v in activity.items()}, activity_log
+            )
 
         iwe = None
-        if collect_vis:
+        if collect_vis or vis is not None:
             iwe = compute_pol_iwe(
                 flows[-1],
                 jnp.asarray(batch["event_list"]),
@@ -192,6 +211,17 @@ def evaluate(
                     "event_cnt": batch["event_cnt"],
                     "gtflow": batch.get("gtflow"),
                 }
+            )
+        if vis is not None:
+            sequence = os.path.splitext(
+                os.path.basename(data.files[data.batch_idx[0] % len(data.files)])
+            )[0]
+            vis.store(
+                batch,
+                np.asarray(flows[-1]),
+                np.asarray(iwe) if iwe is not None else None,
+                sequence,
+                ts=data.last_proc_timestamp,
             )
 
         if names:
@@ -236,6 +266,13 @@ def evaluate(
             break
 
     data.close()
+    if vis is not None:
+        vis.close_videos()
+    if log_activity and activity_log and not debug:
+        from evflow.utils.viz import vis_activity
+
+        vis_activity({}, activity_log,
+                     save_path=os.path.join(path_results, "activity.png"))
 
     results: Dict[str, Dict[str, str]] = {}
     for mname in names:

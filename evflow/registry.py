@@ -67,6 +67,16 @@ def _firenet_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
         import jax.numpy as jnp
 
         kwargs["compute_dtype"] = jnp.bfloat16
+
+    # QAT wiring (train_flow_quant.py modes): quantization.enabled without
+    # PTQ builds the model with fake-quant hooks in the training graph
+    q = cfg.get("quantization") or {}
+    if q.get("enabled") and not q.get("PTQ"):
+        from evflow.quant.fake_quant import dynamic_conv_quant, state_quant_fn
+
+        kwargs["conv_fake_quant"] = dynamic_conv_quant()
+        if not q.get("Conv_only"):
+            kwargs["state_quant"] = state_quant_fn()
     return kwargs
 
 

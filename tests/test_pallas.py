@@ -1,0 +1,137 @@
+"""Pallas fused conv+LIF kernel: parity with the XLA path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from evflow.models.fused import FusedFireNet
+from evflow.ops.lif import leaky_step
+from evflow.ops.pallas.conv_lif import fused_conv_lif
+from evflow.registry import build_model
+
+
+def xla_ref(x, mem, w, bias, beta, theta, prev=None, w_rec=None):
+    ff = jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias
+    if prev is not None:
+        ff = ff + jax.lax.conv_general_dilated(
+            jnp.asarray(prev, jnp.bfloat16), jnp.asarray(w_rec, jnp.bfloat16),
+            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+    return leaky_step(ff, jnp.asarray(mem), jnp.asarray(beta), jnp.asarray(theta))
+
+
+@pytest.fixture
+def layer(rng):
+    B, H, W, C = 2, 16, 16, 8
+    return dict(
+        x=rng.normal(size=(B, H, W, C)).astype(np.float32),
+        mem=rng.normal(size=(B, H, W, C)).astype(np.float32),
+        w=rng.normal(0, 0.1, (3, 3, C, C)).astype(np.float32),
+        w_rec=rng.normal(0, 0.1, (3, 3, C, C)).astype(np.float32),
+        bias=rng.normal(size=C).astype(np.float32),
+        beta=rng.uniform(0, 1, C).astype(np.float32),
+        theta=rng.uniform(0.1, 0.8, C).astype(np.float32),
+        prev=(rng.uniform(size=(B, H, W, C)) > 0.5).astype(np.float32),
+    )
+
+
+def test_feedforward_matches_xla(layer):
+    with pltpu.force_tpu_interpret_mode():
+        spk, mem2 = fused_conv_lif(
+            jnp.asarray(layer["x"]), jnp.asarray(layer["mem"]), jnp.asarray(layer["w"]),
+            jnp.asarray(layer["bias"]), jnp.asarray(layer["beta"]),
+            jnp.asarray(layer["theta"]), tile_rows=8,
+        )
+    rspk, rmem = xla_ref(layer["x"], layer["mem"], layer["w"], layer["bias"],
+                         layer["beta"], layer["theta"])
+    np.testing.assert_array_equal(np.asarray(spk), np.asarray(rspk))
+    np.testing.assert_allclose(np.asarray(mem2), np.asarray(rmem), atol=1e-5)
+
+
+def test_recurrent_matches_xla(layer):
+    with pltpu.force_tpu_interpret_mode():
+        spk, mem2 = fused_conv_lif(
+            jnp.asarray(layer["x"]), jnp.asarray(layer["mem"]), jnp.asarray(layer["w"]),
+            jnp.asarray(layer["bias"]), jnp.asarray(layer["beta"]),
+            jnp.asarray(layer["theta"]),
+            prev_spk=jnp.asarray(layer["prev"]), w_rec=jnp.asarray(layer["w_rec"]),
+            tile_rows=8,
+        )
+    rspk, rmem = xla_ref(layer["x"], layer["mem"], layer["w"], layer["bias"],
+                         layer["beta"], layer["theta"], layer["prev"], layer["w_rec"])
+    np.testing.assert_array_equal(np.asarray(spk), np.asarray(rspk))
+    np.testing.assert_allclose(np.asarray(mem2), np.asarray(rmem), atol=1e-5)
+
+
+def test_soft_reset_variant(layer):
+    with pltpu.force_tpu_interpret_mode():
+        spk, mem2 = fused_conv_lif(
+            jnp.asarray(layer["x"]), jnp.asarray(layer["mem"]), jnp.asarray(layer["w"]),
+            jnp.asarray(layer["bias"]), jnp.asarray(layer["beta"]),
+            jnp.asarray(layer["theta"]), hard_reset=False, tile_rows=8,
+        )
+    ff = jax.lax.conv_general_dilated(
+        jnp.asarray(layer["x"], jnp.bfloat16), jnp.asarray(layer["w"], jnp.bfloat16),
+        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + layer["bias"]
+    rspk, rmem = leaky_step(ff, jnp.asarray(layer["mem"]), jnp.asarray(layer["beta"]),
+                            jnp.asarray(layer["theta"]), reset="subtract")
+    np.testing.assert_array_equal(np.asarray(spk), np.asarray(rspk))
+    np.testing.assert_allclose(np.asarray(mem2), np.asarray(rmem), atol=1e-5)
+
+
+def test_fused_firenet_matches_flax_eval():
+    """Full fused model vs. the flax eval forward (bf16 conv tolerance)."""
+    cfg = {"name": "LIFFireNet", "num_bins": 2, "base_num_channels": 8,
+           "kernel_size": 3, "encoding": "cnt",
+           "compute_dtype": "bfloat16",
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    model = build_model(cfg)
+    B, H, W = 1, 16, 16
+    rng = np.random.default_rng(0)
+    cnt = rng.poisson(0.3, (B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+
+    out, flax_states = model.apply(v, None, jnp.asarray(cnt), states, train=False)
+    flax_flow = np.asarray(out["flow"][0])
+
+    fused = FusedFireNet.from_firenet(model, v, tile_rows=8)
+    fstates = fused.init_states(B, H, W)
+    with pltpu.force_tpu_interpret_mode():
+        fflow, fstates2 = fused.step(fused.params, jnp.asarray(cnt), fstates)
+
+    # binary spike decisions can flip at the threshold under different bf16
+    # accumulation orders; require near-perfect (not exact) agreement
+    diff = np.abs(np.asarray(fflow) - flax_flow)
+    assert (diff > 0.05).mean() < 0.01, diff.max()
+    for a, b in zip(fstates2, flax_states):
+        agree = (np.asarray(a.spk) == np.asarray(b.spk)).mean()
+        assert agree > 0.99, agree
+
+
+def test_fused_firenet_multi_step_state_threading():
+    cfg = {"name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": 8,
+           "kernel_size": 3, "encoding": "cnt",
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    model = build_model(cfg)
+    B, H, W = 1, 16, 16
+    rng = np.random.default_rng(1)
+    cnt = rng.poisson(0.3, (B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+    fused = FusedFireNet.from_firenet(model, v, tile_rows=8)
+    st = fused.init_states(B, H, W)
+    with pltpu.force_tpu_interpret_mode():
+        f1, st = fused.step(fused.params, jnp.asarray(cnt), st)
+        f2, st = fused.step(fused.params, jnp.asarray(cnt), st)
+    # recurrent state must influence the second step
+    assert not np.allclose(np.asarray(f1), np.asarray(f2))
