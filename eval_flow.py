@@ -19,6 +19,8 @@ def main():
     parser.add_argument("--path_results", default="results_inference/")
     parser.add_argument("--debug", action="store_true", help="don't save stuff")
     parser.add_argument("--max_windows", type=int, default=None)
+    parser.add_argument("--fused", action="store_true",
+                        help="use the Pallas fused conv+LIF inference path")
     args = parser.parse_args()
 
     from evflow.config import load_config, merge_configs
@@ -54,6 +56,7 @@ def main():
         runid=runid,
         debug=args.debug,
         max_windows=args.max_windows,
+        fused=args.fused,
     )
     print()
     for metric, per_file in results.items():

@@ -64,6 +64,7 @@ def evaluate(
     checkpoint: Optional[str] = None,
     variables: Optional[Dict[str, Any]] = None,
     model=None,
+    fused: bool = False,
     path_results: str = "results_inference",
     runid: str = "eval",
     debug: bool = False,
@@ -151,7 +152,26 @@ def evaluate(
 
     data = H5EventStream(config, model_cfg.get("num_bins", 2),
                          model_cfg.get("round_encoding", False))
-    step_fn = make_eval_step(model, log=log_activity)
+    if fused:
+        # Pallas fused inference path (evflow/models/fused.py); one flow
+        # scale, no activity logging
+        from evflow.models.fused import FusedFireNet
+
+        if log_activity:
+            raise ValueError("fused backend does not support activity logging")
+        fused_net = FusedFireNet.from_firenet(model, variables)
+        states = fused_net.init_states(B, H, W)
+        fparams = fused_net.params
+
+        @jax.jit
+        def _fused_step(params, voxel, cnt, st):
+            x = voxel if model.encoding == "voxel" else cnt
+            flow, st2 = fused_net.step(params, x, st)
+            return (flow,), st2, None
+
+        step_fn = lambda variables, voxel, cnt, st: _fused_step(fparams, voxel, cnt, st)
+    else:
+        step_fn = make_eval_step(model, log=log_activity)
 
     idx_AEE = 0
     val_results: Dict[str, Dict[str, Dict[str, float]]] = {}

@@ -139,3 +139,30 @@ def test_fused_firenet_multi_step_state_threading():
         f2, st = fused.step(fused.params, jnp.asarray(cnt), st)
     # recurrent state must influence the second step
     assert not np.allclose(np.asarray(f1), np.asarray(f2))
+
+
+def test_fused_evaluate_protocol(tmp_path):
+    """evaluate(fused=True) runs the full AEE protocol on the Pallas path."""
+    from evflow.data.synthetic import make_dataset
+    from evflow.eval import evaluate
+
+    root = str(tmp_path / "d")
+    make_dataset(root, num_sequences=1, resolution=(32, 32), events_per_sec=20000,
+                 duration=0.4, flows=[(10.0, -5.0)])
+    cfg = {
+        "data": {"path": root, "mode": "gtflow_dt1", "window": 1},
+        "model": {"name": "LIFFireNet_short", "encoding": "cnt", "num_bins": 2,
+                  "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+                  "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}},
+        "loader": {"resolution": [32, 32], "std_resolution": [32, 32],
+                   "batch_size": 1, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False},
+        "vis": {"bars": False},
+        "metrics": {"name": ["AEE"], "flow_scaling": 32},
+        "loss": {},
+    }
+    with pltpu.force_tpu_interpret_mode():
+        results = evaluate(cfg, debug=True, max_windows=3, verbose=False, fused=True)
+    assert "AEE" in results
+    for v in results["AEE"].values():
+        assert np.isfinite(float(v))
