@@ -67,6 +67,82 @@ def _maybe_stop(x: jax.Array, learn: bool) -> jax.Array:
     return x if learn else jax.lax.stop_gradient(x)
 
 
+class ConvIm2col(nn.Module):
+    """SAME conv (stride 1) computed as an im2col matmul.
+
+    On v5e the XLA conv lowering reaches ~11 TFLOP/s at 32 channels while the
+    equivalent ``[B*H*W, k*k*Cin] @ [k*k*Cin, C]`` matmul is ~2x faster (see
+    BENCH_NOTES.md). Parameter name/shape match ``nn.Conv`` ("kernel",
+    HWIO), so checkpoints are interchangeable between implementations.
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, Cin = x.shape
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, Cin, self.features)
+        )
+        dtype = self.dtype or x.dtype
+        xk = x.astype(dtype)
+        p = k // 2
+        xp = jnp.pad(xk, ((0, 0), (p, p), (p, p), (0, 0)))
+        cols = jnp.concatenate(
+            [
+                xp[:, dy : dy + H, dx : dx + W, :]
+                for dy in range(k)
+                for dx in range(k)
+            ],
+            axis=-1,
+        )
+        y = (
+            cols.reshape(-1, k * k * Cin)
+            @ kernel.astype(dtype).reshape(k * k * Cin, self.features)
+        ).reshape(B, H, W, self.features)
+        if self.use_bias:
+            y = y + self.param("bias", self.bias_init, (self.features,)).astype(dtype)
+        return y
+
+
+def make_conv(
+    features: int,
+    kernel_size: int,
+    stride: int,
+    kernel_init,
+    dtype,
+    name: str,
+    conv_impl: str = "auto",
+):
+    """Conv factory: im2col matmul for stride-1 (TPU fast path), nn.Conv
+    otherwise or when ``conv_impl='lax'``."""
+    if conv_impl in ("auto", "im2col") and stride == 1:
+        return ConvIm2col(
+            features,
+            kernel_size,
+            use_bias=False,
+            kernel_init=kernel_init,
+            dtype=dtype,
+            name=name,
+        )
+    return nn.Conv(
+        features,
+        (kernel_size, kernel_size),
+        strides=stride,
+        padding="SAME",
+        use_bias=False,
+        kernel_init=kernel_init,
+        dtype=dtype,
+        name=name,
+    )
+
+
 class SNNConvLIF(nn.Module):
     """Feedforward conv + BN + snn.Leaky cell.
 
@@ -90,6 +166,7 @@ class SNNConvLIF(nn.Module):
     state_quant: Optional[Callable[[jax.Array], jax.Array]] = None
     conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
     dtype: Optional[jnp.dtype] = None
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -101,15 +178,14 @@ class SNNConvLIF(nn.Module):
         residual: jax.Array | float = 0.0,  # accepted but unused, like the reference
     ) -> Tuple[jax.Array, LIFState]:
         w_scale = math.sqrt(1.0 / self.input_size)
-        conv = nn.Conv(
+        conv = make_conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=self.stride,
-            padding="SAME",
-            use_bias=False,
-            kernel_init=uniform_init(w_scale),
-            dtype=self.dtype,
-            name="ff",
+            self.kernel_size,
+            self.stride,
+            uniform_init(w_scale),
+            self.dtype,
+            "ff",
+            self.conv_impl,
         )
         if self.conv_fake_quant is not None:
             x = self.conv_fake_quant(x, "input")
@@ -176,6 +252,7 @@ class SNNConvLIFRecurrent(nn.Module):
     state_quant: Optional[Callable[[jax.Array], jax.Array]] = None
     conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
     dtype: Optional[jnp.dtype] = None
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -189,14 +266,14 @@ class SNNConvLIFRecurrent(nn.Module):
         w_rec = math.sqrt(1.0 / self.features)
         if self.conv_fake_quant is not None:
             x = self.conv_fake_quant(x, "input")
-        ff = nn.Conv(
+        ff = make_conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            padding="SAME",
-            use_bias=False,
-            kernel_init=uniform_init(w_ff),
-            dtype=self.dtype,
-            name="ff",
+            self.kernel_size,
+            1,
+            uniform_init(w_ff),
+            self.dtype,
+            "ff",
+            self.conv_impl,
         )(x)
 
         if state is None:
@@ -205,14 +282,14 @@ class SNNConvLIFRecurrent(nn.Module):
         else:
             mem, prev_spk = state.mem, state.spk
 
-        rec = nn.Conv(
+        rec = make_conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            padding="SAME",
-            use_bias=False,
-            kernel_init=uniform_init(w_rec),
-            dtype=self.dtype,
-            name="rec",
+            self.kernel_size,
+            1,
+            uniform_init(w_rec),
+            self.dtype,
+            "rec",
+            self.conv_impl,
         )(prev_spk)
         if self.conv_fake_quant is not None:
             ff = self.conv_fake_quant(ff, "output")
@@ -274,6 +351,7 @@ class ConvLIF(nn.Module):
     norm: Optional[str] = None
     conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
     dtype: Optional[jnp.dtype] = None
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -287,15 +365,14 @@ class ConvLIF(nn.Module):
         if self.norm == "group":
             x = nn.GroupNorm(num_groups=1, name="norm")(x)
         w_scale = math.sqrt(1.0 / self.input_size)
-        ff = nn.Conv(
+        ff = make_conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=self.stride,
-            padding="SAME",
-            use_bias=False,
-            kernel_init=uniform_init(w_scale),
-            dtype=self.dtype,
-            name="ff",
+            self.kernel_size,
+            self.stride,
+            uniform_init(w_scale),
+            self.dtype,
+            "ff",
+            self.conv_impl,
         )(x).astype(jnp.float32)
 
         if state is None:
@@ -340,6 +417,7 @@ class ConvLIFRecurrent(nn.Module):
     norm: Optional[str] = None
     conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
     dtype: Optional[jnp.dtype] = None
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -353,14 +431,14 @@ class ConvLIFRecurrent(nn.Module):
             x = nn.GroupNorm(num_groups=1, name="norm_ff")(x)
         w_ff = math.sqrt(1.0 / self.input_size)
         w_rec = math.sqrt(1.0 / self.features)
-        ff = nn.Conv(
+        ff = make_conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            padding="SAME",
-            use_bias=False,
-            kernel_init=uniform_init(w_ff),
-            dtype=self.dtype,
-            name="ff",
+            self.kernel_size,
+            1,
+            uniform_init(w_ff),
+            self.dtype,
+            "ff",
+            self.conv_impl,
         )(x)
 
         if state is None:
@@ -372,14 +450,14 @@ class ConvLIFRecurrent(nn.Module):
         z_in = z
         if self.norm == "group":
             z_in = nn.GroupNorm(num_groups=1, name="norm_rec")(z_in)
-        rec = nn.Conv(
+        rec = make_conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            padding="SAME",
-            use_bias=False,
-            kernel_init=uniform_init(w_rec),
-            dtype=self.dtype,
-            name="rec",
+            self.kernel_size,
+            1,
+            uniform_init(w_rec),
+            self.dtype,
+            "rec",
+            self.conv_impl,
         )(z_in)
 
         leak = self.param("leak", normal_init(*self.leak), (self.features,))

@@ -87,6 +87,7 @@ class FireNet(nn.Module):
     conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
     # performance
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for convs
+    conv_impl: str = "auto"  # "auto"/"im2col" (matmul fast path) or "lax"
     w_scale_pred: float = 0.01
 
     @property
@@ -123,6 +124,7 @@ class FireNet(nn.Module):
             detach=self.detach,
             conv_fake_quant=self.conv_fake_quant,
             dtype=self.compute_dtype,
+            conv_impl=self.conv_impl,
         )
         if self.cell_family == "snn":
             common.update(

@@ -1,0 +1,166 @@
+"""Channel-major fused conv3x3+LIF Pallas kernel (v2).
+
+Why a second kernel: at 32 channels the NHWC orientation puts C on the
+128-wide lane/N dimensions, capping the MXU at 25% and lane-padding every
+VMEM buffer 4x. This kernel keeps activations channel-major ``[C, H, W]``
+and computes the conv in the transposed orientation
+
+    out[C, row] = W_all[C, 9*Cin] @ patches[9*Cin, row_pixels]
+
+so K = 9*Cin = 288 and N = W (256 lanes) are both MXU-shaped, and C=32 only
+appears as the streamed M dimension. Patches are built per output row by
+concatenating 9 shifted ``[Cin, W]`` row slices along the sublane dim — no
+lane-dim relayout, nothing materialized in HBM.
+
+LIF semantics identical to evflow.ops.pallas.conv_lif (snn.Leaky inference,
+reset_delay=False). Recurrent cells stack ``[x | prev_spk]`` patches with
+``K = 18*C``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_conv_lif_cmajor"]
+
+
+def _kernel(x_ref, w_ref, bias_ref, beta_ref, theta_ref, mem_ref,
+            spk_out_ref, mem_out_ref, *, TH: int, W: int, Cin: int, C: int,
+            n_in: int, hard_reset: bool):
+    """One (batch, row-tile) block, channel-major.
+
+    x_ref:   [1, n_in, Cin, TH+2, W+2] halo'd inputs (bf16)
+    w_ref:   [C, n_in*9*Cin] weights, transposed layout (bf16)
+    bias/beta/theta_ref: [C, 1] (f32)
+    mem_ref: [1, C, TH, W] (f32); outputs same shape
+    """
+
+    def row_patches(r):
+        # [n_in*9*Cin, W] patch matrix for output row r
+        rows = []
+        for s in range(n_in):
+            for dy in range(3):
+                for dx in range(3):
+                    rows.append(x_ref[0, 0, s, :, r + dy, dx : dx + W])
+        return jnp.concatenate(rows, axis=0)
+
+    beta = beta_ref[:, 0][:, None]
+    theta = theta_ref[:, 0][:, None]
+    bias = bias_ref[:, 0][:, None]
+
+    for r in range(TH):
+        patches = row_patches(r)  # [K, W]
+        ff = (
+            jnp.dot(w_ref[:], patches, preferred_element_type=jnp.float32) + bias
+        )  # [C, W]
+        mem = mem_ref[0, :, r, :]
+        reset_prev = (mem > theta).astype(jnp.float32)
+        base = beta * mem + ff
+        if hard_reset:
+            u = base - reset_prev * base
+        else:
+            u = base - reset_prev * theta
+        spk = (u > theta).astype(jnp.float32)
+        if hard_reset:
+            mem2 = u - (spk - reset_prev) * u
+        else:
+            mem2 = u - (spk - reset_prev) * theta
+        spk_out_ref[0, :, r, :] = spk
+        mem_out_ref[0, :, r, :] = mem2
+
+
+@functools.partial(jax.jit, static_argnames=("hard_reset", "tile_rows"))
+def fused_conv_lif_cmajor(
+    x: jax.Array,
+    mem: jax.Array,
+    w: jax.Array,
+    bias: jax.Array,
+    beta: jax.Array,
+    theta: jax.Array,
+    prev_spk: Optional[jax.Array] = None,
+    w_rec: Optional[jax.Array] = None,
+    hard_reset: bool = True,
+    tile_rows: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Channel-major fused step.
+
+    Args:
+      x: [B, Cin, H, W]; mem: [B, C, H, W] (f32).
+      w: [3, 3, Cin, C] HWIO weights (converted internally).
+      bias, beta, theta: [C].
+      prev_spk / w_rec: [B, C, H, W] and [3, 3, C, C] for recurrent cells.
+    Returns:
+      (spk, mem_out) [B, C, H, W] f32.
+    """
+    B, Cin, H, W_ = x.shape
+    C = w.shape[-1]
+    TH = min(tile_rows, H)
+    assert H % TH == 0
+    n_tiles = H // TH
+    recurrent = prev_spk is not None
+    n_in = 2 if recurrent else 1
+
+    def to_wT(k, cin):
+        # [3,3,cin,C] -> [C, 9*cin] matching row_patches order (dy, dx, cin)
+        return k.transpose(3, 0, 1, 2).reshape(C, 9 * cin)
+
+    if recurrent:
+        wT = jnp.concatenate([to_wT(w, Cin), to_wT(w_rec, C)], axis=1)
+    else:
+        wT = to_wT(w, Cin)
+    wT = wT.astype(jnp.bfloat16)
+
+    def pad_cm(a):
+        return jnp.pad(a.astype(jnp.bfloat16), ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    if recurrent:
+        xin = jnp.stack([pad_cm(x), pad_cm(prev_spk)], axis=1)
+    else:
+        xin = pad_cm(x)[:, None]
+
+    # overlapping row windows -> [B, n_tiles, n_in, Cin, TH+2, W+2]
+    tiles = jnp.stack(
+        [xin[:, :, :, i * TH : i * TH + TH + 2, :] for i in range(n_tiles)], axis=1
+    )
+
+    kernel = functools.partial(
+        _kernel, TH=TH, W=W_, Cin=Cin, C=C, n_in=n_in, hard_reset=hard_reset
+    )
+
+    spk, mem_out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, n_in, Cin, TH + 2, W_ + 2),
+                lambda b, i: (b, i, 0, 0, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, TH, W_), lambda b, i: (b, 0, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, TH, W_), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, C, TH, W_), lambda b, i: (b, 0, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, H, W_), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, H, W_), jnp.float32),
+        ],
+    )(
+        tiles,
+        wT,
+        bias.reshape(C, 1),
+        beta.reshape(C, 1),
+        theta.reshape(C, 1),
+        mem,
+    )
+    return spk, mem_out

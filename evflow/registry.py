@@ -67,6 +67,8 @@ def _firenet_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
         import jax.numpy as jnp
 
         kwargs["compute_dtype"] = jnp.bfloat16
+    if "conv_impl" in cfg:
+        kwargs["conv_impl"] = cfg["conv_impl"]
 
     # QAT wiring (train_flow_quant.py modes): quantization.enabled without
     # PTQ builds the model with fake-quant hooks in the training graph

@@ -185,3 +185,42 @@ def test_sigmoid_cell_family():
     v = m.init(jax.random.PRNGKey(0), None, cnt, states)
     out, _ = m.apply(v, None, cnt, states)
     assert out["flow"][0].shape == (B, H, W, 2)
+
+
+def test_im2col_conv_matches_lax_conv():
+    """ConvIm2col == nn.Conv for identical kernels (checkpoint compatible)."""
+    import flax.linen as nn_
+    from evflow.models.cells import ConvIm2col
+
+    rng_np = np.random.default_rng(0)
+    x = jnp.asarray(rng_np.normal(size=(2, 12, 10, 4)).astype(np.float32))
+    im = ConvIm2col(6, 3)
+    v = im.init(jax.random.PRNGKey(0), x)
+    ref = nn_.Conv(6, (3, 3), padding="SAME", use_bias=False)
+    y_im = im.apply(v, x)
+    y_ref = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+    np.testing.assert_allclose(np.asarray(y_im), np.asarray(y_ref), atol=1e-5)
+
+    # 1x1 and 5x5 kernels too
+    for k in (1, 5):
+        imk = ConvIm2col(3, k)
+        vk = imk.init(jax.random.PRNGKey(1), x)
+        yk = imk.apply(vk, x)
+        yr = nn_.Conv(3, (k, k), padding="SAME", use_bias=False).apply(
+            {"params": {"kernel": vk["params"]["kernel"]}}, x)
+        np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=1e-5)
+
+
+def test_conv_impl_checkpoint_interchange():
+    """Same params run under both conv implementations with equal outputs."""
+    cfg = base_cfg("LIFFireNet_short")
+    m_lax = build_model(dict(cfg, conv_impl="lax"))
+    m_mm = build_model(dict(cfg, conv_impl="im2col"))
+    B, H, W = 1, 16, 16
+    cnt = jnp.ones((B, H, W, 2))
+    states = m_lax.init_states(B, H, W)
+    v = m_lax.init(jax.random.PRNGKey(0), None, cnt, states)
+    out_a, _ = m_lax.apply(v, None, cnt, states)
+    out_b, _ = m_mm.apply(v, None, cnt, states)
+    np.testing.assert_allclose(np.asarray(out_a["flow"][0]),
+                               np.asarray(out_b["flow"][0]), atol=1e-5)
