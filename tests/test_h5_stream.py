@@ -209,3 +209,50 @@ def test_get_iters(dataset):
     s = H5EventStream(gtflow_cfg(root), num_bins=2)
     assert s.get_iters(0) == 5  # 6 GT frames over 0.5 s at 10 Hz -> 5 windows
     s.close()
+
+
+def test_time_mode(dataset):
+    root, _ = dataset
+    cfg = events_cfg(root)
+    cfg["data"] = {"path": root, "mode": "time", "window": 0.05}
+    s = H5EventStream(cfg, num_bins=2)
+    b = s.next_batch()
+    n = int(b["event_valid"].sum())
+    # 20k events/s * 0.05 s ~ 1000 events
+    assert 500 < n < 2000
+    # duration of the window ~ 0.05 s
+    assert 0.03 < float(b["dt_input"][0]) < 0.07
+    s.close()
+
+
+def test_frames_mode(tmp_path):
+    from evflow.data.synthetic import make_dataset as mk
+
+    root = str(tmp_path / "frames")
+    mk(root, num_sequences=1, resolution=(32, 32), events_per_sec=20_000,
+       duration=0.5, flows=[(10.0, -5.0)], gt_hz=10.0, with_frames=True)
+    cfg = events_cfg(root)
+    cfg["data"] = {"path": root, "mode": "frames", "window": 1}
+    s = H5EventStream(cfg, num_bins=2)
+    b = s.next_batch()
+    assert "frames" in b
+    assert b["frames"].shape == (1, 32, 32, 2)
+    s.close()
+
+
+def test_gtflow_fractional_window_dt4(dataset):
+    """window=0.25 sub-frame windows (the dt4 protocol, h5.py:220-237)."""
+    root, _ = dataset
+    cfg = gtflow_cfg(root)
+    cfg["data"]["mode"] = "gtflow_dt4"
+    cfg["data"]["window"] = 0.25
+    s = H5EventStream(cfg, num_bins=2)
+    ns = []
+    for _ in range(4):
+        b = s.next_batch()
+        ns.append(int(b["event_valid"].sum()))
+        assert "gtflow" in b
+    # four quarter-windows hold ~1/4 of a frame window each
+    assert all(n > 50 for n in ns)
+    assert s.batch_row[0] == 1.0
+    s.close()
