@@ -38,7 +38,8 @@ class FusedFireNet:
     """
 
     def __init__(self, units, params, base_num_channels: int, num_bins: int,
-                 encoding: str, tile_rows: int = 32, hard_reset: bool = True):
+                 encoding: str, tile_rows: int = 32, hard_reset: bool = True,
+                 layout: str = "nhwc"):
         self.units = units
         self.params = params  # dict name -> dict of arrays
         self.base_num_channels = base_num_channels
@@ -46,9 +47,13 @@ class FusedFireNet:
         self.encoding = encoding
         self.tile_rows = tile_rows
         self.hard_reset = hard_reset
+        if layout not in ("nhwc", "cmajor"):
+            raise ValueError(layout)
+        self.layout = layout  # "cmajor" = channel-major kernel (NCHW states)
 
     @classmethod
-    def from_firenet(cls, model, variables, tile_rows: int = 32):
+    def from_firenet(cls, model, variables, tile_rows: int = 32,
+                     layout: str = "nhwc"):
         """Fold a trained flax FireNet (models/firenet.py) into fused form."""
         from evflow.ops.pallas.conv_lif import fold_bn
 
@@ -98,22 +103,34 @@ class FusedFireNet:
             model.encoding,
             tile_rows=tile_rows,
             hard_reset=model.hard_reset,
+            layout=layout,
         )
 
     def init_states(self, batch: int, height: int, width: int):
-        shape = (batch, height, width, self.base_num_channels)
+        if self.layout == "cmajor":
+            shape = (batch, self.base_num_channels, height, width)
+        else:
+            shape = (batch, height, width, self.base_num_channels)
         return tuple(
             LIFState(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
             for _ in self.units
         )
 
     def step(self, params, x: jax.Array, states) -> Tuple[jax.Array, tuple]:
-        """One event window: x [B, H, W, num_bins or 2] -> flow [B, H, W, 2]."""
-        h = x
+        """One event window: x [B, H, W, num_bins or 2] (NHWC) -> flow
+        [B, H, W, 2] (NHWC); internal layout per ``self.layout``."""
+        if self.layout == "cmajor":
+            from evflow.ops.pallas.conv_lif_cmajor import fused_conv_lif_cmajor
+
+            h = jnp.moveaxis(x, -1, 1)  # NHWC -> NCHW
+            kernel_fn = fused_conv_lif_cmajor
+        else:
+            h = x
+            kernel_fn = fused_conv_lif
         new_states = []
         for i, unit in enumerate(self.units):
             e = params[unit.name]
-            spk, mem = fused_conv_lif(
+            spk, mem = kernel_fn(
                 h,
                 states[i].mem,
                 e["w"],
@@ -128,9 +145,14 @@ class FusedFireNet:
             new_states.append(LIFState(mem, spk))
             h = spk
         pw = params["pred"]["w"].reshape(-1, 2)
-        B, H, W, C = h.shape
+        if self.layout == "cmajor":
+            B, C, H, W = h.shape
+            hh = jnp.moveaxis(h, 1, -1)
+        else:
+            B, H, W, C = h.shape
+            hh = h
         flow = jnp.tanh(
-            (h.astype(pw.dtype).reshape(-1, C) @ pw).reshape(B, H, W, 2)
+            (hh.astype(pw.dtype).reshape(-1, C) @ pw).reshape(B, H, W, 2)
             + params["pred"]["b"]
         )
         return flow, tuple(new_states)

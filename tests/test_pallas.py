@@ -166,3 +166,23 @@ def test_fused_evaluate_protocol(tmp_path):
     assert "AEE" in results
     for v in results["AEE"].values():
         assert np.isfinite(float(v))
+
+
+def test_fused_firenet_cmajor_layout():
+    """Channel-major fused model matches the NHWC fused model."""
+    cfg = {"name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": 8,
+           "kernel_size": 3, "encoding": "cnt",
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    model = build_model(cfg)
+    B, H, W = 1, 16, 16
+    rng = np.random.default_rng(2)
+    cnt = rng.poisson(0.3, (B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+
+    a = FusedFireNet.from_firenet(model, v, tile_rows=8, layout="nhwc")
+    b = FusedFireNet.from_firenet(model, v, tile_rows=8, layout="cmajor")
+    with pltpu.force_tpu_interpret_mode():
+        fa, _ = a.step(a.params, jnp.asarray(cnt), a.init_states(B, H, W))
+        fb, _ = b.step(b.params, jnp.asarray(cnt), b.init_states(B, H, W))
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-5)
