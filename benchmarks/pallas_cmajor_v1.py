@@ -10,7 +10,7 @@ x = jax.random.normal(key, (B,C,H,W), jnp.float32)
 ws = [jax.random.normal(jax.random.PRNGKey(i), (3,3,C,C), jnp.float32)*0.1 for i in range(9)]
 bias = jnp.zeros((C,)); beta = jnp.full((C,),0.5); theta = jnp.full((C,),0.5)
 
-for TR in (32, 64, 128):
+for TR in (32,):
     @jax.jit
     def run(x, ws, mems):
         def step(carry, _):

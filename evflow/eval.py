@@ -178,113 +178,117 @@ def evaluate(
     vis_frames = []
     windows_done = 0
 
-    while True:
-        batch = data.next_batch()
-        if batch["epoch_done"]:
-            break
-        if batch["new_seq"].any():
-            data.new_seq = False
-            activity_log = None
-            states = _reset_slot_states(
-                states, model, batch["new_seq"], B, H, W
-            )
-            for c in criteria:
-                c.reset()
+    try:
+        while True:
+            batch = data.next_batch()
+            if batch["epoch_done"]:
+                break
+            if batch["new_seq"].any():
+                data.new_seq = False
+                activity_log = None
+                states = _reset_slot_states(
+                    states, model, batch["new_seq"], B, H, W
+                )
+                for c in criteria:
+                    c.reset()
 
-        voxel = jnp.asarray(batch["event_voxel"])
-        cnt = jnp.asarray(batch["event_cnt"])
-        flows, states, activity = step_fn(variables, voxel, cnt, states)
-        flows = list(flows)
-        if log_activity and activity is not None:
-            from evflow.utils.viz import vis_activity
+            voxel = jnp.asarray(batch["event_voxel"])
+            cnt = jnp.asarray(batch["event_cnt"])
+            flows, states, activity = step_fn(variables, voxel, cnt, states)
+            flows = list(flows)
+            if log_activity and activity is not None:
+                from evflow.utils.viz import vis_activity
 
-            activity_log = vis_activity(
-                {k: float(v) for k, v in activity.items()}, activity_log
-            )
+                activity_log = vis_activity(
+                    {k: float(v) for k, v in activity.items()}, activity_log
+                )
 
-        iwe = None
-        if collect_vis or vis is not None:
-            iwe = compute_pol_iwe(
-                flows[-1],
-                jnp.asarray(batch["event_list"]),
-                tuple(loader["resolution"]),
-                jnp.asarray(batch["event_list_pol_mask"][..., 0]),
-                jnp.asarray(batch["event_list_pol_mask"][..., 1]),
-                flow_scaling=flow_scaling,
-                round_idx=True,
-                valid=jnp.asarray(batch["event_valid"]),
-            )
+            iwe = None
+            if collect_vis or vis is not None:
+                iwe = compute_pol_iwe(
+                    flows[-1],
+                    jnp.asarray(batch["event_list"]),
+                    tuple(loader["resolution"]),
+                    jnp.asarray(batch["event_list_pol_mask"][..., 0]),
+                    jnp.asarray(batch["event_list_pol_mask"][..., 1]),
+                    flow_scaling=flow_scaling,
+                    round_idx=True,
+                    valid=jnp.asarray(batch["event_valid"]),
+                )
 
-        # upsample predictions when GT stays at full resolution
-        if keep_gt_full_res and "gtflow" in batch:
-            gh, gw = batch["gtflow"].shape[1:3]
-            ph, pw = flows[-1].shape[1:3]
-            if gh > ph or gw > pw:
-                up = upsample_flow(flows[-1], gh, gw)
-                scale = jnp.array([gw / pw, gh / ph], jnp.float32)  # (x, y)
-                flows[-1] = up * scale
-        if collect_vis:
-            vis_frames.append(
-                {
-                    "flow": np.asarray(flows[-1]),
-                    "iwe": np.asarray(iwe),
-                    "event_cnt": batch["event_cnt"],
-                    "gtflow": batch.get("gtflow"),
+            # upsample predictions when GT stays at full resolution
+            if keep_gt_full_res and "gtflow" in batch:
+                gh, gw = batch["gtflow"].shape[1:3]
+                ph, pw = flows[-1].shape[1:3]
+                if gh > ph or gw > pw:
+                    up = upsample_flow(flows[-1], gh, gw)
+                    scale = jnp.array([gw / pw, gh / ph], jnp.float32)  # (x, y)
+                    flows[-1] = up * scale
+            if collect_vis:
+                vis_frames.append(
+                    {
+                        "flow": np.asarray(flows[-1]),
+                        "iwe": np.asarray(iwe),
+                        "event_cnt": batch["event_cnt"],
+                        "gtflow": batch.get("gtflow"),
+                    }
+                )
+            if vis is not None:
+                sequence = os.path.splitext(
+                    os.path.basename(data.files[data.batch_idx[0] % len(data.files)])
+                )[0]
+                vis.store(
+                    batch,
+                    np.asarray(flows[-1]),
+                    np.asarray(iwe) if iwe is not None else None,
+                    sequence,
+                    ts=data.last_proc_timestamp,
+                )
+
+            if names:
+                inputs = {
+                    "gtflow": jnp.asarray(batch["gtflow"]) if "gtflow" in batch else None,
+                    "event_mask": jnp.asarray(batch["event_mask"]),
+                    "dt_gt": jnp.asarray(batch["dt_gt"]),
+                    "dt_input": jnp.asarray(batch["dt_input"]),
                 }
-            )
-        if vis is not None:
-            sequence = os.path.splitext(
-                os.path.basename(data.files[data.batch_idx[0] % len(data.files)])
-            )[0]
-            vis.store(
-                batch,
-                np.asarray(flows[-1]),
-                np.asarray(iwe) if iwe is not None else None,
-                sequence,
-                ts=data.last_proc_timestamp,
-            )
-
-        if names:
-            inputs = {
-                "gtflow": jnp.asarray(batch["gtflow"]) if "gtflow" in batch else None,
-                "event_mask": jnp.asarray(batch["event_mask"]),
-                "dt_gt": jnp.asarray(batch["dt_gt"]),
-                "dt_input": jnp.asarray(batch["dt_input"]),
-            }
-            for c in criteria:
-                c.event_flow_association(flows, inputs)
-            for i, mname in enumerate(names):
-                if mname == "AEE" and float(batch["dt_gt"][0]) <= 0.0:
-                    continue
-                if mname == "AEE":
-                    idx_AEE += 1
-                    if idx_AEE != int(np.round(1.0 / window)):
+                for c in criteria:
+                    c.event_flow_association(flows, inputs)
+                for i, mname in enumerate(names):
+                    if mname == "AEE" and float(batch["dt_gt"][0]) <= 0.0:
                         continue
-                val = criteria[i]()
-                if mname == "AEE":
-                    idx_AEE = 0
-                for b in range(B):
-                    fname = os.path.basename(
-                        data.files[data.batch_idx[b] % len(data.files)]
-                    )
-                    slot = val_results.setdefault(fname, {})
-                    entry = slot.setdefault(
-                        mname, {"metric": 0.0, "it": 0, "percent": 0.0}
-                    )
-                    entry["it"] += 1
-                    if criteria[i].has_percent:
-                        entry["metric"] += float(np.asarray(val[0][b]))
-                        entry["percent"] += float(np.asarray(val[1][b]))
-                    else:
-                        entry["metric"] += float(np.asarray(val)[b])
-                criteria[i].reset()
+                    if mname == "AEE":
+                        idx_AEE += 1
+                        if idx_AEE != int(np.round(1.0 / window)):
+                            continue
+                    val = criteria[i]()
+                    if mname == "AEE":
+                        idx_AEE = 0
+                    for b in range(B):
+                        fname = os.path.basename(
+                            data.files[data.batch_idx[b] % len(data.files)]
+                        )
+                        slot = val_results.setdefault(fname, {})
+                        entry = slot.setdefault(
+                            mname, {"metric": 0.0, "it": 0, "percent": 0.0}
+                        )
+                        entry["it"] += 1
+                        if criteria[i].has_percent:
+                            entry["metric"] += float(np.asarray(val[0][b]))
+                            entry["percent"] += float(np.asarray(val[1][b]))
+                        else:
+                            entry["metric"] += float(np.asarray(val)[b])
+                    criteria[i].reset()
 
-        windows_done += B
-        if verbose and windows_done % 100 == 0:
-            print(f"eval: {windows_done} windows, seq {data.seq_num}", end="\r")
-        if max_windows is not None and windows_done >= max_windows:
-            break
+            windows_done += B
+            if verbose and windows_done % 100 == 0:
+                print(f"eval: {windows_done} windows, seq {data.seq_num}", end="\r")
+            if max_windows is not None and windows_done >= max_windows:
+                break
 
+    except KeyboardInterrupt:
+        # close video writers cleanly on interrupt (eval_flow.py:344-348)
+        print("Evaluation interrupted. Closing video files...")
     data.close()
     if vis is not None:
         vis.close_videos()

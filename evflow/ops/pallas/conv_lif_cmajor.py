@@ -14,7 +14,9 @@ lane-dim relayout, nothing materialized in HBM.
 
 LIF semantics identical to evflow.ops.pallas.conv_lif (snn.Leaky inference,
 reset_delay=False). Recurrent cells stack ``[x | prev_spk]`` patches with
-``K = 18*C``.
+``K = 18*C``. Row iteration is either a static unroll (``unroll=True``,
+larger Mosaic programs) or a ``fori_loop`` over values with
+dynamic_update_slice accumulators.
 """
 
 from __future__ import annotations
@@ -30,52 +32,88 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_conv_lif_cmajor"]
 
 
+def _lif_update(ff, mem, beta, theta, hard_reset):
+    reset_prev = (mem > theta).astype(jnp.float32)
+    base = beta * mem + ff
+    if hard_reset:
+        u = base - reset_prev * base
+    else:
+        u = base - reset_prev * theta
+    spk = (u > theta).astype(jnp.float32)
+    if hard_reset:
+        mem2 = u - (spk - reset_prev) * u
+    else:
+        mem2 = u - (spk - reset_prev) * theta
+    return spk, mem2
+
+
 def _kernel(x_ref, w_ref, bias_ref, beta_ref, theta_ref, mem_ref,
             spk_out_ref, mem_out_ref, *, TH: int, W: int, Cin: int, C: int,
-            n_in: int, hard_reset: bool):
-    """One (batch, row-tile) block, channel-major.
+            n_in: int, hard_reset: bool, unroll: bool):
+    """One (batch x row-tile) block, channel-major, 4-D refs.
 
-    x_ref:   [1, n_in, Cin, TH+2, W+2] halo'd inputs (bf16)
-    w_ref:   [C, n_in*9*Cin] weights, transposed layout (bf16)
+    x_ref:   [1, n_in*Cin, TH+2, W+2] halo'd inputs (bf16)
+    w_ref:   [C, n_in*9*Cin] transposed weights (bf16)
     bias/beta/theta_ref: [C, 1] (f32)
-    mem_ref: [1, C, TH, W] (f32); outputs same shape
+    mem_ref / outs: [1, C, TH, W] (f32)
     """
-
-    def row_patches(r):
-        # [n_in*9*Cin, W] patch matrix for output row r
-        rows = []
-        for s in range(n_in):
-            for dy in range(3):
-                for dx in range(3):
-                    rows.append(x_ref[0, 0, s, :, r + dy, dx : dx + W])
-        return jnp.concatenate(rows, axis=0)
-
     beta = beta_ref[:, 0][:, None]
     theta = theta_ref[:, 0][:, None]
     bias = bias_ref[:, 0][:, None]
+    wv = w_ref[:]
 
-    for r in range(TH):
-        patches = row_patches(r)  # [K, W]
-        ff = (
-            jnp.dot(w_ref[:], patches, preferred_element_type=jnp.float32) + bias
-        )  # [C, W]
-        mem = mem_ref[0, :, r, :]
-        reset_prev = (mem > theta).astype(jnp.float32)
-        base = beta * mem + ff
-        if hard_reset:
-            u = base - reset_prev * base
-        else:
-            u = base - reset_prev * theta
-        spk = (u > theta).astype(jnp.float32)
-        if hard_reset:
-            mem2 = u - (spk - reset_prev) * u
-        else:
-            mem2 = u - (spk - reset_prev) * theta
-        spk_out_ref[0, :, r, :] = spk
-        mem_out_ref[0, :, r, :] = mem2
+    if unroll:
+        for r in range(TH):
+            rows = []
+            for s in range(n_in):
+                for dy in range(3):
+                    row = x_ref[0, s * Cin : (s + 1) * Cin, r + dy, :]  # [Cin, W+2]
+                    for dx in range(3):
+                        rows.append(row[:, dx : dx + W])
+            patches = jnp.concatenate(rows, axis=0)
+            ff = jnp.dot(wv, patches, preferred_element_type=jnp.float32) + bias
+            mem = mem_ref[0, :, r, :]
+            spk, mem2 = _lif_update(ff, mem, beta, theta, hard_reset)
+            spk_out_ref[0, :, r, :] = spk
+            mem_out_ref[0, :, r, :] = mem2
+        return
+
+    xv = x_ref[0]  # [n_in*Cin, TH+2, W+2]
+    mv = mem_ref[0]  # [C, TH, W]
+
+    def body(r, carry):
+        spk_acc, mem_acc = carry
+        rows = []
+        for s in range(n_in):
+            for dy in range(3):
+                row = jax.lax.dynamic_slice_in_dim(xv, r + dy, 1, axis=1)[
+                    :, 0, :
+                ]  # [n_in*Cin, W+2]
+                sub = row[s * Cin : (s + 1) * Cin]
+                for dx in range(3):
+                    rows.append(jax.lax.slice_in_dim(sub, dx, dx + W, axis=1))
+        patches = jnp.concatenate(rows, axis=0)  # [K, W]
+        ff = jnp.dot(wv, patches, preferred_element_type=jnp.float32) + bias
+        mem = jax.lax.dynamic_slice_in_dim(mv, r, 1, axis=1)[:, 0, :]
+        spk, mem2 = _lif_update(ff, mem, beta, theta, hard_reset)
+        spk_acc = jax.lax.dynamic_update_slice_in_dim(
+            spk_acc, spk[:, None, :], r, axis=1
+        )
+        mem_acc = jax.lax.dynamic_update_slice_in_dim(
+            mem_acc, mem2[:, None, :], r, axis=1
+        )
+        return spk_acc, mem_acc
+
+    init = (
+        jnp.zeros((C, TH, W), jnp.float32),
+        jnp.zeros((C, TH, W), jnp.float32),
+    )
+    spk_full, mem_full = jax.lax.fori_loop(0, TH, body, init)
+    spk_out_ref[0] = spk_full
+    mem_out_ref[0] = mem_full
 
 
-@functools.partial(jax.jit, static_argnames=("hard_reset", "tile_rows"))
+@functools.partial(jax.jit, static_argnames=("hard_reset", "tile_rows", "unroll"))
 def fused_conv_lif_cmajor(
     x: jax.Array,
     mem: jax.Array,
@@ -86,7 +124,8 @@ def fused_conv_lif_cmajor(
     prev_spk: Optional[jax.Array] = None,
     w_rec: Optional[jax.Array] = None,
     hard_reset: bool = True,
-    tile_rows: int = 64,
+    tile_rows: int = 16,
+    unroll: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Channel-major fused step.
 
@@ -107,7 +146,7 @@ def fused_conv_lif_cmajor(
     n_in = 2 if recurrent else 1
 
     def to_wT(k, cin):
-        # [3,3,cin,C] -> [C, 9*cin] matching row_patches order (dy, dx, cin)
+        # [3,3,cin,C] -> [C, 9*cin] matching patch order (dy, dx, cin)
         return k.transpose(3, 0, 1, 2).reshape(C, 9 * cin)
 
     if recurrent:
@@ -120,47 +159,51 @@ def fused_conv_lif_cmajor(
         return jnp.pad(a.astype(jnp.bfloat16), ((0, 0), (0, 0), (1, 1), (1, 1)))
 
     if recurrent:
-        xin = jnp.stack([pad_cm(x), pad_cm(prev_spk)], axis=1)
+        xin = jnp.concatenate([pad_cm(x), pad_cm(prev_spk)], axis=1)
     else:
-        xin = pad_cm(x)[:, None]
+        xin = pad_cm(x)
 
-    # overlapping row windows -> [B, n_tiles, n_in, Cin, TH+2, W+2]
+    # overlapping row windows -> [B*n_tiles, n_in*Cin, TH+2, W+2]
     tiles = jnp.stack(
-        [xin[:, :, :, i * TH : i * TH + TH + 2, :] for i in range(n_tiles)], axis=1
+        [xin[:, :, i * TH : i * TH + TH + 2, :] for i in range(n_tiles)], axis=1
+    ).reshape(B * n_tiles, n_in * Cin, TH + 2, W_ + 2)
+    mem_t = mem.reshape(B, C, n_tiles, TH, W_).transpose(0, 2, 1, 3, 4).reshape(
+        B * n_tiles, C, TH, W_
     )
 
     kernel = functools.partial(
-        _kernel, TH=TH, W=W_, Cin=Cin, C=C, n_in=n_in, hard_reset=hard_reset
+        _kernel, TH=TH, W=W_, Cin=Cin, C=C, n_in=n_in, hard_reset=hard_reset,
+        unroll=unroll,
     )
 
     spk, mem_out = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        grid=(B * n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, n_in, Cin, TH + 2, W_ + 2),
-                lambda b, i: (b, i, 0, 0, 0, 0),
+                (1, n_in * Cin, TH + 2, W_ + 2), lambda g: (g, 0, 0, 0)
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, TH, W_), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, C, TH, W_), lambda g: (g, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, C, TH, W_), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, C, TH, W_), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, C, TH, W_), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, C, TH, W_), lambda g: (g, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, C, H, W_), jnp.float32),
-            jax.ShapeDtypeStruct((B, C, H, W_), jnp.float32),
+            jax.ShapeDtypeStruct((B * n_tiles, C, TH, W_), jnp.float32),
+            jax.ShapeDtypeStruct((B * n_tiles, C, TH, W_), jnp.float32),
         ],
-    )(
-        tiles,
-        wT,
-        bias.reshape(C, 1),
-        beta.reshape(C, 1),
-        theta.reshape(C, 1),
-        mem,
-    )
-    return spk, mem_out
+    )(tiles, wT, bias.reshape(C, 1), beta.reshape(C, 1), theta.reshape(C, 1), mem_t)
+
+    def un_tile(a):
+        return (
+            a.reshape(B, n_tiles, C, TH, W_)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(B, C, H, W_)
+        )
+
+    return un_tile(spk), un_tile(mem_out)
