@@ -177,3 +177,29 @@ def test_profile_membrane_ranges_and_auto_tune(dataset):
                                       profile_batches=3)
     out, _ = qmodel.apply(v, None, jnp.ones((B, H, W, 2)), states)
     assert np.isfinite(np.asarray(out["flow"][0])).all()
+
+
+def test_collect_activation_scales(dataset):
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.registry import build_model
+
+    cfg = quant_eval_cfg(dataset, "full")
+    cfg["data"] = {"path": dataset, "mode": "events", "window": 300}
+    model = build_model(cfg["model"])
+    B, H, W = 1, 32, 32
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states)
+    stream = H5EventStream(cfg, 2)
+    scales = C.collect_activation_scales(model, v, stream, num_batches=2)
+    stream.close()
+    assert scales and all(s >= 0 for s in scales.values())
+
+
+def test_static_conv_quant_hook():
+    hook = Q.static_conv_quant({"head/input": 2.0 / 127}, layer="head")
+    x = jnp.array([0.5, -1.9, 3.0])
+    out = np.asarray(hook(x, "input"))
+    # clipped to ±2.0 and on the grid
+    assert abs(out[2] - 2.0) < 1e-6
+    # unknown tag passes through
+    np.testing.assert_array_equal(np.asarray(hook(x, "nope")), np.asarray(x))
