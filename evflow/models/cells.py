@@ -167,6 +167,7 @@ class SNNConvLIF(nn.Module):
     conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
     dtype: Optional[jnp.dtype] = None
     conv_impl: str = "auto"
+    state_dtype: Optional[jnp.dtype] = None  # bf16 halves the HBM state traffic
 
     @nn.compact
     def __call__(
@@ -199,16 +200,17 @@ class SNNConvLIF(nn.Module):
             )
         else:
             ff = BatchNorm(name="bn")(ff, train)
-        ff = ff.astype(jnp.float32)
+        sdt = self.state_dtype or jnp.float32
+        ff = ff.astype(sdt)
 
         beta = self.param("beta", uniform_range_init(*self.leak), (self.features,))
         theta = self.param(
             "threshold", uniform_range_init(*self.thresh), (self.features,)
         )
-        beta = _maybe_stop(beta, self.learn_leak)
-        theta = jnp.maximum(_maybe_stop(theta, self.learn_thresh), THRESH_MIN)
+        beta = _maybe_stop(beta, self.learn_leak).astype(sdt)
+        theta = jnp.maximum(_maybe_stop(theta, self.learn_thresh), THRESH_MIN).astype(sdt)
 
-        mem = jnp.zeros_like(ff) if state is None else state.mem
+        mem = jnp.zeros_like(ff) if state is None else state.mem.astype(sdt)
         spk, mem_out = leaky_step(
             ff,
             mem,
@@ -253,6 +255,7 @@ class SNNConvLIFRecurrent(nn.Module):
     conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
     dtype: Optional[jnp.dtype] = None
     conv_impl: str = "auto"
+    state_dtype: Optional[jnp.dtype] = None  # bf16 halves the HBM state traffic
 
     @nn.compact
     def __call__(
@@ -302,18 +305,19 @@ class SNNConvLIFRecurrent(nn.Module):
             )
         else:
             total = BatchNorm(name="bn")(total, train)
-        total = total.astype(jnp.float32)
+        sdt = self.state_dtype or jnp.float32
+        total = total.astype(sdt)
 
         beta = self.param("beta", uniform_range_init(*self.leak), (self.features,))
         theta = self.param(
             "threshold", uniform_range_init(*self.thresh), (self.features,)
         )
-        beta = _maybe_stop(beta, self.learn_leak)
-        theta = jnp.maximum(_maybe_stop(theta, self.learn_thresh), THRESH_MIN)
+        beta = _maybe_stop(beta, self.learn_leak).astype(sdt)
+        theta = jnp.maximum(_maybe_stop(theta, self.learn_thresh), THRESH_MIN).astype(sdt)
 
         spk, mem_out = leaky_step(
             total,
-            mem,
+            mem.astype(sdt),
             beta,
             theta,
             reset="zero" if self.hard_reset else "subtract",

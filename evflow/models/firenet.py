@@ -88,6 +88,7 @@ class FireNet(nn.Module):
     # performance
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for convs
     conv_impl: str = "auto"  # "auto"/"im2col" (matmul fast path) or "lax"
+    state_dtype: Optional[jnp.dtype] = None  # bf16 membrane carries (eval)
     w_scale_pred: float = 0.01
 
     @property
@@ -104,9 +105,10 @@ class FireNet(nn.Module):
         """Zero state pytree (replaces reference ``reset_states``,
         models/model.py:129-130)."""
         shape = (batch, height, width, self.base_num_channels)
+        sdt = self.state_dtype or jnp.float32
         # distinct buffers per leaf so the train step can donate the carry
         return tuple(
-            LIFState(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+            LIFState(jnp.zeros(shape, sdt), jnp.zeros(shape, sdt))
             for _ in range(self.num_units)
         )
 
@@ -126,6 +128,8 @@ class FireNet(nn.Module):
             dtype=self.compute_dtype,
             conv_impl=self.conv_impl,
         )
+        if self.cell_family == "snn" and self.state_dtype is not None:
+            common["state_dtype"] = self.state_dtype
         if self.cell_family == "snn":
             common.update(
                 leak=self.leak,

@@ -69,6 +69,10 @@ def _firenet_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
         kwargs["compute_dtype"] = jnp.bfloat16
     if "conv_impl" in cfg:
         kwargs["conv_impl"] = cfg["conv_impl"]
+    if cfg.get("state_dtype") == "bfloat16":
+        import jax.numpy as jnp
+
+        kwargs["state_dtype"] = jnp.bfloat16
 
     # QAT wiring (train_flow_quant.py modes): quantization.enabled without
     # PTQ builds the model with fake-quant hooks in the training graph
