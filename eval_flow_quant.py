@@ -80,6 +80,19 @@ def main():
             conv_fake_quant=dynamic_conv_quant()
         )
 
+    # quantization info report (eval_flow_quant.py print_quantization_info :30-183)
+    from evflow.models.summary import summarize
+
+    print(f"=== quantized evaluation: mode={args.mode} ===")
+    print(summarize(variables, config["model"].get("name", "model")))
+    print(f"conv fake-quant: {'int8 dynamic per-tensor' if qmodel.conv_fake_quant else 'disabled (fp32)'}")
+    if qmodel.state_quant_per_layer is not None:
+        print("membrane quant: per-layer auto-tuned ranges")
+    elif qmodel.state_quant is not None:
+        print("membrane quant: int8 uniform [-250, 1] (snntorch default)")
+    else:
+        print("membrane quant: disabled (fp32 membranes)")
+
     results = evaluate(
         config, variables=variables, model=qmodel,
         path_results=args.path_results,

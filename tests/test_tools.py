@@ -140,6 +140,8 @@ def test_vis_activity_accumulates(tmp_path):
 ])
 def test_cli_tools_run(script, args, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     out = subprocess.run(
         [sys.executable, script, "--out", str(tmp_path / "o.png")] + args,
         cwd="/root/repo", env=env, capture_output=True, text=True, timeout=300,
