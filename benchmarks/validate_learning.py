@@ -1,0 +1,62 @@
+"""End-to-end learning validation on synthetic data.
+
+Trains LIFFireNet_short with the self-supervised contrast-maximization loss
+on synthetic constant-flow sequences, then runs the AEE protocol — the
+trained model must beat the zero-flow baseline (AEE == mean |GT|).
+"""
+import os, sys, tempfile
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from evflow.data.synthetic import make_dataset
+from evflow.train import train
+from evflow.eval import evaluate
+from evflow.utils.checkpoint import load_checkpoint
+
+root = tempfile.mkdtemp()
+flows = [(16.0, -10.0), (-12.0, 8.0)]
+make_dataset(root, num_sequences=2, resolution=(48, 48), events_per_sec=60_000,
+             duration=1.0, flows=flows, gt_hz=10.0)
+
+cfg = {
+    "experiment": "validate",
+    "data": {"path": root, "mode": "events", "window": 500, "window_loss": 2000},
+    "model": {"name": "LIFFireNet_short", "encoding": "cnt", "round_encoding": False,
+              "num_bins": 2, "base_num_channels": 16, "kernel_size": 3,
+              "mask_output": True},
+    "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
+    "loss": {"flow_regul_weight": 0.001, "clip_grad": 1.0},
+    "optimizer": {"name": "Adam", "lr": 0.001},
+    "loader": {"n_epochs": 1000, "batch_size": 2, "resolution": [48, 48],
+               "std_resolution": [48, 48], "augment": [], "seed": 0},
+    "vis": {"verbose": False, "store_grads": False, "bars": False},
+    "hot_filter": {"enabled": False},
+}
+from evflow.config import combine_entries
+cfg = combine_entries(cfg)
+
+steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+run = train(cfg, path_runs=os.path.join(root, "runs"), max_steps=steps, verbose=True)
+
+eval_cfg = dict(cfg)
+eval_cfg["data"] = {"path": root, "mode": "gtflow_dt1", "window": 1}
+eval_cfg["metrics"] = {"name": ["AEE", "AAE"], "flow_scaling": 48}
+eval_cfg["loader"] = dict(cfg["loader"], batch_size=1)
+
+ck = os.path.join(run.dir, "checkpoints", "most_recent")
+if os.path.isdir(ck):
+    ck = os.path.join(ck, sorted(os.listdir(ck))[-1])
+else:
+    ck = None
+print("checkpoint:", ck)
+
+res_trained = evaluate(eval_cfg, checkpoint=ck, debug=True, verbose=False)
+res_random = evaluate(eval_cfg, checkpoint=None, debug=True, verbose=False)
+
+gt_mag = [np.hypot(fx*0.1, fy*0.1) for fx, fy in flows]
+print("\nGT displacement magnitudes per seq:", [f"{m:.2f}px" for m in gt_mag])
+for name, res in (("trained", res_trained), ("random", res_random)):
+    for f, v in sorted(res["AEE"].items()):
+        print(f"{name:8s} AEE {f}: {float(v):.3f} px")
