@@ -147,6 +147,11 @@ class H5EventStream:
         self.hot_idx = [0] * B
         self.hot_events = [np.zeros(self.resolution, np.float32) for _ in range(B)]
 
+        # temporal count mode (dataloader/base.py:280-308): channel 0 =
+        # (pos-neg) of the current window, channel 1 = previous window's
+        self.temporal_cnt = bool(config.get("model", {}).get("temporal_cnt", False))
+        self.prev_cnt: List[Optional[np.ndarray]] = [None] * B
+
         for b in range(B):
             self._open_slot(b, self.files[b % len(self.files)])
             self._resample_aug(b)
@@ -397,6 +402,14 @@ class H5EventStream:
                     else np.zeros((0, 2), np.float32)
                 )
             event_list = np.stack([tsn, ys, xs, ps], axis=-1) if xs.size else np.zeros((0, 4), np.float32)
+
+            if self.temporal_cnt:
+                curr = (event_cnt[..., 0] - event_cnt[..., 1])[..., None]
+                prev = self.prev_cnt[b]
+                if prev is None:
+                    prev = np.zeros_like(curr)
+                event_cnt = np.concatenate([curr, prev], axis=-1)
+                self.prev_cnt[b] = curr.copy()
 
             # hot pixel removal (h5.py:327-333)
             if self.hot_enabled:

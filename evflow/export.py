@@ -214,10 +214,26 @@ def export_model(
     height: int = 256,
     width: int = 256,
     seed: int = 0,
+    quantized: bool = False,
 ) -> Dict[str, str]:
     """Full-model export: StableHLO + golden inputs/outputs .npz
-    (Model_export.py export_to_onnx equivalent)."""
+    (Model_export.py export_to_onnx equivalent).
+
+    ``quantized=True`` exports int8-grid weights plus a quantization metadata
+    sidecar (Model_export_RealQuant.py / QCDQ-export equivalent)."""
     emodel, evars = export_variables_from_trained(model, variables)
+    if quantized:
+        from evflow.quant.fake_quant import quantize_weights_symmetric
+
+        qparams, scales = quantize_weights_symmetric(evars["params"])
+        evars = {"params": qparams}
+        os.makedirs(out_dir, exist_ok=True)
+        import yaml
+
+        with open(os.path.join(out_dir, "quant_metadata.yaml"), "w") as f:
+            yaml.safe_dump(
+                {"num_bits": 8, "weight_scales": scales,
+                 "zero_points": {k: 0 for k in scales}}, f)
     states = emodel.init_states(batch, height, width)
     # bind params once so the exported callable takes (x, states) only
     def fwd(x, states):

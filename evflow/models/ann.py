@@ -18,6 +18,7 @@ from evflow.models.cells import uniform_init
 
 __all__ = [
     "ConvLayer",
+    "ConvLayerStateful",
     "TransposedConvLayer",
     "UpsampleConvLayer",
     "RecurrentConvLayer",
@@ -92,6 +93,38 @@ class ConvLayer(nn.Module):
         if act is not None:
             out = act(out)
         return out
+
+
+class ConvLayerStateful(nn.Module):
+    """ConvLayer clone with a stateful interface + residual input
+    (submodules.py ConvLayer_ :116-135): accepts and passes through a dummy
+    state so it can stand in for spiking cells in mixed architectures."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, prev_state=None, train: bool = False, residual=0.0):
+        out = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding="SAME",
+            use_bias=self.norm != "BN",
+            dtype=self.dtype,
+            name="conv2d",
+        )(x)
+        if self.norm == "BN":
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9, axis=-1)(out)
+        out = out + residual
+        act = get_activation(self.activation)
+        if act is not None:
+            out = act(out)
+        return out, (prev_state if prev_state is not None else jnp.zeros(()))
 
 
 class TransposedConvLayer(nn.Module):

@@ -36,9 +36,11 @@ __all__ = [
     "SpikingRecurrentConvLayer",
     "SpikingResidualBlock",
     "SpikingUpsampleConvLayer",
+    "SpikingTransposedConvLayer",
     "SpikingMultiResUNetRecurrent",
     "SpikingRecEVFlowNet",
     "UNetRecurrent",
+    "MultiResUNet",
     "MultiResUNetRecurrent",
 ]
 
@@ -167,6 +169,19 @@ class SpikingResidualBlock(nn.Module):
             **kw,
         )(x1, states[1], train=train, residual=residual)
         return x2, (s1, s2)
+
+
+class SpikingTransposedConvLayer(nn.Module):
+    """Transposed spiking decoder layer — unimplemented in the reference too
+    (spiking_submodules.py:420-436 raises NotImplementedError)."""
+
+    input_size: int = 0
+    features: int = 0
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "SpikingTransposedConvLayer is not implemented (matches reference)"
+        )
 
 
 class SpikingUpsampleConvLayer(nn.Module):
@@ -514,6 +529,61 @@ class UNetRecurrent(nn.Module):
             name="pred",
         )(skip(x, head), train)
         return img, tuple(new_states)
+
+
+class MultiResUNet(nn.Module):
+    """ANN (non-recurrent) UNet with multires predictions
+    (models/unet.py:220-307)."""
+
+    num_bins: int
+    base_num_channels: int = 32
+    num_encoders: int = 4
+    num_residual_blocks: int = 2
+    num_output_channels: int = 2
+    channel_multiplier: int = 2
+    kernel_size: int = 3
+    skip_type: str = "concat"
+    norm: Optional[str] = None
+    final_activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        E = self.num_encoders
+        skip = skip_concat if self.skip_type == "concat" else skip_sum
+        in_sizes = [
+            int(self.base_num_channels * self.channel_multiplier**i) for i in range(E)
+        ]
+        out_sizes = [
+            int(self.base_num_channels * self.channel_multiplier ** (i + 1))
+            for i in range(E)
+        ]
+        blocks = []
+        for i, cout in enumerate(out_sizes):
+            x = ConvLayer(
+                cout, self.kernel_size, 2, norm=self.norm, name=f"encoder{i}"
+            )(x, train)
+            blocks.append(x)
+        for i in range(self.num_residual_blocks):
+            x, _ = ResidualBlock(out_sizes[-1], norm=self.norm, name=f"resblock{i}")(
+                x, train
+            )
+        predictions = []
+        for i, cout in enumerate(reversed(in_sizes)):
+            x = skip(x, blocks[E - i - 1])
+            if i > 0:
+                x = skip(predictions[-1], x)
+            x = UpsampleConvLayer(
+                cout, self.kernel_size, norm=self.norm, name=f"decoder{i}"
+            )(x, train)
+            predictions.append(
+                ConvLayer(
+                    self.num_output_channels,
+                    1,
+                    activation=self.final_activation,
+                    name=f"pred{i}",
+                )(x, train)
+            )
+        return predictions
 
 
 class MultiResUNetRecurrent(nn.Module):

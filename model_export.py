@@ -18,6 +18,9 @@ def main():
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--what", default="model",
                         choices=["model", "lif_layer", "conv_lif_layer"])
+    parser.add_argument("--quantized", action="store_true",
+                        help="int8-grid weights + quant metadata "
+                             "(Model_export_RealQuant.py equivalent)")
     args = parser.parse_args()
 
     from evflow import export as E
@@ -59,7 +62,8 @@ def main():
             variables = {"params": restored["params"],
                          "batch_stats": restored["batch_stats"]}
 
-    out = E.export_model(model, variables, args.out, height=H, width=W)
+    out = E.export_model(model, variables, args.out, height=H, width=W,
+                         quantized=args.quantized)
     for k, v in out.items():
         print(f"{k}: {v}")
 

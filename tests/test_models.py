@@ -224,3 +224,56 @@ def test_conv_impl_checkpoint_interchange():
     out_b, _ = m_mm.apply(v, None, cnt, states)
     np.testing.assert_allclose(np.asarray(out_a["flow"][0]),
                                np.asarray(out_b["flow"][0]), atol=1e-5)
+
+
+def test_temporal_cnt_mode(tmp_path):
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.data.synthetic import make_dataset
+
+    root = str(tmp_path / "d")
+    make_dataset(root, num_sequences=1, resolution=(32, 32), events_per_sec=20000,
+                 duration=0.3)
+    cfg = {
+        "data": {"path": root, "mode": "events", "window": 400},
+        "model": {"temporal_cnt": True},
+        "loader": {"resolution": [32, 32], "std_resolution": [32, 32],
+                   "batch_size": 1, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False}, "vis": {"bars": False},
+    }
+    s = H5EventStream(cfg, 2)
+    b1 = s.next_batch()
+    # first window: prev channel is zeros
+    assert np.allclose(b1["event_cnt"][0, ..., 1], 0.0)
+    b2 = s.next_batch()
+    # second window: prev channel == first window's (pos - neg)
+    assert not np.allclose(b2["event_cnt"][0, ..., 1], 0.0)
+    s.close()
+
+
+def test_multires_unet_ann():
+    from evflow.models.unet import MultiResUNet
+
+    m = MultiResUNet(num_bins=2, base_num_channels=4, num_encoders=2,
+                     num_residual_blocks=1)
+    x = jnp.ones((1, 32, 32, 2))
+    v = m.init(jax.random.PRNGKey(0), x)
+    preds = m.apply(v, x)
+    assert len(preds) == 2
+    assert preds[-1].shape == (1, 32, 32, 2)
+
+
+def test_conv_layer_stateful():
+    from evflow.models.ann import ConvLayerStateful
+
+    m = ConvLayerStateful(4)
+    x = jnp.ones((1, 8, 8, 2))
+    v = m.init(jax.random.PRNGKey(0), x, None)
+    out, st = m.apply(v, x, None, residual=1.0)
+    assert out.shape == (1, 8, 8, 4)
+
+
+def test_spiking_transposed_raises():
+    from evflow.models.unet import SpikingTransposedConvLayer
+
+    with pytest.raises(NotImplementedError):
+        SpikingTransposedConvLayer()(None, None)
