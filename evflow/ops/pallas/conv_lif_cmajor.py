@@ -49,68 +49,45 @@ def _lif_update(ff, mem, beta, theta, hard_reset):
 
 def _kernel(x_ref, w_ref, bias_ref, beta_ref, theta_ref, mem_ref,
             spk_out_ref, mem_out_ref, *, TH: int, W: int, Cin: int, C: int,
-            n_in: int, hard_reset: bool, unroll: bool):
+            n_in: int, hard_reset: bool, unroll: bool = True):
     """One (batch x row-tile) block, channel-major, 4-D refs.
 
     x_ref:   [1, n_in*Cin, TH+2, W+2] halo'd inputs (bf16)
     w_ref:   [C, n_in*9*Cin] transposed weights (bf16)
     bias/beta/theta_ref: [C, 1] (f32)
     mem_ref / outs: [1, C, TH, W] (f32)
+
+    The 3x3 conv is ONE ``dot_general`` contraction against a
+    ``[K, TH, W]`` patch stack built from 9 (18 for recurrent) static
+    sublane/lane slices — N = TH*W fills the MXU, no per-row loop.
+    (Mosaic here supports dot_general with a 3-D rhs; value-level
+    dynamic_slice and pltpu.roll do not compile — see BENCH_NOTES.md.)
     """
-    beta = beta_ref[:, 0][:, None]
-    theta = theta_ref[:, 0][:, None]
-    bias = bias_ref[:, 0][:, None]
+    beta = beta_ref[:, 0][:, None, None]
+    theta = theta_ref[:, 0][:, None, None]
+    bias = bias_ref[:, 0][:, None, None]
     wv = w_ref[:]
 
-    if unroll:
-        for r in range(TH):
-            rows = []
-            for s in range(n_in):
-                for dy in range(3):
-                    row = x_ref[0, s * Cin : (s + 1) * Cin, r + dy, :]  # [Cin, W+2]
-                    for dx in range(3):
-                        rows.append(row[:, dx : dx + W])
-            patches = jnp.concatenate(rows, axis=0)
-            ff = jnp.dot(wv, patches, preferred_element_type=jnp.float32) + bias
-            mem = mem_ref[0, :, r, :]
-            spk, mem2 = _lif_update(ff, mem, beta, theta, hard_reset)
-            spk_out_ref[0, :, r, :] = spk
-            mem_out_ref[0, :, r, :] = mem2
-        return
+    subs = []
+    for s in range(n_in):
+        for dy in range(3):
+            for dx in range(3):
+                subs.append(
+                    x_ref[0, s * Cin : (s + 1) * Cin, dy : dy + TH, dx : dx + W]
+                )
+    patches = jnp.concatenate(subs, axis=0)  # [K, TH, W]
 
-    xv = x_ref[0]  # [n_in*Cin, TH+2, W+2]
-    mv = mem_ref[0]  # [C, TH, W]
-
-    def body(r, carry):
-        spk_acc, mem_acc = carry
-        rows = []
-        for s in range(n_in):
-            for dy in range(3):
-                row = jax.lax.dynamic_slice_in_dim(xv, r + dy, 1, axis=1)[
-                    :, 0, :
-                ]  # [n_in*Cin, W+2]
-                sub = row[s * Cin : (s + 1) * Cin]
-                for dx in range(3):
-                    rows.append(jax.lax.slice_in_dim(sub, dx, dx + W, axis=1))
-        patches = jnp.concatenate(rows, axis=0)  # [K, W]
-        ff = jnp.dot(wv, patches, preferred_element_type=jnp.float32) + bias
-        mem = jax.lax.dynamic_slice_in_dim(mv, r, 1, axis=1)[:, 0, :]
-        spk, mem2 = _lif_update(ff, mem, beta, theta, hard_reset)
-        spk_acc = jax.lax.dynamic_update_slice_in_dim(
-            spk_acc, spk[:, None, :], r, axis=1
+    ff = (
+        jax.lax.dot_general(
+            wv, patches, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        mem_acc = jax.lax.dynamic_update_slice_in_dim(
-            mem_acc, mem2[:, None, :], r, axis=1
-        )
-        return spk_acc, mem_acc
-
-    init = (
-        jnp.zeros((C, TH, W), jnp.float32),
-        jnp.zeros((C, TH, W), jnp.float32),
-    )
-    spk_full, mem_full = jax.lax.fori_loop(0, TH, body, init)
-    spk_out_ref[0] = spk_full
-    mem_out_ref[0] = mem_full
+        + bias
+    )  # [C, TH, W]
+    mem = mem_ref[0]
+    spk, mem2 = _lif_update(ff, mem, beta, theta, hard_reset)
+    spk_out_ref[0] = spk
+    mem_out_ref[0] = mem2
 
 
 @functools.partial(jax.jit, static_argnames=("hard_reset", "tile_rows", "unroll"))
