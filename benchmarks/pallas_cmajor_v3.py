@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 import time, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
