@@ -166,3 +166,17 @@ def test_checkpoint_policy(tmp_path):
     assert w3["lowest_loss"] and not w3["smoothest_loss"]
     assert os.path.exists(pol.paths["most_recent"])
     assert "2" in pol.paths["lowest_loss"]
+
+
+def test_train_resume_from_checkpoint(dataset, tmp_path):
+    """--prev_runid resume path (train_flow.py:318-322 / utils.load_model)."""
+    import glob
+
+    cfg = train_cfg(dataset, batch=1)
+    # 2 sequences x 60 windows / (P=3 per step) ~= 40 steps to cross an epoch
+    run1 = train(cfg, path_runs=str(tmp_path / "r1"), max_steps=55, verbose=False)
+    cks = glob.glob(os.path.join(run1.dir, "checkpoints", "most_recent", "*"))
+    assert cks, "no checkpoint written"
+    run2 = train(cfg, path_runs=str(tmp_path / "r2"), prev_ckpt=cks[0],
+                 max_steps=2, verbose=False)
+    assert os.path.isdir(run2.dir)
