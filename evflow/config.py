@@ -19,7 +19,6 @@ import ast
 import copy
 from typing import Any, Dict, Mapping, Optional
 
-import numpy as np
 import yaml
 
 __all__ = ["default_config", "load_config", "parse_dict", "merge_configs", "combine_entries", "Config"]

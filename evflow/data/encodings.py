@@ -17,7 +17,7 @@ vs. the reference's ``[C, H, W]``.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

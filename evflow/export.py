@@ -21,7 +21,7 @@ reference — SURVEY.md §6 quirks):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

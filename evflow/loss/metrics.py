@@ -19,7 +19,6 @@ accumulate error heatmaps host-side.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ initializes zeros (the reference's lazy init at first forward).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax

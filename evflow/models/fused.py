@@ -11,11 +11,10 @@ tests/test_pallas.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from evflow.ops.lif import LIFState, THRESH_MIN
 from evflow.ops.pallas.conv_lif import fused_conv_lif

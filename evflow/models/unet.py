@@ -18,7 +18,7 @@ decoder), explicit in/out as everywhere else in evflow.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -33,7 +33,7 @@ evflow.ops.pallas.conv_lif / ops.lif.leaky_step at spike time.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -103,7 +103,8 @@ def _make_kernel(layers, TH: int, E: int, W: int, Cin: int, C: int,
         sx = refs[idx]; idx += 1
         sm = refs[idx : idx + n_layers]; idx += n_layers
         ss = refs[idx : idx + n_rec]; idx += n_rec
-        sems = refs[idx]; idx += 1
+        n_dma = 1 + n_layers + n_rec
+        sems = refs[idx : idx + n_dma]; idx += n_dma
 
         b = pl.program_id(0)
         i = pl.program_id(1)
@@ -111,14 +112,14 @@ def _make_kernel(layers, TH: int, E: int, W: int, Cin: int, C: int,
 
         copies = []
         copies.append(pltpu.make_async_copy(
-            x_hbm.at[b, :, pl.ds(r0, E), :], sx, sems.at[0]))
+            x_hbm.at[b, :, pl.ds(r0, E), :], sx, sems[0]))
         for l in range(n_layers):
             copies.append(pltpu.make_async_copy(
-                mem_hbm[l].at[b, :, pl.ds(r0, E), :], sm[l], sems.at[1 + l]))
+                mem_hbm[l].at[b, :, pl.ds(r0, E), :], sm[l], sems[1 + l]))
         for s in range(n_rec):
             copies.append(pltpu.make_async_copy(
                 spk_hbm[s].at[b, :, pl.ds(r0, E), :], ss[s],
-                sems.at[1 + n_layers + s]))
+                sems[1 + n_layers + s]))
         for c in copies:
             c.start()
         for c in copies:
@@ -139,9 +140,9 @@ def _make_kernel(layers, TH: int, E: int, W: int, Cin: int, C: int,
                 w_refs[l][:], pat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            bias = params_ref[0, l, :][:, None, None]
-            beta = params_ref[1, l, :][:, None, None]
-            theta = params_ref[2, l, :][:, None, None]
+            bias = params_ref[:, 3 * l + 0][:, None, None]
+            beta = params_ref[:, 3 * l + 1][:, None, None]
+            theta = params_ref[:, 3 * l + 2][:, None, None]
             ff = ff + bias
             mem = sm[l][:, out_lo:out_hi, :].astype(jnp.float32)
             spk, mem2 = _lif(ff, mem, beta, theta, hard_reset)
@@ -162,7 +163,7 @@ def _make_kernel(layers, TH: int, E: int, W: int, Cin: int, C: int,
             predw_ref[:], hc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        flow = jnp.tanh(flow + predb_ref[0, :][:, None, None])
+        flow = jnp.tanh(flow + predb_ref[:, 0][:, None, None])
         flow_out[0] = flow
 
     return kernel
@@ -177,9 +178,9 @@ def fused_firenet_step(
     mems_pad: Tuple[jax.Array, ...],
     spks_pad: Tuple[jax.Array, ...],
     weights: Tuple[jax.Array, ...],
-    params: jax.Array,  # [3, n_layers, C]: bias / beta / theta rows
+    params: jax.Array,  # [C, 3*n_layers]: per layer (bias, beta, theta) cols
     pred_w: jax.Array,  # [2, C]
-    pred_b: jax.Array,  # [1, 2]
+    pred_b: jax.Array,  # [2, 1]
     recurrent_slots: Tuple[int, ...],  # layer index -> spk slot, -1 if ff
     tile_rows: int = 16,
     hard_reset: bool = True,
@@ -230,7 +231,7 @@ def fused_firenet_step(
         [pltpu.VMEM((Cin, E, W), jnp.bfloat16)]
         + [pltpu.VMEM((C, E, W), state_dtype) for _ in range(n_layers)]
         + [pltpu.VMEM((C, E, W), jnp.bfloat16) for _ in range(n_rec)]
-        + [pltpu.SemaphoreType.DMA((1 + n_layers + n_rec,))]
+        + [pltpu.SemaphoreType.DMA for _ in range(1 + n_layers + n_rec)]
     )
 
     outs = pl.pallas_call(
@@ -298,12 +299,15 @@ class PallasFusedFireNet:
             betas.append(np.asarray(e["beta"], np.float32))
             thetas.append(np.asarray(e["theta"], np.float32))
         self.weights = tuple(ws)
-        self.params = jnp.asarray(np.stack([biases, betas, thetas]))  # [3, L, C]
+        cols = []
+        for l in range(len(ws)):
+            cols += [biases[l], betas[l], thetas[l]]
+        self.params = jnp.asarray(np.stack(cols, axis=1))  # [C, 3*L]
         self.pred_w = jnp.asarray(
             np.asarray(base.params["pred"]["w"], np.float32).reshape(self.C, 2).T
         )
         self.pred_b = jnp.asarray(
-            np.asarray(base.params["pred"]["b"], np.float32).reshape(1, 2)
+            np.asarray(base.params["pred"]["b"], np.float32).reshape(2, 1)
         )
 
     def init_states(self, batch: int, height: int, width: int,

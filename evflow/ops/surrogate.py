@@ -13,7 +13,6 @@ surrogate used by the snn.Leaky-based cells
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ VPU (pure elementwise; XLA fuses them into the surrounding convs).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

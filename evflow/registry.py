@@ -6,7 +6,7 @@ eval_flow.py:149,159) with whitelisted factories.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict
 
 import optax
 

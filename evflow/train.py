@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -40,7 +39,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from evflow import registry
 from evflow.data.h5_stream import H5EventStream
 from evflow.loss.warp_loss import EventWarpingConfig
-from evflow.parallel.mesh import make_mesh
 from evflow.utils.checkpoint import CheckpointPolicy, load_checkpoint
 from evflow.utils.tracker import Run, grad_stats, save_csv
 

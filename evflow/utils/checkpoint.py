@@ -29,7 +29,6 @@ import yaml
 
 import flax
 import jax
-import jax.numpy as jnp
 
 __all__ = [
     "save_checkpoint",
