@@ -1,15 +1,14 @@
 import sys; sys.path.insert(0, "/root/repo")
-import time, jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 from evflow.ops.pallas.fused_net import fused_firenet_step
 
 B, H, W, C, TH = 2, 64, 256, 32, 16
 Hp = H + 2 * TH
 
-def trial(name, layer_recs, Cin=2):
+def trial(name, layer_recs, Cin):
     n = len(layer_recs)
-    slots = []
-    s = 0
+    slots = []; s = 0
     for r in layer_recs:
         slots.append(s if r else -1)
         if r: s += 1
@@ -33,11 +32,9 @@ def trial(name, layer_recs, Cin=2):
         print(f"{name}: OK", flush=True)
         return True
     except Exception as e:
-        print(f"{name}: FAIL {repr(e)[:130]}", flush=True)
+        print(f"{name}: FAIL {repr(e)[:110]}", flush=True)
         return False
 
-trial("1 ff", [False])
-trial("2 ff", [False, False])
-trial("1ff+1rec", [False, True])
-trial("7 ff", [False]*7)
-trial("full (2 rec)", [False, True, False, False, True, False, False])
+trial("2ff cin32", [False, False], 32)
+trial("2ff cin8", [False, False], 8)
+trial("2ff cin2 again", [False, False], 2)

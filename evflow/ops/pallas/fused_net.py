@@ -45,17 +45,18 @@ __all__ = ["fused_firenet_step", "PallasFusedFireNet"]
 
 
 def _lif(ff, mem, beta, theta, hard_reset: bool):
+    # algebraically reduced snn.Leaky update (reset_delay=False); the
+    # select form compiles where the arithmetic form ICEs this Mosaic
+    if hard_reset:
+        # u = (1 - H(mem - theta)) * (beta*mem + ff);  mem' = (1 - spk) * u
+        u = jnp.where(mem > theta, jnp.zeros_like(ff), beta * mem + ff)
+        spk = (u > theta).astype(ff.dtype)
+        mem2 = jnp.where(u > theta, jnp.zeros_like(u), u)
+        return spk, mem2
     reset_prev = (mem > theta).astype(ff.dtype)
-    base = beta * mem + ff
-    if hard_reset:
-        u = base - reset_prev * base
-    else:
-        u = base - reset_prev * theta
+    u = beta * mem + ff - reset_prev * theta
     spk = (u > theta).astype(ff.dtype)
-    if hard_reset:
-        mem2 = u - (spk - reset_prev) * u
-    else:
-        mem2 = u - (spk - reset_prev) * theta
+    mem2 = u - (spk - reset_prev) * theta
     return spk, mem2
 
 
@@ -93,9 +94,9 @@ def _make_kernel(layers, TH: int, E: int, W: int, Cin: int, C: int,
         mem_hbm = refs[idx : idx + n_layers]; idx += n_layers
         spk_hbm = refs[idx : idx + n_rec]; idx += n_rec
         w_refs = refs[idx : idx + n_layers]; idx += n_layers
-        params_ref = refs[idx]; idx += 1
-        predw_ref = refs[idx]; idx += 1  # [C, 2] pred kernel (+ bias in params row 3?)
-        predb_ref = refs[idx]; idx += 1  # [1, 2]
+        param_refs = refs[idx : idx + n_layers]; idx += n_layers  # each [C, 3]
+        predw_ref = refs[idx]; idx += 1  # [2, C] pred kernel
+        predb_ref = refs[idx]; idx += 1  # [2, 1]
         mem_out = refs[idx : idx + n_layers]; idx += n_layers
         spk_out = refs[idx : idx + n_rec]; idx += n_rec
         flow_out = refs[idx]; idx += 1
@@ -140,9 +141,9 @@ def _make_kernel(layers, TH: int, E: int, W: int, Cin: int, C: int,
                 w_refs[l][:], pat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            bias = params_ref[:, 3 * l + 0][:, None, None]
-            beta = params_ref[:, 3 * l + 1][:, None, None]
-            theta = params_ref[:, 3 * l + 2][:, None, None]
+            bias = param_refs[l][:, 0][:, None, None]
+            beta = param_refs[l][:, 1][:, None, None]
+            theta = param_refs[l][:, 2][:, None, None]
             ff = ff + bias
             mem = sm[l][:, out_lo:out_hi, :].astype(jnp.float32)
             spk, mem2 = _lif(ff, mem, beta, theta, hard_reset)
@@ -178,7 +179,7 @@ def fused_firenet_step(
     mems_pad: Tuple[jax.Array, ...],
     spks_pad: Tuple[jax.Array, ...],
     weights: Tuple[jax.Array, ...],
-    params: jax.Array,  # [C, 3*n_layers]: per layer (bias, beta, theta) cols
+    params: Tuple[jax.Array, ...],  # per layer [C, 3] (bias, beta, theta) cols
     pred_w: jax.Array,  # [2, C]
     pred_b: jax.Array,  # [2, 1]
     recurrent_slots: Tuple[int, ...],  # layer index -> spk slot, -1 if ff
@@ -238,7 +239,7 @@ def fused_firenet_step(
         kernel,
         grid=(B, n_tiles),
         in_specs=(
-            [any_spec] * (1 + n_layers + n_rec) + [vmem] * (n_layers + 3)
+            [any_spec] * (1 + n_layers + n_rec) + [vmem] * (2 * n_layers + 2)
         ),
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -248,7 +249,7 @@ def fused_firenet_step(
         *mems_pad,
         *[s.astype(jnp.bfloat16) for s in spks_pad],
         *[w.astype(jnp.bfloat16) for w in weights],
-        params,
+        *params,
         pred_w.astype(jnp.bfloat16),
         pred_b,
     )
@@ -299,10 +300,10 @@ class PallasFusedFireNet:
             betas.append(np.asarray(e["beta"], np.float32))
             thetas.append(np.asarray(e["theta"], np.float32))
         self.weights = tuple(ws)
-        cols = []
-        for l in range(len(ws)):
-            cols += [biases[l], betas[l], thetas[l]]
-        self.params = jnp.asarray(np.stack(cols, axis=1))  # [C, 3*L]
+        self.params = tuple(
+            jnp.asarray(np.stack([biases[l], betas[l], thetas[l]], axis=1))
+            for l in range(len(ws))
+        )  # per layer [C, 3]
         self.pred_w = jnp.asarray(
             np.asarray(base.params["pred"]["w"], np.float32).reshape(self.C, 2).T
         )
