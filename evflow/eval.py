@@ -252,9 +252,16 @@ def evaluate(
                     "dt_gt": jnp.asarray(batch["dt_gt"]),
                     "dt_input": jnp.asarray(batch["dt_input"]),
                 }
+                overwrite = bool(
+                    config.get("loss", {}).get("overwrite_intermediate", False)
+                )
                 for c in criteria:
                     c.event_flow_association(flows, inputs)
                 for i, mname in enumerate(names):
+                    # overwrite intermediate flows with the final estimate
+                    # (eval_flow.py:271-272)
+                    if overwrite:
+                        criteria[i].overwrite_intermediate_flow(flows)
                     if mname == "AEE" and float(batch["dt_gt"][0]) <= 0.0:
                         continue
                     if mname == "AEE":

@@ -180,3 +180,39 @@ def test_train_resume_from_checkpoint(dataset, tmp_path):
     run2 = train(cfg, path_runs=str(tmp_path / "r2"), prev_ckpt=cks[0],
                  max_steps=2, verbose=False)
     assert os.path.isdir(run2.dir)
+
+
+def test_evaluate_dt4_fractional_window(dataset, tmp_path):
+    """gtflow_dt4 with window=0.25: AEE computed at cadence round(1/w)=4
+    (eval_flow.py:273-278)."""
+    cfg = eval_cfg(dataset)
+    cfg["data"] = {"path": dataset, "mode": "gtflow_dt4", "window": 0.25}
+    cfg["metrics"] = {"name": ["AEE"], "flow_scaling": 32}
+    results = evaluate(cfg, path_results=str(tmp_path / "r"), debug=True,
+                       max_windows=10, verbose=False)
+    assert "AEE" in results and results["AEE"]
+    for v in results["AEE"].values():
+        assert np.isfinite(float(v))
+
+
+def test_evaluate_multires_model(dataset, tmp_path):
+    """SpikingRecEVFlowNet (4 multires flows) under the eval protocol."""
+    cfg = eval_cfg(dataset)
+    cfg["model"] = {
+        "name": "SpikingRecEVFlowNet", "encoding": "cnt", "num_bins": 2,
+        "base_num_channels": 4, "kernel_size": 3, "mask_output": True,
+        "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.0]},
+    }
+    results = evaluate(cfg, path_results=str(tmp_path / "r"), debug=True,
+                       max_windows=3, verbose=False)
+    for v in results["AEE"].values():
+        assert np.isfinite(float(v))
+
+
+def test_evaluate_overwrite_intermediate(dataset, tmp_path):
+    cfg = eval_cfg(dataset)
+    cfg["loss"]["overwrite_intermediate"] = True
+    results = evaluate(cfg, path_results=str(tmp_path / "r"), debug=True,
+                       max_windows=3, verbose=False)
+    for v in results["AEE"].values():
+        assert np.isfinite(float(v))
