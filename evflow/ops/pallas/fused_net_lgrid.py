@@ -43,37 +43,40 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int,
 
     def kernel(x_hbm, mem_hbm, spk_hbm, w_ref, p_ref, predw_ref, predb_ref,
                mem_out, spk_out, flow_out,
-               hbuf, smem, saux, sem_x, sem_m, sem_a):
+               hbuf, smem_all, saux_all, sem_x, sem_a0, sem_a1, *sems_m):
         b = pl.program_id(0)
         i = pl.program_id(1)
         l = pl.program_id(2)
         r0 = i * TH + (TH - 8)
 
-        # layer 0: load this tile's input activation window
+        # tile prologue (l == 0): launch ALL state DMAs for this tile at once
+        # so their latencies overlap; the layer sweep is then pure compute
         @pl.when(l == 0)
         def _():
-            dma = pltpu.make_async_copy(
+            dx = pltpu.make_async_copy(
                 x_hbm.at[b, :, pl.ds(r0, E), :], hbuf, sem_x)
-            dma.start()
-            dma.wait()
-
-        # membrane tile for this layer
-        dma_m = pltpu.make_async_copy(
-            mem_hbm.at[l, b, :, pl.ds(r0, E), :], smem, sem_m)
-        dma_m.start()
+            dx.start()
+            dms = []
+            for ll in range(L):
+                d = pltpu.make_async_copy(
+                    mem_hbm.at[ll, b, :, pl.ds(r0, E), :],
+                    smem_all.at[ll], sems_m[ll])
+                d.start()
+                dms.append(d)
+            das = []
+            for s, lid in enumerate(rec_layer_ids):
+                d = pltpu.make_async_copy(
+                    spk_hbm.at[lid, b, :, pl.ds(r0, E), :],
+                    saux_all.at[s], (sem_a0, sem_a1)[s])
+                d.start()
+                das.append(d)
+            dx.wait()
+            for d in dms:
+                d.wait()
+            for d in das:
+                d.wait()
 
         is_rec = jnp.logical_or(l == rec0, l == rec1)
-
-        @pl.when(is_rec)
-        def _():
-            # a recurrent layer reads its OWN previous spikes (reference
-            # rec conv input is prev_state.spk of the same unit)
-            dma_a = pltpu.make_async_copy(
-                spk_hbm.at[l, b, :, pl.ds(r0, E), :], saux, sem_a)
-            dma_a.start()
-            dma_a.wait()
-
-        dma_m.wait()
 
         def dy_group_patches(src, dy):
             """[C, E, W] value -> [3C, E, W] (dx in {0,1,2}) for one dy."""
@@ -94,9 +97,10 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int,
                 wv[:, dy * 3 * C : (dy + 1) * 3 * C], pg,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-        # recurrent half (zeros contribution skipped for feedforward layers)
+        # recurrent half (skipped entirely for feedforward layers)
         def rec_contrib():
-            av = saux[:]
+            slot = jnp.where(l == rec0, 0, 1)
+            av = saux_all[pl.ds(slot, 1)][0]
             out = ff
             for dy in range(3):
                 pg = dy_group_patches(av, dy)
@@ -113,7 +117,7 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int,
         beta = pv[:, 1][:, None, None]
         theta = pv[:, 2][:, None, None]
         ff = ff + bias
-        mem = smem[:].astype(jnp.float32)
+        mem = smem_all[pl.ds(l, 1)][0].astype(jnp.float32)
 
         # single LIF instance (snn.Leaky inference, reset_delay=False)
         if hard_reset:
@@ -186,13 +190,13 @@ def fused_firenet_step_lgrid(
             jax.ShapeDtypeStruct((B, 2, H, W), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((C, E, W), jnp.bfloat16),   # hbuf
-            pltpu.VMEM((C, E, W), state_dtype),    # smem
-            pltpu.VMEM((C, E, W), jnp.bfloat16),   # saux
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+            pltpu.VMEM((C, E, W), jnp.bfloat16),        # hbuf
+            pltpu.VMEM((L, C, E, W), state_dtype),      # smem_all
+            pltpu.VMEM((2, C, E, W), jnp.bfloat16),     # saux_all
+            pltpu.SemaphoreType.DMA,                    # sem_x
+            pltpu.SemaphoreType.DMA,                    # sem_a0
+            pltpu.SemaphoreType.DMA,                    # sem_a1
+        ] + [pltpu.SemaphoreType.DMA for _ in range(L)],
     )(
         x_pad.astype(jnp.bfloat16),
         mem_stack,
