@@ -74,8 +74,11 @@ def _make_kernel(L: int, R: int, TH: int, E: int, W: int, C: int,
             return jnp.concatenate(
                 [sub[:, :, dx_ : dx_ + W] for dx_ in range(3)], axis=0)
 
-        def body(l, carry):
-            wv = w_ref[pl.ds(l, 1)][0]  # [C, 18C]
+        # static unroll over layers: all indices are Python ints, so no
+        # dynamic gathers are generated (the fori_loop form hits
+        # "Only 2D gather is supported" on this toolchain)
+        for l in range(L):
+            wv = w_ref[l]  # [C, 18C]
             hv = hbuf[:]
             ff = jnp.zeros((C, E, W), jnp.float32)
             for dy in range(3):
@@ -85,28 +88,22 @@ def _make_kernel(L: int, R: int, TH: int, E: int, W: int, C: int,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            is_rec = jnp.logical_or(l == rec0, l == rec1)
-
-            def rec_contrib():
-                slot = jnp.where(l == rec0, 0, 1)
-                av = saux_all[pl.ds(slot, 1)][0]
-                out = ff
+            if l in rec_layer_ids:
+                slot = rec_layer_ids.index(l)
+                av = saux_all[slot]
                 for dy in range(3):
                     pg = dy_group_patches(av, dy)
-                    out = out + jax.lax.dot_general(
+                    ff = ff + jax.lax.dot_general(
                         wv[:, (9 + dy * 3) * C : (9 + (dy + 1) * 3) * C], pg,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                return out
 
-            ff2 = jax.lax.cond(is_rec, rec_contrib, lambda: ff)
-
-            pv = p_ref[pl.ds(l, 1)][0]  # [C, 3]
+            pv = p_ref[l]  # [C, 3]
             bias = pv[:, 0][:, None, None]
             beta = pv[:, 1][:, None, None]
             theta = pv[:, 2][:, None, None]
-            ffb = ff2 + bias
-            mem = smem_all[pl.ds(l, 1)][0].astype(jnp.float32)
+            ffb = ff + bias
+            mem = smem_all[l].astype(jnp.float32)
 
             if hard_reset:
                 u = jnp.where(mem > theta, jnp.zeros_like(ffb), beta * mem + ffb)
@@ -118,18 +115,12 @@ def _make_kernel(L: int, R: int, TH: int, E: int, W: int, C: int,
                 spk = (u > theta).astype(jnp.float32)
                 mem2 = u - (spk - reset_prev) * theta
 
-            sout_m[pl.ds(l, 1)] = mem2[None, :, 8 : 8 + TH, :].astype(state_dtype)
-
-            @pl.when(is_rec)
-            def _():
-                slot = jnp.where(l == rec0, 0, 1)
-                sout_s[pl.ds(slot, 1)] = spk[None, :, 8 : 8 + TH, :].astype(
+            sout_m[l] = mem2[:, 8 : 8 + TH, :].astype(state_dtype)
+            if l in rec_layer_ids:
+                sout_s[rec_layer_ids.index(l)] = spk[:, 8 : 8 + TH, :].astype(
                     state_dtype)
 
             hbuf[:] = spk.astype(jnp.bfloat16)
-            return carry
-
-        jax.lax.fori_loop(0, L, body, 0)
 
         mem_out[:, 0] = sout_m[:]
         spk_out[:, 0] = sout_s[:]
