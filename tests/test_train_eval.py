@@ -216,3 +216,32 @@ def test_evaluate_overwrite_intermediate(dataset, tmp_path):
                        max_windows=3, verbose=False)
     for v in results["AEE"].values():
         assert np.isfinite(float(v))
+
+
+def test_train_multires_model(dataset, tmp_path):
+    """SpikingRecEVFlowNet training: 4 multires flows feed the loss
+    (EventWarping averages over all scales, loss/flow.py:195-301)."""
+    cfg = train_cfg(dataset, batch=1)
+    cfg["model"] = {
+        "name": "SpikingRecEVFlowNet", "encoding": "cnt", "round_encoding": False,
+        "num_bins": 2, "base_num_channels": 4, "kernel_size": 3,
+        "mask_output": True,
+        "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.0]},
+    }
+    run = train(cfg, path_runs=str(tmp_path / "runs"), max_steps=2, verbose=False)
+    assert os.path.isdir(run.dir)
+
+
+def test_train_with_tebn(dataset, tmp_path):
+    cfg = train_cfg(dataset, batch=1)
+    cfg["model"]["tebn"] = {"enabled": True, "num_timesteps": 3}
+    run = train(cfg, path_runs=str(tmp_path / "runs"), max_steps=2, verbose=False)
+    assert os.path.isdir(run.dir)
+
+
+def test_train_qat_model(dataset, tmp_path):
+    """QAT: quantization.enabled builds fake-quant hooks into the train graph."""
+    cfg = train_cfg(dataset, batch=1)
+    cfg["model"]["quantization"] = {"enabled": True, "PTQ": False, "Conv_only": False}
+    run = train(cfg, path_runs=str(tmp_path / "runs"), max_steps=2, verbose=False)
+    assert os.path.isdir(run.dir)
