@@ -80,11 +80,39 @@ def stack_window(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return out
 
 
+def compact_window(window: Dict[str, np.ndarray], encoding: str) -> Dict[str, Any]:
+    """Shrink the host->device wire for one TBPTT window.
+
+    The model reads exactly one encoding (models/model.py:146-161), so the
+    other is dropped (None is pytree-empty and uploads nothing), and masks /
+    counts travel as uint8/float16 — the jitted step casts back to f32, so
+    numerics are unchanged (counts and masks are exactly representable).
+    Event coordinates/timestamps stay f32. This roughly halves bytes on the
+    host→device link, which dominates train wall-clock on latency- or
+    bandwidth-bound interconnects.
+    """
+    w: Dict[str, Any] = dict(window)
+    if encoding == "voxel":
+        w["event_cnt"] = None
+    else:
+        w["event_voxel"] = None
+    for k in ("event_mask", "event_list_pol_mask", "event_valid"):
+        w[k] = w[k].astype(np.uint8)
+    if w.get("event_cnt") is not None:
+        w["event_cnt"] = w["event_cnt"].astype(np.float16)
+    return w
+
+
 def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int = 4):
     """Build the jitted TBPTT train step."""
 
     def train_step(params, batch_stats, opt_state, states, window):
-        tsteps = jnp.arange(window["event_cnt"].shape[0]) % num_timesteps
+        # restore f32 from the compact wire dtypes (no-op for f32 callers)
+        window = {
+            k: (v.astype(jnp.float32) if v is not None else None)
+            for k, v in window.items()
+        }
+        tsteps = jnp.arange(window["event_list"].shape[0]) % num_timesteps
 
         def loss_fn(p):
             def step(carry, inp):
@@ -212,6 +240,20 @@ def train(
     pending: List[dict] = []
     steps = 0
     t_start = time.time()
+    encoding = model_cfg.get("encoding", "cnt")
+    inflight_loss = None  # device scalar of the step in flight (fetch deferred
+    # one iteration so host loading/upload overlaps device compute)
+
+    def flush_loss():
+        nonlocal inflight_loss, train_loss
+        if inflight_loss is not None:
+            lv = float(inflight_loss)
+            train_loss += lv
+            recent_losses.append(lv)
+            if len(recent_losses) > 50:
+                recent_losses.pop(0)
+            inflight_loss = None
+
     while True:
         batch = data.next_batch()
 
@@ -221,6 +263,7 @@ def train(
             states = model.init_states(B, H, W)
 
         if batch["epoch_done"]:
+            flush_loss()
             avg = train_loss / (data.samples + 1)
             var = float(np.var(recent_losses)) if len(recent_losses) > 1 else float("inf")
             run.log_metric("loss", avg, step=data.epoch)
@@ -254,17 +297,14 @@ def train(
         if len(pending) < P_:
             continue
 
-        window = _shard_window(stack_window(pending), mesh)
+        window = _shard_window(compact_window(stack_window(pending), encoding), mesh)
         pending = []
+        flush_loss()  # previous step has long finished; fetch is cheap now
         loss, params, batch_stats, opt_state, states, grads = step_fn(
             params, batch_stats, opt_state, states, window
         )
-        loss_val = float(loss)
-        train_loss += loss_val
+        inflight_loss = loss
         data.samples += B
-        recent_losses.append(loss_val)
-        if len(recent_losses) > 50:
-            recent_losses.pop(0)
         if store_grads:
             grads_rows.append(grad_stats(jax.device_get(grads)))
         steps += 1
@@ -278,5 +318,6 @@ def train(
         if max_steps is not None and steps >= max_steps:
             break
 
+    flush_loss()
     data.close()
     return run

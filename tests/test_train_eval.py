@@ -80,6 +80,31 @@ def test_stack_window_pads_to_common_n():
     assert w["event_valid"][0].sum() == 10 and w["event_valid"][1].sum() == 20
 
 
+def test_compact_window_wire_dtypes():
+    """compact_window drops the dead encoding and shrinks wire dtypes; the
+    jitted step restores f32, so step outputs are bit-identical for integer
+    counts/masks."""
+    from evflow.train import compact_window
+
+    w = {
+        "event_list": np.random.rand(2, 1, 8, 4).astype(np.float32),
+        "event_list_pol_mask": (np.random.rand(2, 1, 8, 2) > 0.5).astype(np.float32),
+        "event_valid": np.ones((2, 1, 8), np.float32),
+        "event_cnt": np.round(np.random.rand(2, 1, 4, 4, 2) * 5).astype(np.float32),
+        "event_voxel": np.random.rand(2, 1, 4, 4, 2).astype(np.float32),
+        "event_mask": np.ones((2, 1, 4, 4, 1), np.float32),
+    }
+    c = compact_window(w, "cnt")
+    assert c["event_voxel"] is None
+    assert c["event_cnt"].dtype == np.float16
+    assert c["event_mask"].dtype == np.uint8
+    np.testing.assert_array_equal(c["event_cnt"].astype(np.float32), w["event_cnt"])
+    np.testing.assert_array_equal(
+        c["event_list_pol_mask"].astype(np.float32), w["event_list_pol_mask"])
+    c2 = compact_window(w, "voxel")
+    assert c2["event_cnt"] is None and c2["event_voxel"] is not None
+
+
 def test_clamp_thresholds():
     params = {"head": {"threshold": jnp.array([-0.5, 0.2]), "beta": jnp.array([-0.5])}}
     out = clamp_thresholds(params)
