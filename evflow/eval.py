@@ -192,7 +192,12 @@ def evaluate(
                 for c in criteria:
                     c.reset()
 
-            voxel = jnp.asarray(batch["event_voxel"])
+            # upload only the encoding the model reads (models/model.py:146-161
+            # selects one; shipping the dead one wastes host->device bandwidth)
+            encoding = model_cfg.get("encoding", "cnt")
+            voxel = (
+                jnp.asarray(batch["event_voxel"]) if encoding == "voxel" else None
+            )
             cnt = jnp.asarray(batch["event_cnt"])
             flows, states, activity = step_fn(variables, voxel, cnt, states)
             flows = list(flows)
