@@ -1,5 +1,7 @@
 """Pallas fused conv+LIF kernel: parity with the XLA path (interpret mode)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,3 +188,34 @@ def test_fused_firenet_cmajor_layout():
         fa, _ = a.step(a.params, jnp.asarray(cnt), a.init_states(B, H, W))
         fb, _ = b.step(b.params, jnp.asarray(cnt), b.init_states(B, H, W))
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-5)
+
+
+def test_wholenet_kernels_match_layer_grid():
+    """v7 (layer fori_loop) and v8 (batch-grid) whole-net kernels are
+    bit-identical to the v5 layer-grid kernel across steps."""
+    from evflow.ops.pallas.fused_net_batch import BatchFusedFireNet
+    from evflow.ops.pallas.fused_net_lgrid import LayerGridFusedFireNet
+    from evflow.ops.pallas.fused_net_loop2 import LoopFusedFireNet2
+
+    cfg = {"name": "LIFFireNet", "num_bins": 2, "base_num_channels": 8,
+           "kernel_size": 3, "encoding": "cnt",
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    model = build_model(cfg)
+    B, H, W = 1, 16, 16
+    rng = np.random.default_rng(0)
+    cnt = jnp.asarray(rng.poisson(0.3, (B, H, W, 2)).astype(np.float32))
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, cnt, states)
+
+    runners = [LayerGridFusedFireNet(model, v, tile_rows=8),
+               LoopFusedFireNet2(model, v, tile_rows=8),
+               BatchFusedFireNet(model, v, tile_rows=8)]
+    sts = [r.init_states(B, H, W) for r in runners]
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(2):
+            flows = []
+            for k, r in enumerate(runners):
+                f, sts[k] = r.step(cnt, sts[k])
+                flows.append(np.asarray(f))
+            np.testing.assert_array_equal(flows[0], flows[1])
+            np.testing.assert_array_equal(flows[0], flows[2])
