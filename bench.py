@@ -6,9 +6,12 @@ membrane state carried across windows. Batch B parallel sequences (the
 reference's batch-slot semantics) x a jitted lax.scan over T consecutive
 windows; throughput counts T*B windows.
 
-Measured configuration: the flax model with im2col-matmul convs and bfloat16
-conv compute (the honest user-facing eval path; see BENCH_NOTES.md for the
-full variant study and the hardware-bandwidth roofline of this chip).
+Measured configuration: the flax model with dy-packed matmul convs
+(evflow/ops/dypack.py: vertical taps packed into the GEMM's output dim,
+N=3C=96 -> 3x the MXU lane use of plain im2col) and bfloat16 conv compute +
+bf16 membrane carries — the honest user-facing eval path; accuracy of this
+exact config is evidenced by tests/test_bf16_parity.py (AEE within 1% of
+f32 over ~240 windows). See BENCH_NOTES.md for the variant study.
 
 Timing note: on the tunneled axon backend ``block_until_ready`` does not
 synchronize — a scalar fetch does, so we reduce the flows inside the scan
@@ -42,7 +45,7 @@ def bench(B=8, H=256, W=256, T=64, channels=32, iters=4):
         "encoding": "cnt",
         "compute_dtype": "bfloat16",
         "state_dtype": "bfloat16",
-        "conv_impl": "im2col",
+        "conv_impl": "dypack",
         "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
     }
     model = build_model(cfg)

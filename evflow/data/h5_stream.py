@@ -552,13 +552,19 @@ class H5EventStream:
         batch["new_seq"] = np.array(flags, np.bool_)
         batch["epoch_done"] = self.seq_num >= len(self.files)
         batch["seq_num"] = self.seq_num
+        if batch["epoch_done"]:
+            # roll the sequence cursor producer-side so a Prefetcher worker can
+            # keep streaming the next epoch before the consumer reacts to the
+            # epoch_done flag (which rides in the batch itself)
+            self.seq_num = self.seq_num % len(self.files)
         return batch
 
     def end_epoch(self):
-        """Roll the epoch counter (train_flow.py:216-219)."""
+        """Consumer-side epoch bookkeeping (train_flow.py:216-219). The
+        sequence cursor itself rolls inside ``next_batch`` so that prefetch
+        threads can run ahead of the consumer."""
         self.epoch += 1
         self.samples = 0
-        self.seq_num = self.seq_num % len(self.files)
 
     def close(self):
         for f in self.open_files:

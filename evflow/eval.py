@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from evflow import registry
-from evflow.data.h5_stream import H5EventStream
+from evflow.data.h5_stream import H5EventStream, Prefetcher
 from evflow.ops.iwe import compute_pol_iwe, upsample_flow
 from evflow.utils.checkpoint import load_checkpoint
 from evflow.utils.tracker import create_model_dir, log_config, log_results
@@ -178,13 +178,13 @@ def evaluate(
     vis_frames = []
     windows_done = 0
 
+    fetch = Prefetcher(data, depth=2)
     try:
         while True:
-            batch = data.next_batch()
+            batch = next(fetch)
             if batch["epoch_done"]:
                 break
             if batch["new_seq"].any():
-                data.new_seq = False
                 activity_log = None
                 states = _reset_slot_states(
                     states, model, batch["new_seq"], B, H, W

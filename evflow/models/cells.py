@@ -68,11 +68,13 @@ def _maybe_stop(x: jax.Array, learn: bool) -> jax.Array:
 
 
 class ConvIm2col(nn.Module):
-    """SAME conv (stride 1) computed as an im2col matmul.
+    """SAME conv (stride 1) computed as a matmul (im2col or dy-packed).
 
     On v5e the XLA conv lowering reaches ~11 TFLOP/s at 32 channels while the
     equivalent ``[B*H*W, k*k*Cin] @ [k*k*Cin, C]`` matmul is ~2x faster (see
-    BENCH_NOTES.md). Parameter name/shape match ``nn.Conv`` ("kernel",
+    BENCH_NOTES.md). ``impl='dypack'`` uses the dy-packed N=3C formulation
+    (evflow/ops/dypack.py) — a further 1.55x (bf16) / 2.0x ('dypack_int8')
+    for 3x3 kernels. Parameter name/shape match ``nn.Conv`` ("kernel",
     HWIO), so checkpoints are interchangeable between implementations.
     """
 
@@ -82,6 +84,7 @@ class ConvIm2col(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
     dtype: Optional[jnp.dtype] = None
+    impl: str = "im2col"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -91,6 +94,17 @@ class ConvIm2col(nn.Module):
             "kernel", self.kernel_init, (k, k, Cin, self.features)
         )
         dtype = self.dtype or x.dtype
+        if k == 3 and self.impl.startswith("dypack"):
+            from evflow.ops.dypack import conv3x3_dypack
+
+            y = conv3x3_dypack(
+                x, kernel, dtype=dtype, int8=self.impl == "dypack_int8"
+            )
+            if self.use_bias:
+                y = y + self.param(
+                    "bias", self.bias_init, (self.features,)
+                ).astype(y.dtype)
+            return y
         xk = x.astype(dtype)
         p = k // 2
         xp = jnp.pad(xk, ((0, 0), (p, p), (p, p), (0, 0)))
@@ -120,9 +134,9 @@ def make_conv(
     name: str,
     conv_impl: str = "auto",
 ):
-    """Conv factory: im2col matmul for stride-1 (TPU fast path), nn.Conv
-    otherwise or when ``conv_impl='lax'``."""
-    if conv_impl in ("auto", "im2col") and stride == 1:
+    """Conv factory: im2col/dy-packed matmul for stride-1 (TPU fast path),
+    nn.Conv otherwise or when ``conv_impl='lax'``."""
+    if conv_impl in ("auto", "im2col", "dypack", "dypack_int8") and stride == 1:
         return ConvIm2col(
             features,
             kernel_size,
@@ -130,6 +144,7 @@ def make_conv(
             kernel_init=kernel_init,
             dtype=dtype,
             name=name,
+            impl="im2col" if conv_impl == "auto" else conv_impl,
         )
     return nn.Conv(
         features,

@@ -85,6 +85,9 @@ class FireNet(nn.Module):
     state_quant: Optional[Callable[[jax.Array], jax.Array]] = None
     state_quant_per_layer: Optional[Tuple[Optional[Callable], ...]] = None
     conv_fake_quant: Optional[Callable[[jax.Array, str], jax.Array]] = None
+    # per-layer calibrated static-scale conv quant hooks: one per unit plus a
+    # final entry for the pred head (overrides conv_fake_quant when set)
+    conv_fake_quant_per_layer: Optional[Tuple[Optional[Callable], ...]] = None
     # performance
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for convs
     conv_impl: str = "auto"  # "auto"/"im2col" (matmul fast path) or "lax"
@@ -117,6 +120,12 @@ class FireNet(nn.Module):
             return self.state_quant_per_layer[idx]
         return self.state_quant
 
+    def _layer_conv_quant(self, idx: int):
+        """Conv quant hook for unit ``idx`` (``idx == num_units`` → pred)."""
+        if self.conv_fake_quant_per_layer is not None:
+            return self.conv_fake_quant_per_layer[idx]
+        return self.conv_fake_quant
+
     def _make_cells(self):
         common: Dict[str, Any] = dict(
             kernel_size=self.kernel_size,
@@ -124,7 +133,6 @@ class FireNet(nn.Module):
             learn_thresh=self.learn_thresh,
             hard_reset=self.hard_reset,
             detach=self.detach,
-            conv_fake_quant=self.conv_fake_quant,
             dtype=self.compute_dtype,
             conv_impl=self.conv_impl,
         )
@@ -154,8 +162,10 @@ class FireNet(nn.Module):
         mid = REC if self.recurrent else FF
 
         def ff_extra(idx):
-            q = self._layer_quant(idx)
-            return {"state_quant": q} if self.cell_family == "snn" else {}
+            extra = {"conv_fake_quant": self._layer_conv_quant(idx)}
+            if self.cell_family == "snn":
+                extra["state_quant"] = self._layer_quant(idx)
+            return extra
 
         cells = [
             FF(self.num_bins, C, name="head", **ff_extra(0), **common),
@@ -223,7 +233,7 @@ class FireNet(nn.Module):
             kernel_size=1,
             activation="tanh",
             w_scale=self.w_scale_pred,
-            conv_fake_quant=self.conv_fake_quant,
+            conv_fake_quant=self._layer_conv_quant(self.num_units),
             dtype=self.compute_dtype,
             name="pred",
         )(h, train)

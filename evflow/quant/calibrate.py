@@ -157,9 +157,14 @@ def collect_activation_scales(
     model, variables, stream, num_batches: int = 50, num_bits: int = 8
 ) -> Dict[str, float]:
     """Collect per-layer conv input/output absmax scales over calibration
-    batches (eval_flow.py:31-47 analog). Returns {"<unit>/<tag>": scale}."""
-    # intermediate taps come from activity-style capture: rerun the model with
-    # flax capture_intermediates on conv outputs
+    batches (the reference's brevitas ``calibration_mode`` pass,
+    eval_flow.py:31-47 / eval_flow_quant.py:584-880).
+
+    Returns ``{"<unit>/input": s, "<unit>/output": s, ..., "pred/...": s}``
+    keyed exactly as :func:`evflow.quant.fake_quant.static_conv_quant` hooks
+    look scales up. ``output`` covers the unit's ff (and rec) conv outputs;
+    ``input`` is the tensor entering the unit's convs (raw event counts for
+    the head, previous-unit spikes elsewhere)."""
     loader = stream.config["loader"]
     B = int(loader.get("batch_size", 1))
     H, W = loader["resolution"]
@@ -167,6 +172,9 @@ def collect_activation_scales(
 
     qmax = 2 ** (num_bits - 1) - 1
     maxima: Dict[str, float] = {}
+
+    def bump(key: str, m: float):
+        maxima[key] = max(maxima.get(key, 0.0), m)
 
     @jax.jit
     def step(variables, cnt, states):
@@ -176,6 +184,7 @@ def collect_activation_scales(
         )
         return new_states, inter["intermediates"]
 
+    units = list(model.unit_names)
     for _ in range(num_batches):
         batch = stream.next_batch()
         if batch["epoch_done"]:
@@ -183,14 +192,26 @@ def collect_activation_scales(
         if batch["new_seq"].any():
             stream.new_seq = False
             states = model.init_states(B, H, W)
-        states, inter = step(variables, jnp.asarray(batch["event_cnt"]), states)
+        cnt = jnp.asarray(batch["event_cnt"])
+        states, inter = step(variables, cnt, states)
+        bump(f"{units[0]}/input", float(np.max(np.abs(np.asarray(cnt)))))
         flat = jax.tree_util.tree_flatten_with_path(jax.device_get(inter))[0]
+        taps = {}
         for path, v in flat:
             if not hasattr(v, "shape"):
                 continue
             name = "/".join(str(getattr(k, "key", k)) for k in path)
-            m = float(np.max(np.abs(v)))
-            maxima[name] = max(maxima.get(name, 0.0), m)
+            taps[name] = float(np.max(np.abs(v)))
+        for i, u in enumerate(units):
+            out_m = max(
+                taps.get(f"{u}/ff/__call__/[0]", 0.0),
+                taps.get(f"{u}/rec/__call__/[0]", 0.0),
+            )
+            bump(f"{u}/output", out_m)
+            spk_m = taps.get(f"{u}/__call__/[0]/[0]", 0.0)
+            nxt = units[i + 1] if i + 1 < len(units) else "pred"
+            bump(f"{nxt}/input", spk_m)
+        bump("pred/output", taps.get("pred/conv2d/__call__/[0]", 0.0))
     return {k: v / qmax for k, v in maxima.items()}
 
 
@@ -211,12 +232,23 @@ def calibrate_model_ptq(
     With ``auto_tune``, membrane ranges are profiled per layer and the
     default [-250, 1] is replaced by the recommended ranges.
 
+    Conv activation quantization is *calibrated static-scale* by default
+    (the reference's brevitas ``calibration_mode`` over ``num_batches``
+    batches, eval_flow.py:31-47): per-unit input/output scales are collected
+    with :func:`collect_activation_scales` and installed as
+    :func:`static_conv_quant` hooks per layer. Pass ``num_batches=0`` to
+    fall back to per-batch dynamic-absmax quantization instead.
+
     Returns (quantized_model, variables) — the model is rebuilt with quant
     hooks; parameters are unchanged (fake-quant happens in the forward).
     """
     from evflow import registry
     from evflow.data.h5_stream import H5EventStream
-    from evflow.quant.fake_quant import dynamic_conv_quant, state_quant_fn
+    from evflow.quant.fake_quant import (
+        dynamic_conv_quant,
+        state_quant_fn,
+        static_conv_quant,
+    )
 
     model_cfg = dict(config["model"])
     base_model = registry.build_model(model_cfg)
@@ -238,11 +270,26 @@ def calibrate_model_ptq(
         else:
             state_quant = state_quant_fn()
 
-    conv_quant = dynamic_conv_quant() if want_convs else None
+    conv_quant = None
+    conv_quant_per_layer = None
+    if want_convs:
+        if num_batches > 0:
+            stream = H5EventStream(config, model_cfg.get("num_bins", 2))
+            scales = collect_activation_scales(
+                base_model, variables, stream, num_batches=num_batches
+            )
+            stream.close()
+            conv_quant_per_layer = tuple(
+                static_conv_quant(scales, layer=u)
+                for u in (*base_model.unit_names, "pred")
+            )
+        else:
+            conv_quant = dynamic_conv_quant()
 
     qmodel = base_model.clone(
         state_quant=state_quant,
         state_quant_per_layer=per_layer,
         conv_fake_quant=conv_quant,
+        conv_fake_quant_per_layer=conv_quant_per_layer,
     )
     return qmodel, variables

@@ -37,7 +37,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from evflow import registry
-from evflow.data.h5_stream import H5EventStream
+from evflow.data.h5_stream import H5EventStream, Prefetcher
 from evflow.loss.warp_loss import EventWarpingConfig
 from evflow.utils.checkpoint import CheckpointPolicy, load_checkpoint
 from evflow.utils.tracker import Run, grad_stats, save_csv
@@ -254,11 +254,11 @@ def train(
                 recent_losses.pop(0)
             inflight_loss = None
 
+    fetch = Prefetcher(data, depth=2)
     while True:
-        batch = data.next_batch()
+        batch = next(fetch)
 
         if batch["new_seq"].any():
-            data.new_seq = False
             pending = []  # discard the partial loss window (global reset)
             states = model.init_states(B, H, W)
 
@@ -282,7 +282,6 @@ def train(
                 epochs_without_improvement = 0
             else:
                 epochs_without_improvement += 1
-            data.epoch += 1
             train_loss = 0.0
             data.end_epoch()
             if store_grads and grads_rows:
@@ -319,5 +318,6 @@ def train(
             break
 
     flush_loss()
+    fetch.close()
     data.close()
     return run

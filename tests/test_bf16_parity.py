@@ -1,7 +1,7 @@
 """AEE parity of the headline bench configuration vs f32.
 
 The headline benchmark (bench.py) runs LIFFireNet with ``compute_dtype=
-bfloat16, state_dtype=bfloat16, conv_impl=im2col``. The north star is
+bfloat16, state_dtype=bfloat16, conv_impl=dypack``. The north star is
 throughput *with AEE within 1% of reference* (BASELINE.md) — bf16 membrane
 carries could in principle drift over long sequences (spike flips compound
 through the recurrence), so this test proves the accuracy half: a trained
@@ -158,7 +158,7 @@ def test_bench_config_aee_within_1pct(trained):
         "bf16",
         compute_dtype="bfloat16",
         state_dtype="bfloat16",
-        conv_impl="im2col",
+        conv_impl="dypack",
     )
     assert aee_f32 > 0.05, "trained model should produce non-trivial flow"
     rel = abs(aee_bf16 - aee_f32) / aee_f32

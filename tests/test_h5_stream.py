@@ -74,7 +74,10 @@ def test_sequence_rollover_and_epoch(dataset):
         if b["epoch_done"]:
             break
     assert rollovers >= 1
-    assert s.seq_num >= 2
+    # the boundary batch carries the pre-roll cursor; the stream itself has
+    # already rolled over producer-side (prefetch-safe epoch semantics)
+    assert b["seq_num"] >= 2
+    assert b["epoch_done"] and s.seq_num == b["seq_num"] % 2
     s.close()
 
 

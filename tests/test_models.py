@@ -277,3 +277,68 @@ def test_spiking_transposed_raises():
 
     with pytest.raises(NotImplementedError):
         SpikingTransposedConvLayer()(None, None)
+
+
+def test_dypack_conv_matches_lax_f32():
+    """dy-packed 3x3 conv (evflow/ops/dypack.py) is the same math as a SAME
+    lax conv — bit-level parity in f32 up to summation order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from evflow.ops.dypack import conv3x3_dypack
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 16, 20, 8))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 8, 8))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    out = conv3x3_dypack(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_dypack_int8_matches_quantized_reference():
+    """int8 dy-pack == explicit int8 GEMM semantics: exact for spike inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from evflow.ops.dypack import conv3x3_dypack
+
+    rng = jax.random.PRNGKey(5)
+    x = (jax.random.uniform(rng, (1, 12, 12, 8)) < 0.3).astype(jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 8, 8)) * 0.1
+    # reference: quantize weights per-tensor, run exact f32 conv on dequantized
+    wp = np.asarray(k)
+    s = np.abs(wp).max() / 127.0
+    wq = np.clip(np.round(wp / s), -127, 127) * s
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(wq, jnp.float32), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = conv3x3_dypack(x, k, int8=True).astype(jnp.float32)
+    # int32 accumulation is exact; only the bf16 Z cast and s_w rounding differ
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_model_dypack_matches_im2col():
+    """FireNet with conv_impl='dypack' (f32) == conv_impl='im2col'."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from evflow.registry import build_model
+
+    cfg = {
+        "name": "LIFFireNet_short", "encoding": "cnt", "num_bins": 2,
+        "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+        "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
+    }
+    m1 = build_model({**cfg, "conv_impl": "im2col"})
+    m2 = build_model({**cfg, "conv_impl": "dypack"})
+    st = m1.init_states(1, 16, 16)
+    x = jax.random.poisson(jax.random.PRNGKey(0), 0.3, (1, 16, 16, 2)).astype(jnp.float32)
+    v = m1.init(jax.random.PRNGKey(1), None, x, st)
+    o1, s1 = m1.apply(v, None, x, st)
+    o2, s2 = m2.apply(v, None, x, st)
+    np.testing.assert_allclose(
+        np.asarray(o1["flow"][0]), np.asarray(o2["flow"][0]), rtol=1e-5, atol=1e-6
+    )

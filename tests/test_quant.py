@@ -203,3 +203,77 @@ def test_static_conv_quant_hook():
     assert abs(out[2] - 2.0) < 1e-6
     # unknown tag passes through
     np.testing.assert_array_equal(np.asarray(hook(x, "nope")), np.asarray(x))
+
+
+def test_collect_activation_scales_unit_keys(dataset):
+    """Calibrated scales are keyed per unit/tag, ready for static hooks."""
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.registry import build_model
+
+    cfg = quant_eval_cfg(dataset, "full")
+    cfg["data"] = {"path": dataset, "mode": "events", "window": 300}
+    model = build_model(cfg["model"])
+    B, H, W = 1, 32, 32
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states)
+    stream = H5EventStream(cfg, 2)
+    scales = C.collect_activation_scales(model, v, stream, num_batches=3)
+    stream.close()
+    for u in (*model.unit_names, "pred"):
+        assert f"{u}/input" in scales and f"{u}/output" in scales
+    # head input is raw event counts -> nonzero scale
+    assert scales["head/input"] > 0
+
+
+def test_calibrate_model_ptq_static_vs_dynamic_diverge(dataset):
+    """num_batches > 0 installs calibrated static per-layer hooks; the result
+    differs from the dynamic-absmax fallback (num_batches=0) on inputs whose
+    absmax departs from the calibration data (reference eval_flow.py:31-47
+    static-scale semantics vs per-batch dynamic quantization)."""
+    from evflow.registry import build_model
+
+    cfg = quant_eval_cfg(dataset, "conv_only")
+    model = build_model(cfg["model"])
+    B, H, W = 1, 32, 32
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states)
+
+    q_static, _ = C.calibrate_model_ptq(cfg, v, mode="conv_only", num_batches=3)
+    q_dynamic, _ = C.calibrate_model_ptq(cfg, v, mode="conv_only", num_batches=0)
+    assert q_static.conv_fake_quant_per_layer is not None
+    assert len(q_static.conv_fake_quant_per_layer) == model.num_units + 1
+    assert q_dynamic.conv_fake_quant_per_layer is None
+    assert q_dynamic.conv_fake_quant is not None
+
+    # an input 100x hotter than calibration: static scales clip it, dynamic
+    # absmax rescales per batch -> different flows
+    x = jnp.full((B, H, W, 2), 100.0)
+    out_s, _ = q_static.apply(v, None, x, states)
+    out_d, _ = q_dynamic.apply(v, None, x, states)
+    ds = np.asarray(out_s["flow"][0])
+    dd = np.asarray(out_d["flow"][0])
+    assert np.isfinite(ds).all() and np.isfinite(dd).all()
+    assert np.max(np.abs(ds - dd)) > 1e-5
+
+
+def test_calibration_batches_change_results(dataset):
+    """--calibration_batches is live: different budgets -> different scales
+    (more batches see more of the stream's dynamic range)."""
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.registry import build_model
+
+    cfg = quant_eval_cfg(dataset, "full")
+    cfg["data"] = {"path": dataset, "mode": "events", "window": 300}
+    model = build_model(cfg["model"])
+    B, H, W = 1, 32, 32
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states)
+
+    def collect(n):
+        stream = H5EventStream(cfg, 2)
+        s = C.collect_activation_scales(model, v, stream, num_batches=n)
+        stream.close()
+        return s
+
+    s1, s8 = collect(1), collect(8)
+    assert any(abs(s1[k] - s8[k]) > 1e-12 for k in s1 if k in s8)
