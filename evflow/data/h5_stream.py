@@ -363,6 +363,12 @@ class H5EventStream:
             dt_input = float(ts[-1] - ts[0]) if ts.shape[0] > 0 else 0.0
             ps = ps * 2.0 - 1.0 if ps.size and ps.min() >= 0 else ps
             tsn = ts.astype(np.float64)
+            if tsn.size and not np.isfinite(tsn).all():
+                # corrupted-recording guard (base.py:90-98)
+                raise ValueError(
+                    f"NaN/Inf event timestamps in "
+                    f"{self.files[self.batch_idx[b] % len(self.files)]}"
+                )
             if tsn.size:
                 rng = tsn.max() - tsn.min()
                 tsn = (tsn - tsn.min()) / rng if rng > 0 else np.zeros_like(tsn)
@@ -552,6 +558,13 @@ class H5EventStream:
         batch["new_seq"] = np.array(flags, np.bool_)
         batch["epoch_done"] = self.seq_num >= len(self.files)
         batch["seq_num"] = self.seq_num
+        # per-slot provenance, stamped at production time: consumers behind a
+        # Prefetcher must not read the live cursors (they run ahead)
+        batch["file_names"] = [
+            os.path.basename(self.files[self.batch_idx[b] % len(self.files)])
+            for b in range(self.batch_size)
+        ]
+        batch["ts"] = self.last_proc_timestamp
         if batch["epoch_done"]:
             # roll the sequence cursor producer-side so a Prefetcher worker can
             # keep streaming the next epoch before the consumer reacts to the

@@ -173,7 +173,11 @@ def evaluate(
     else:
         step_fn = make_eval_step(model, log=log_activity)
 
-    idx_AEE = 0
+    # per-slot AEE cadence counters (reference eval_flow.py:273-278 is B=1
+    # global; generalized per batch slot so each streamed file keeps its own
+    # association cadence)
+    idx_AEE = np.zeros(B, np.int64)
+    cadence = int(np.round(1.0 / window)) if window else 1
     val_results: Dict[str, Dict[str, Dict[str, float]]] = {}
     vis_frames = []
     windows_done = 0
@@ -191,6 +195,8 @@ def evaluate(
                 )
                 for c in criteria:
                     c.reset()
+                # only the rolled-over slots restart their AEE cadence
+                idx_AEE[np.asarray(batch["new_seq"])] = 0
 
             # upload only the encoding the model reads (models/model.py:146-161
             # selects one; shipping the dead one wastes host->device bandwidth)
@@ -238,18 +244,6 @@ def evaluate(
                         "gtflow": batch.get("gtflow"),
                     }
                 )
-            if vis is not None:
-                sequence = os.path.splitext(
-                    os.path.basename(data.files[data.batch_idx[0] % len(data.files)])
-                )[0]
-                vis.store(
-                    batch,
-                    np.asarray(flows[-1]),
-                    np.asarray(iwe) if iwe is not None else None,
-                    sequence,
-                    ts=data.last_proc_timestamp,
-                )
-
             if names:
                 inputs = {
                     "gtflow": jnp.asarray(batch["gtflow"]) if "gtflow" in batch else None,
@@ -260,6 +254,7 @@ def evaluate(
                 overwrite = bool(
                     config.get("loss", {}).get("overwrite_intermediate", False)
                 )
+                dt_gt_np = np.asarray(batch["dt_gt"], np.float64).reshape(-1)
                 for c in criteria:
                     c.event_flow_association(flows, inputs)
                 for i, mname in enumerate(names):
@@ -267,19 +262,23 @@ def evaluate(
                     # (eval_flow.py:271-272)
                     if overwrite:
                         criteria[i].overwrite_intermediate_flow(flows)
-                    if mname == "AEE" and float(batch["dt_gt"][0]) <= 0.0:
-                        continue
                     if mname == "AEE":
-                        idx_AEE += 1
-                        if idx_AEE != int(np.round(1.0 / window)):
+                        # per-slot protocol (eval_flow.py:273-278 generalized):
+                        # a slot only advances its cadence when it has valid GT
+                        # this window, and only due slots accumulate
+                        idx_AEE[dt_gt_np > 0.0] += 1
+                        due = (idx_AEE >= cadence) & (dt_gt_np > 0.0)
+                        if not due.any():
                             continue
+                    else:
+                        due = np.ones(B, np.bool_)
                     val = criteria[i]()
                     if mname == "AEE":
-                        idx_AEE = 0
+                        idx_AEE[due] = 0
                     for b in range(B):
-                        fname = os.path.basename(
-                            data.files[data.batch_idx[b] % len(data.files)]
-                        )
+                        if not due[b]:
+                            continue
+                        fname = batch["file_names"][b]
                         slot = val_results.setdefault(fname, {})
                         entry = slot.setdefault(
                             mname, {"metric": 0.0, "it": 0, "percent": 0.0}
@@ -291,6 +290,34 @@ def evaluate(
                         else:
                             entry["metric"] += float(np.asarray(val)[b])
                     criteria[i].reset()
+
+            if vis is not None:
+                sequence = os.path.splitext(batch["file_names"][0])[0]
+                # event-masked window flow (loss/flow.py:465-474; single-pass
+                # window -> flow at event pixels, zero elsewhere)
+                fl = np.asarray(flows[-1])
+                em = np.asarray(batch["event_mask"])
+                if em.shape[1:3] != fl.shape[1:3]:
+                    masked = None  # resolution mismatch (keep_gt_full_res)
+                else:
+                    masked = fl * (em > 0)
+                err_map, err_is_angle = None, False
+                for i, mname in enumerate(names):
+                    em_i = criteria[i].get_error_map()
+                    if em_i is not None:
+                        err_map = em_i
+                        err_is_angle = mname in ("AAE", "NAAE")
+                        break
+                vis.store(
+                    batch,
+                    fl,
+                    np.asarray(iwe) if iwe is not None else None,
+                    sequence,
+                    masked_flow=masked,
+                    ts=batch["ts"],
+                    error_map=err_map,
+                    error_is_angle=err_is_angle,
+                )
 
             windows_done += B
             if verbose and windows_done % 100 == 0:

@@ -76,8 +76,10 @@ def aee(flow, gtflow, event_mask, dt_gt, dt_input, flow_scaling: float):
     n = m.sum(axis=1)
     val = e.sum(axis=1) / (n + 1e-9)
     outliers = (e > 3.0) & (e > 0.05 * mag)
-    # reference sums outliers over the whole batch then divides per-sample
-    percent = outliers.sum() / (n + 1e-9)
+    # per-slot outlier rate: the reference evaluates at B=1 where summing over
+    # the whole batch is identical; at B>1 each slot streams a different file
+    # and must not contaminate the others' per-file percents
+    percent = outliers.sum(axis=1) / (n + 1e-9)
     return val, percent, error, mask.astype(f.dtype)
 
 
@@ -94,7 +96,7 @@ def nee(flow, gtflow, event_mask, dt_gt, dt_input, flow_scaling: float):
     e = error.reshape(B, -1) * m
     n = m.sum(axis=1)
     val = e.sum(axis=1) / (n + 1e-9)
-    percent = (e > 0.5).sum() / (n + 1e-9)
+    percent = (e > 0.5).sum(axis=1) / (n + 1e-9)
     return val, percent, error, mask.astype(f.dtype)
 
 

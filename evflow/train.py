@@ -155,6 +155,34 @@ def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int 
     return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
 
+def _flatten_named(tree) -> Dict[str, Any]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {
+        "/".join(str(getattr(k, "key", k)) for k in path): v for path, v in flat
+    }
+
+
+def log_param_histograms(run, params, grads, step: int):
+    """Weights / LIF beta-theta / per-tensor int8 quant scales / gradient
+    histograms (reference train_flow_quant.py:386-462 TensorBoard logging)."""
+    named = _flatten_named(jax.device_get(params))
+    weights = {k: v for k, v in named.items() if k.endswith("kernel")}
+    lif = {
+        k: v
+        for k, v in named.items()
+        if k.rsplit("/", 1)[-1] in ("beta", "threshold", "leak", "thresh")
+    }
+    scales = {
+        k + "/int8_scale": np.abs(np.asarray(v)).max() / 127.0
+        for k, v in weights.items()
+    }
+    run.log_histograms(weights, step, group="weights")
+    run.log_histograms(lif, step, group="lif")
+    run.log_histograms(scales, step, group="quant_scales")
+    if grads is not None:
+        run.log_histograms(_flatten_named(jax.device_get(grads)), step, group="grads")
+
+
 def _shard_window(window, mesh):
     if mesh is None:
         return window
@@ -173,8 +201,16 @@ def train(
     mesh=None,
     max_steps: Optional[int] = None,
     verbose: bool = True,
+    epoch_callback=None,
 ):
     """Train a FireNet-family model (train_flow.py ``train()`` equivalent).
+
+    ``epoch_callback(epoch, params, batch_stats, run)``, if given, fires at
+    every epoch end *inside the training process* — the hook for periodic
+    ground-truth validation (reference train_flow_validation.py:28-130;
+    validation there saves/restores ``model._states``, which is unnecessary
+    here: evaluation builds its own state carries, the training carry pytree
+    is immutable from its perspective).
 
     Returns the tracking Run (its dir holds checkpoints + metrics).
     """
@@ -236,6 +272,8 @@ def train(
     grads_rows: List[dict] = []
     n_epochs = int(loader.get("n_epochs", 100))
     store_grads = bool(config.get("vis", {}).get("store_grads", False))
+    store_hists = bool(config.get("vis", {}).get("store_hists", False))
+    hist_every = int(config.get("vis", {}).get("hist_every", 50))
 
     pending: List[dict] = []
     steps = 0
@@ -287,6 +325,8 @@ def train(
             if store_grads and grads_rows:
                 save_csv(grads_rows, os.path.join(run.dir, "grads_w.csv"))
                 grads_rows = []
+            if epoch_callback is not None:
+                epoch_callback(data.epoch - 1, params, batch_stats, run)
             if data.epoch >= n_epochs or epochs_without_improvement >= patience:
                 if verbose:
                     print(f"Stopping at epoch {data.epoch}.")
@@ -306,6 +346,8 @@ def train(
         data.samples += B
         if store_grads:
             grads_rows.append(grad_stats(jax.device_get(grads)))
+        if store_hists and steps % hist_every == 0:
+            log_param_histograms(run, params, grads, steps)
         steps += 1
         if verbose and steps % 10 == 0:
             rate = steps * P_ * B / (time.time() - t_start)

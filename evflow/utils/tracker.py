@@ -45,6 +45,32 @@ class Run:
 
         shutil.copy(path, os.path.join(self.dir, "artifacts", os.path.basename(path)))
 
+    def log_histograms(self, tensors: Dict[str, Any], step: int, bins: int = 64,
+                       group: str = "params"):
+        """Append per-tensor histograms + stats to ``histograms.jsonl``.
+
+        The file-based analog of the reference's TensorBoard histogram
+        logging during QAT/validation training (train_flow_quant.py:386-462,
+        train_flow_validation.py:427-432): weights, LIF beta/theta, quant
+        scales, and gradients every N steps."""
+        import numpy as np
+
+        path = os.path.join(self.dir, "histograms.jsonl")
+        with open(path, "a") as f:
+            for name, v in tensors.items():
+                a = np.asarray(v, np.float64).ravel()
+                if a.size == 0 or not np.isfinite(a).any():
+                    continue
+                a = a[np.isfinite(a)]
+                counts, edges = np.histogram(a, bins=bins)
+                f.write(json.dumps({
+                    "t": time.time(), "step": step, "group": group, "name": name,
+                    "min": float(a.min()), "max": float(a.max()),
+                    "mean": float(a.mean()), "std": float(a.std()),
+                    "counts": counts.tolist(),
+                    "lo": float(edges[0]), "hi": float(edges[-1]),
+                }) + "\n")
+
     def save_diff(self, name: str = "train_diff.txt"):
         """Record the working-tree diff (utils/utils.py:116-122)."""
         try:

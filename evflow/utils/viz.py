@@ -96,28 +96,41 @@ def flow_to_vector(
     scale: float = 1.0,
     gtflow: Optional[np.ndarray] = None,
     mode: str = "grid",
+    mask: Optional[np.ndarray] = None,
+    background: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Arrow-field rendering (visualization.py:711-1022, grid and center
-    modes). Predicted arrows green; optional GT overlay in blue."""
+    """Arrow-field rendering (visualization.py:711-1022; sparse / grid /
+    center modes). Predicted arrows green; optional GT overlay in blue.
+
+    ``sparse`` draws arrows only at (subsampled) mask-active pixels — the
+    reference's event-masked vector field; ``center`` draws one mean-flow
+    arrow. ``background`` (uint8 RGB) is drawn under the arrows."""
     H, W = flow.shape[:2]
-    img = np.zeros((H, W, 3), np.uint8)
+    if background is not None:
+        img = background.copy()
+    else:
+        img = np.zeros((H, W, 3), np.uint8)
     if cv2 is None:
         return img
 
     def draw(f, color):
         if mode == "center":
-            ys, xs = [H // 2], [W // 2]
-            mean = f.reshape(-1, 2).mean(axis=0)
-            vecs = [mean]
-            for y, x, v in zip(ys, xs, vecs):
-                cv2.arrowedLine(
-                    img, (x, y),
-                    (int(x + v[0] * scale * 10), int(y + v[1] * scale * 10)),
-                    color, 1, tipLength=0.3,
-                )
+            if mask is not None and mask.sum() > 0:
+                m = mask.astype(bool)
+                mean = f[m].reshape(-1, 2).mean(axis=0)
+            else:
+                mean = f.reshape(-1, 2).mean(axis=0)
+            y, x = H // 2, W // 2
+            cv2.arrowedLine(
+                img, (x, y),
+                (int(x + mean[0] * scale * 10), int(y + mean[1] * scale * 10)),
+                color, 1, tipLength=0.3,
+            )
             return
         for y in range(step // 2, H, step):
             for x in range(step // 2, W, step):
+                if mode == "sparse" and (mask is None or not mask[y, x]):
+                    continue
                 v = f[y, x]
                 cv2.arrowedLine(
                     img, (x, y),
@@ -139,7 +152,8 @@ class Visualization:
     numbered PNGs, or mp4 writers in video mode; ``store_interval``
     throttles by event timestamp (visualization.py:222-570)."""
 
-    KINDS = ("events", "flow", "gtflow", "masked_flow", "iwe", "error", "stitched")
+    KINDS = ("events", "flow", "gtflow", "masked_flow_grad", "masked_flow_vec",
+             "iwe", "error", "stitched")
 
     def __init__(self, config: Dict, eval_id: int = -1, path_results: Optional[str] = None,
                  vis_type: str = "gradients"):
@@ -149,6 +163,10 @@ class Visualization:
         self.store_interval = float(vis.get("store_interval", 0.0))
         self.enabled_live = bool(vis.get("enabled", False))
         self.vis_type = vis_type
+        # arrow-field options (visualization.py:711-1022 modes)
+        self.vec_mode = vis.get("vec_mode", "grid")  # sparse | grid | center
+        self.vec_step = int(vis.get("vec_step", 8))
+        self.vec_scale = float(vis.get("vec_scale", 1.0))
         self.path = None
         if path_results is not None:
             self.path = os.path.join(path_results, f"eval_{eval_id}")
@@ -190,10 +208,16 @@ class Visualization:
         iwe_window=None,
         ts: float = 0.0,
         error_map: Optional[np.ndarray] = None,
+        error_is_angle: bool = False,
     ):
         """Store one window's renderings (eval_flow.py:324-336 call shape).
 
-        Arrays are NHWC batch-1 or already [H, W, C]."""
+        Arrays are NHWC batch-1 or already [H, W, C]. ``masked_flow`` (the
+        event-masked window flow, loss/flow.py:465-474) produces both the
+        color-wheel ``masked_flow_grad`` and the arrow-field
+        ``masked_flow_vec`` panels with GT overlay
+        (visualization.py:222-570,711-1022); angular error maps render in
+        degrees (``error_is_angle``, visualization.py:617-645)."""
         if self.path is None:
             return
         if self.store_interval > 0.0:
@@ -206,18 +230,38 @@ class Visualization:
             x = np.asarray(x)
             return x[0] if x.ndim == 4 else x
 
+        gt = None
+        if "gtflow" in inputs and inputs["gtflow"] is not None:
+            gt = first(inputs["gtflow"])
+
         panels = {}
         panels["events"] = events_to_image(first(inputs["event_cnt"]))
         panels["flow"] = flow_to_image(first(flow))
-        if "gtflow" in inputs and inputs["gtflow"] is not None:
-            panels["gtflow"] = flow_to_image(first(inputs["gtflow"]))
+        if gt is not None:
+            panels["gtflow"] = flow_to_image(gt)
         if masked_flow is not None:
-            panels["masked_flow"] = flow_to_image(first(masked_flow))
+            mf = first(masked_flow)
+            em = np.asarray(inputs.get("event_mask"))
+            em2 = None
+            if em is not None and em.size:
+                em2 = (em[0] if em.ndim == 4 else em)[..., 0] > 0
+            panels["masked_flow_grad"] = flow_to_image(mf)
+            panels["masked_flow_vec"] = flow_to_vector(
+                mf,
+                step=self.vec_step,
+                scale=self.vec_scale,
+                gtflow=gt,
+                mode=self.vec_mode,
+                mask=em2,
+                background=panels["events"] // 2,
+            )
         if iwe is not None:
             panels["iwe"] = events_to_image(first(iwe))
         if error_map is not None:
             e = np.asarray(error_map)
-            panels["error"] = error_to_image(e[0] if e.ndim == 3 else e)
+            panels["error"] = error_to_image(
+                e[0] if e.ndim == 3 else e, rad_to_deg=error_is_angle
+            )
 
         for kind, img in panels.items():
             self._write(sequence, kind, img)
@@ -238,12 +282,38 @@ class Visualization:
             stitched = np.vstack([np.hstack(cells[:2]), np.hstack(cells[2:])])
             self._write(sequence, "stitched", stitched)
 
-    def update(self, inputs, flow, iwe=None, *args, **kwargs):
-        """Live windows (visualization.py:43-220); no-op without a display."""
+    def update(self, inputs, flow, iwe=None, masked_flow=None, *args, **kwargs):
+        """Live window suite (visualization.py:43-220): one cv2 window per
+        available panel (events / flow / gtflow / iwe / masked flow vectors);
+        no-op without a display."""
         if not self.enabled_live or cv2 is None or not os.environ.get("DISPLAY"):
             return
-        img = flow_to_image(np.asarray(flow)[0] if np.asarray(flow).ndim == 4 else flow)
-        cv2.imshow("flow", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+        def first(x):
+            x = np.asarray(x)
+            return x[0] if x.ndim == 4 else x
+
+        gt = None
+        if isinstance(inputs, dict) and inputs.get("gtflow") is not None:
+            gt = first(inputs["gtflow"])
+        windows = {"flow": flow_to_image(first(flow))}
+        if isinstance(inputs, dict) and "event_cnt" in inputs:
+            windows["events"] = events_to_image(first(inputs["event_cnt"]))
+        if gt is not None:
+            windows["gtflow"] = flow_to_image(gt)
+        if iwe is not None:
+            windows["iwe"] = events_to_image(first(iwe))
+        if masked_flow is not None:
+            windows["masked_flow_vec"] = flow_to_vector(
+                first(masked_flow), step=self.vec_step, scale=self.vec_scale,
+                gtflow=gt, mode=self.vec_mode,
+            )
+        px = self.px
+        for name, img in windows.items():
+            h, w = img.shape[:2]
+            img = cv2.resize(img, (int(w * px / max(h, 1)), px),
+                             interpolation=cv2.INTER_NEAREST)
+            cv2.imshow(name, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         cv2.waitKey(1)
 
     def close_videos(self):

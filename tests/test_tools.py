@@ -148,3 +148,36 @@ def test_cli_tools_run(script, args, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert os.path.exists(str(tmp_path / "o.png"))
+
+
+def test_visualization_store_masked_flow_panels(tmp_path):
+    """masked_flow produces both the color-wheel grad panel and the arrow
+    vector panel with GT overlay (visualization.py:222-570,711-1022)."""
+    cfg = {"vis": {"store_type": "image", "vec_mode": "grid", "vec_step": 4}}
+    v = viz.Visualization(cfg, eval_id=0, path_results=str(tmp_path))
+    rng = np.random.default_rng(0)
+    inputs = {
+        "event_cnt": rng.random((1, 16, 16, 2)).astype(np.float32),
+        "gtflow": rng.standard_normal((1, 16, 16, 2)).astype(np.float32),
+        "event_mask": (rng.random((1, 16, 16, 1)) > 0.5).astype(np.float32),
+    }
+    flow = rng.standard_normal((1, 16, 16, 2)).astype(np.float32)
+    masked = flow * (inputs["event_mask"] > 0)
+    err = rng.random((1, 16, 16)).astype(np.float32)
+    v.store(inputs, flow, None, "seq", masked_flow=masked, ts=0.1,
+            error_map=err, error_is_angle=True)
+    base = os.path.join(str(tmp_path), "eval_0", "seq")
+    for kind in ("masked_flow_grad", "masked_flow_vec", "error"):
+        assert os.listdir(os.path.join(base, kind)), kind
+
+
+def test_flow_to_vector_modes():
+    rng = np.random.default_rng(1)
+    flow = rng.standard_normal((32, 32, 2)).astype(np.float32) * 3
+    mask = rng.random((32, 32)) > 0.7
+    for mode in ("grid", "sparse", "center"):
+        img = viz.flow_to_vector(flow, step=4, mode=mode, mask=mask,
+                                 gtflow=flow * 0.5)
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    # grid mode with nonzero flow must draw something
+    assert viz.flow_to_vector(flow, step=4).any()

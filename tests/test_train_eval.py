@@ -314,3 +314,39 @@ def test_train_qat_model(dataset, tmp_path):
     cfg["model"]["quantization"] = {"enabled": True, "PTQ": False, "Conv_only": False}
     run = train(cfg, path_runs=str(tmp_path / "runs"), max_steps=2, verbose=False)
     assert os.path.isdir(run.dir)
+
+
+def test_eval_b2_matches_two_b1_runs(dataset, tmp_path):
+    """Per-file AEE at batch_size=2 equals the B=1 protocol per file: each
+    slot streams its own file with independent criterion state, dt_gt gating
+    and cadence (reference eval_flow.py:211-214,273-278 generalized per slot)."""
+    from evflow.registry import build_model
+
+    cfg1 = eval_cfg(dataset)
+    cfg1["metrics"]["name"] = ["AEE"]
+    cfg2 = eval_cfg(dataset)
+    cfg2["metrics"]["name"] = ["AEE"]
+    cfg2["loader"]["batch_size"] = 2
+
+    H = W = 32
+    model = build_model(cfg1["model"])
+
+    def variables_for(B):
+        st = model.init_states(B, H, W)
+        return model.init(
+            jax.random.PRNGKey(7), None, jnp.zeros((B, H, W, 2)), st
+        )
+
+    r1 = evaluate(cfg1, path_results=str(tmp_path / "b1"), debug=True,
+                  model=model, variables=variables_for(1), verbose=False)
+    r2 = evaluate(cfg2, path_results=str(tmp_path / "b2"), debug=True,
+                  model=model, variables=variables_for(2), verbose=False)
+
+    assert set(r1["AEE"]) == set(r2["AEE"]) and len(r1["AEE"]) == 2
+    for fname in r1["AEE"]:
+        a1, a2 = float(r1["AEE"][fname]), float(r2["AEE"][fname])
+        assert a1 == pytest.approx(a2, rel=1e-4), (fname, a1, a2)
+    for fname in r1.get("AEE_percent", {}):
+        p1 = float(r1["AEE_percent"][fname])
+        p2 = float(r2["AEE_percent"][fname])
+        assert p1 == pytest.approx(p2, rel=1e-4, abs=1e-7), (fname, p1, p2)

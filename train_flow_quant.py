@@ -30,6 +30,9 @@ def main():
     q["enabled"] = True
     if args.conv_only:
         q["Conv_only"] = True
+    # weight / LIF-param / quant-scale / gradient histograms every 50 steps
+    # (reference train_flow_quant.py:386-462 TensorBoard logging)
+    config.setdefault("vis", {})["store_hists"] = True
 
     if not args.prev_runid:
         print("WARNING: QAT without a pretrained FP32 start typically fails to "

@@ -1,10 +1,13 @@
-"""Training with periodic ground-truth validation (AEE/AAE on MVSEC).
+"""Training with periodic in-process ground-truth validation (AEE/AAE).
 
 CLI equivalent of the reference train_flow_validation.py:132-462 with
-``validate_on_mvsec`` :28-130: every ``--val_every`` epochs the model is
-evaluated on the validation dataset (model state saved/restored around
-validation), and a ``best_val_aae`` checkpoint is kept alongside
-``best_loss``.
+``validate_on_mvsec`` :28-130: every ``--val_every`` epochs the live model
+is evaluated on the validation dataset *inside the training process* (one
+run dir, epoch/loss-variance/patience bookkeeping uninterrupted), and a
+``best_val_aae`` checkpoint is kept beside ``best_loss``/``most_recent``.
+The reference's save/restore of ``model._states`` around validation
+(:44-48) is unnecessary here: evaluation builds its own state carries, so
+the training carry pytree is untouched by construction.
 """
 
 import argparse
@@ -16,14 +19,17 @@ def main():
     parser.add_argument("--config", default="configs/train_SNN.yml")
     parser.add_argument("--val_config", default="configs/eval_MVSEC.yml")
     parser.add_argument("--path_runs", default="runs")
-    parser.add_argument("--prev_runid", default="")
-    parser.add_argument("--val_every", type=int, default=5, help="epochs between validations")
-    parser.add_argument("--epochs_per_round", type=int, default=None,
-                        help="override: train this many steps between validations")
-    parser.add_argument("--rounds", type=int, default=20)
-    parser.add_argument("--steps_per_round", type=int, default=200)
+    parser.add_argument("--prev_runid", default="",
+                        help="checkpoint path to resume from")
+    parser.add_argument("--val_every", type=int, default=5,
+                        help="epochs between validations")
+    parser.add_argument("--val_max_windows", type=int, default=None,
+                        help="cap validation windows (smoke tests)")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="stop after N train steps (smoke tests)")
     args = parser.parse_args()
 
+    import jax
     import numpy as np
 
     from evflow.config import load_config
@@ -35,33 +41,56 @@ def main():
     val_config = load_config(args.val_config)
     val_config["model"] = dict(config["model"])
 
-    best_val_aae = float("inf")
-    ckpt = args.prev_runid or None
-    run_dir = None
-    for rnd in range(args.rounds):
-        run = train(config, path_runs=args.path_runs, prev_ckpt=ckpt,
-                    max_steps=args.steps_per_round)
-        run_dir = run.dir
-        ckpt = os.path.join(run.dir, "checkpoints", "most_recent")
-        if os.path.isdir(ckpt):
-            ckpt = os.path.join(ckpt, sorted(os.listdir(ckpt))[-1])
+    best = {"val_aae": float("inf"), "val_aee": float("inf")}
 
-        # validation round (model recurrent state is naturally isolated:
-        # evaluate() builds its own state carries — the reference's
-        # save/restore of model._states at train_flow_validation.py:44-48)
-        results = evaluate(val_config, checkpoint=ckpt, debug=True, verbose=False)
-        aaes = [float(v) for v in results.get("AAE", {}).values()]
-        val_aae = float(np.mean(aaes)) if aaes else float("inf")
-        print(f"round {rnd}: val AAE {val_aae:.4f}")
-        if val_aae < best_val_aae:
-            best_val_aae = val_aae
-            import shutil
+    def validate(epoch, params, batch_stats, run):
+        if args.val_every <= 0 or (epoch + 1) % args.val_every != 0:
+            return
+        variables = {"params": params, "batch_stats": batch_stats}
+        results = evaluate(
+            val_config,
+            variables=variables,
+            debug=True,
+            verbose=False,
+            max_windows=args.val_max_windows,
+        )
+        vals = {}
+        for mname in ("AAE", "AEE"):
+            xs = [float(v) for v in results.get(mname, {}).values()]
+            if xs:
+                vals[mname] = float(np.mean(xs))
+                run.log_metric(f"val_{mname}", vals[mname], step=epoch)
+        val_aae = vals.get("AAE", vals.get("AEE", float("inf")))
+        print(f"epoch {epoch}: validation {vals}")
+        if val_aae < best["val_aae"]:
+            best["val_aae"] = val_aae
+            state = {
+                "params": jax.device_get(params),
+                "batch_stats": jax.device_get(batch_stats),
+                "opt_state": None,
+                "epoch": epoch,
+                "loss": 0.0,
+                "loss_variance": 0.0,
+            }
+            dst = os.path.join(run.dir, "checkpoints", "best_val_aae", str(epoch))
+            save_checkpoint(dst, state, config)
+            # keep only the newest best_val_aae (reference keeps one)
+            base = os.path.dirname(dst)
+            for d in os.listdir(base):
+                if d != str(epoch):
+                    import shutil
 
-            dst = os.path.join(run.dir, "checkpoints", "best_val_aae")
-            shutil.rmtree(dst, ignore_errors=True)
-            src = os.path.dirname(ckpt) if ckpt.endswith(".msgpack") else ckpt
-            shutil.copytree(src, dst)
-    print(f"best val AAE: {best_val_aae:.4f} (run {run_dir})")
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            print(f"  new best val AAE {val_aae:.4f} -> {dst}")
+
+    run = train(
+        config,
+        path_runs=args.path_runs,
+        prev_ckpt=args.prev_runid or None,
+        max_steps=args.max_steps,
+        epoch_callback=validate,
+    )
+    print(f"best val AAE: {best['val_aae']:.4f} (run {run.dir})")
 
 
 if __name__ == "__main__":
