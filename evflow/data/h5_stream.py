@@ -131,6 +131,34 @@ class H5EventStream:
         if not self.files:
             raise FileNotFoundError(f"No .h5 files under {config['data']['path']}")
 
+        # multi-host data parallelism (SURVEY §5.8): each host streams its own
+        # round-robin shard of the sequence files — the multi-process analog
+        # of the reference's per-batch-slot file assignment (h5.py:68-70).
+        # Defaults to this process's jax identity; override via
+        # loader.shard_index / loader.num_shards for tests or custom layouts.
+        num_shards = loader.get("num_shards")
+        shard_index = loader.get("shard_index")
+        if num_shards is None or shard_index is None:
+            try:
+                import jax
+
+                num_shards = jax.process_count()
+                shard_index = jax.process_index()
+            except Exception:
+                num_shards, shard_index = 1, 0
+        num_shards = int(num_shards)
+        shard_index = int(shard_index)
+        if num_shards > 1:
+            shard_files = self.files[shard_index::num_shards]
+            if not shard_files:
+                raise ValueError(
+                    f"Host shard {shard_index}/{num_shards} has no files "
+                    f"({len(self.files)} total) — fewer sequences than hosts"
+                )
+            self.files = shard_files
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+
         # per-slot state
         B = self.batch_size
         self.batch_idx = list(range(B))

@@ -125,6 +125,25 @@ class ConvIm2col(nn.Module):
         return y
 
 
+class _KernelHolder(nn.Module):
+    """Declares a conv kernel param at the same path/shape/init as the
+    equivalent ConvIm2col/nn.Conv child ("<name>/kernel"), for fused paths
+    that consume raw kernels (conv3x3_dypack_dual). Checkpoints stay
+    interchangeable with the unfused modules."""
+
+    kernel_size: int
+    in_features: int
+    features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        k = self.kernel_size
+        return self.param(
+            "kernel", self.kernel_init, (k, k, self.in_features, self.features)
+        )
+
+
 def make_conv(
     features: int,
     kernel_size: int,
@@ -284,36 +303,64 @@ class SNNConvLIFRecurrent(nn.Module):
         w_rec = math.sqrt(1.0 / self.features)
         if self.conv_fake_quant is not None:
             x = self.conv_fake_quant(x, "input")
-        ff = make_conv(
-            self.features,
-            self.kernel_size,
-            1,
-            uniform_init(w_ff),
-            self.dtype,
-            "ff",
-            self.conv_impl,
-        )(x)
 
-        if state is None:
-            mem = jnp.zeros_like(ff)
-            prev_spk = jnp.zeros_like(ff)
+        # ff+rec fused into one K=6C GEMM: a win only for the int8 path (one
+        # input-quant + rescale instead of two); measured bf16 prefers XLA's
+        # separate-dot schedule (BENCH_NOTES.md round 2: 1545 vs 1710 win/s
+        # bf16, 1697 vs 1470 int8)
+        fused_dual = (
+            self.conv_impl == "dypack_int8"
+            and self.kernel_size == 3
+            and self.conv_fake_quant is None
+        )
+        if fused_dual:
+            from evflow.ops.dypack import conv3x3_dypack_dual
+
+            k_ff = _KernelHolder(3, x.shape[-1], self.features,
+                                 uniform_init(w_ff), name="ff")()
+            k_rec = _KernelHolder(3, self.features, self.features,
+                                  uniform_init(w_rec), name="rec")()
+            if state is None:
+                shape = x.shape[:-1] + (self.features,)
+                mem = jnp.zeros(shape, x.dtype)
+                prev_spk = jnp.zeros(shape, x.dtype)
+            else:
+                mem, prev_spk = state.mem, state.spk
+            total = conv3x3_dypack_dual(
+                x, prev_spk, k_ff, k_rec,
+                dtype=self.dtype, int8=self.conv_impl == "dypack_int8",
+            )
         else:
-            mem, prev_spk = state.mem, state.spk
+            ff = make_conv(
+                self.features,
+                self.kernel_size,
+                1,
+                uniform_init(w_ff),
+                self.dtype,
+                "ff",
+                self.conv_impl,
+            )(x)
 
-        rec = make_conv(
-            self.features,
-            self.kernel_size,
-            1,
-            uniform_init(w_rec),
-            self.dtype,
-            "rec",
-            self.conv_impl,
-        )(prev_spk)
-        if self.conv_fake_quant is not None:
-            ff = self.conv_fake_quant(ff, "output")
-            rec = self.conv_fake_quant(rec, "output")
+            if state is None:
+                mem = jnp.zeros_like(ff)
+                prev_spk = jnp.zeros_like(ff)
+            else:
+                mem, prev_spk = state.mem, state.spk
 
-        total = ff + rec
+            rec = make_conv(
+                self.features,
+                self.kernel_size,
+                1,
+                uniform_init(w_rec),
+                self.dtype,
+                "rec",
+                self.conv_impl,
+            )(prev_spk)
+            if self.conv_fake_quant is not None:
+                ff = self.conv_fake_quant(ff, "output")
+                rec = self.conv_fake_quant(rec, "output")
+
+            total = ff + rec
         if self.tebn:
             total = TEBN(self.features, self.num_timesteps, name="bn")(
                 total, train, timestep

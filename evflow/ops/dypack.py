@@ -35,7 +35,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["conv3x3_dypack", "pack_kernel_dy"]
+__all__ = ["conv3x3_dypack", "conv3x3_dypack_dual", "pack_kernel_dy"]
 
 
 def pack_kernel_dy(kernel: jax.Array) -> jax.Array:
@@ -82,10 +82,67 @@ def conv3x3_dypack(
         cols = jnp.concatenate([xp[:, :, dx : dx + W, :] for dx in range(3)], axis=-1)
         Z = (cols.reshape(-1, 3 * Cin) @ wp.astype(cdt)).reshape(B, H, W, 3 * C)
 
-    # epilogue: y[r] = Z[r-1, dy0] + Z[r, dy1] + Z[r+1, dy2]
+    return _epilogue(Z, H, C)
+
+
+def _epilogue(Z: jax.Array, H: int, C: int) -> jax.Array:
+    """y[r] = Z[r-1, dy0] + Z[r, dy1] + Z[r+1, dy2] (SAME padding in y)."""
     Zp = jnp.pad(Z, ((0, 0), (1, 1), (0, 0), (0, 0)))
     return (
         Zp[:, 0:H, :, 0:C]
         + Zp[:, 1 : 1 + H, :, C : 2 * C]
         + Zp[:, 2 : 2 + H, :, 2 * C : 3 * C]
     )
+
+
+def _cols_dx(x: jax.Array) -> jax.Array:
+    """dx-shift patch buffer: [B, H, W, 3*C]."""
+    W = x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return jnp.concatenate([xp[:, :, dx : dx + W, :] for dx in range(3)], axis=-1)
+
+
+def conv3x3_dypack_dual(
+    x1: jax.Array,
+    x2: jax.Array,
+    kernel1: jax.Array,
+    kernel2: jax.Array,
+    dtype: Optional[jnp.dtype] = None,
+    int8: bool = False,
+) -> jax.Array:
+    """``conv(x1, k1) + conv(x2, k2)`` as ONE dy-packed GEMM.
+
+    The recurrent cells sum a feedforward conv and a recurrent conv
+    (SNNtorch_spiking_submodules.py:531-540); fusing them into a single
+    [BHW, 6C] @ [6C, 3C] dot halves the Z materialization and epilogue
+    traffic and doubles K (better MXU K-utilization)."""
+    B, H, W, C1 = x1.shape
+    C = kernel1.shape[-1]
+    wp = jnp.concatenate([pack_kernel_dy(kernel1), pack_kernel_dy(kernel2)], axis=0)
+
+    if int8:
+        s_w = jnp.maximum(jnp.max(jnp.abs(wp)), 1e-12) / 127.0
+        w_i8 = jnp.clip(jnp.round(wp / s_w), -127, 127).astype(jnp.int8)
+        cols = jnp.concatenate(
+            [
+                _cols_dx(jnp.clip(jnp.round(x1), -127, 127).astype(jnp.int8)),
+                _cols_dx(jnp.clip(jnp.round(x2), -127, 127).astype(jnp.int8)),
+            ],
+            axis=-1,
+        )
+        Z = jax.lax.dot_general(
+            cols.reshape(-1, cols.shape[-1]),
+            w_i8,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.bfloat16).reshape(B, H, W, 3 * C)
+        Z = Z * s_w.astype(jnp.bfloat16)
+    else:
+        cdt = dtype or x1.dtype
+        cols = jnp.concatenate(
+            [_cols_dx(x1.astype(cdt)), _cols_dx(x2.astype(cdt))], axis=-1
+        )
+        Z = (cols.reshape(-1, cols.shape[-1]) @ wp.astype(cdt)).reshape(
+            B, H, W, 3 * C
+        )
+    return _epilogue(Z, H, C)

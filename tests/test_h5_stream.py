@@ -259,3 +259,26 @@ def test_gtflow_fractional_window_dt4(dataset):
     assert all(n > 50 for n in ns)
     assert s.batch_row[0] == 1.0
     s.close()
+
+
+def test_multihost_file_sharding(dataset):
+    """Each host streams its own round-robin shard of the sequence files
+    (SURVEY §5.8: the multi-process analog of per-slot file assignment)."""
+    root, _ = dataset
+    cfg0 = events_cfg(root, window=500)
+    cfg0["loader"].update(num_shards=2, shard_index=0)
+    cfg1 = events_cfg(root, window=500)
+    cfg1["loader"].update(num_shards=2, shard_index=1)
+    s0 = H5EventStream(cfg0, num_bins=2)
+    s1 = H5EventStream(cfg1, num_bins=2)
+    assert set(s0.files).isdisjoint(s1.files)
+    assert len(s0.files) + len(s1.files) == 2
+    b0, b1 = s0.next_batch(), s1.next_batch()
+    assert b0["file_names"][0] != b1["file_names"][0]
+    s0.close(); s1.close()
+
+    # more shards than files is an explicit error, not silent starvation
+    cfg_bad = events_cfg(root, window=500)
+    cfg_bad["loader"].update(num_shards=5, shard_index=4)
+    with pytest.raises(ValueError):
+        H5EventStream(cfg_bad, num_bins=2)

@@ -342,3 +342,47 @@ def test_model_dypack_matches_im2col():
     np.testing.assert_allclose(
         np.asarray(o1["flow"][0]), np.asarray(o2["flow"][0]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_dypack_dual_matches_two_convs():
+    """conv3x3_dypack_dual == conv(x1,k1) + conv(x2,k2) in f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from evflow.ops.dypack import conv3x3_dypack, conv3x3_dypack_dual
+
+    rng = jax.random.PRNGKey(11)
+    x1 = jax.random.normal(rng, (2, 12, 16, 4))
+    x2 = jax.random.normal(jax.random.fold_in(rng, 1), (2, 12, 16, 8))
+    k1 = jax.random.normal(jax.random.fold_in(rng, 2), (3, 3, 4, 8))
+    k2 = jax.random.normal(jax.random.fold_in(rng, 3), (3, 3, 8, 8))
+    ref = conv3x3_dypack(x1, k1) + conv3x3_dypack(x2, k2)
+    out = conv3x3_dypack_dual(x1, x2, k1, k2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_model_dypack_int8_runs_and_approximates():
+    """FireNet with conv_impl='dypack_int8' (fused dual rec cells) stays close
+    to the f32 path on spike-like inputs (weights int8-quantized)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from evflow.registry import build_model
+
+    cfg = {
+        "name": "LIFFireNet_short", "encoding": "cnt", "num_bins": 2,
+        "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+        "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
+    }
+    m1 = build_model({**cfg, "conv_impl": "im2col"})
+    m2 = build_model({**cfg, "conv_impl": "dypack_int8"})
+    st = m1.init_states(1, 16, 16)
+    x = jax.random.poisson(jax.random.PRNGKey(0), 0.5, (1, 16, 16, 2)).astype(jnp.float32)
+    v = m1.init(jax.random.PRNGKey(1), None, x, st)
+    # param trees are interchangeable (KernelHolder preserves ff/rec paths)
+    o1, s1 = m1.apply(v, None, x, st)
+    o2, s2 = m2.apply(v, None, x, st)
+    f1, f2 = np.asarray(o1["flow"][0]), np.asarray(o2["flow"][0])
+    assert np.isfinite(f2).all()
+    # int8 weight quant error only; flows are tanh-bounded
+    assert np.abs(f1 - f2).max() < 0.05
