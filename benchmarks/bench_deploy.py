@@ -1,0 +1,55 @@
+"""Real-model bench of the int8 deployment engine (evflow/deploy.py):
+LIFFireNet 32ch @ 256x256, B=8 sequences, scan over T windows."""
+import sys; sys.path.insert(0, "/root/repo")
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from evflow.deploy import Int8DeployEngine
+from evflow.registry import build_model
+
+B, H, W, T = 8, 256, 256, 64
+
+
+def bench(mem_dtype, z_int8=False, iters=4):
+    cfg = {
+        "name": "LIFFireNet", "num_bins": 2, "base_num_channels": 32,
+        "kernel_size": 3, "encoding": "cnt",
+        "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
+    }
+    model = build_model(cfg)
+    states = model.init_states(B, H, W)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, None, jnp.zeros((B, H, W, 2), jnp.float32), states)
+    engine = Int8DeployEngine(model, variables, mem_dtype=mem_dtype)
+    est = engine.init_states(B, H, W)
+    window = jax.random.poisson(key, 0.05, (B, H, W, 2)).astype(jnp.float32)
+    if z_int8:
+        engine.calibrate_z([window] * 4)
+
+    @jax.jit
+    def run(params, window, states):
+        def step(st, _):
+            out, new_st = engine.apply(params, None, window, st)
+            return new_st, out["flow"][0].sum()
+        final, fsum = jax.lax.scan(step, states, None, length=T)
+        return fsum.sum(), final
+
+    t0 = time.time(); s, st = run(engine.params, window, est); float(s)
+    cs = time.time() - t0
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter(); s, st = run(engine.params, window, st); float(s)
+        best = min(best, time.perf_counter() - t0)
+    tag = f"mem={mem_dtype}{' z=int8' if z_int8 else ''}"
+    print(f"deploy {tag:22s}: compile {cs:.0f}s, {T*B/best:.1f} win/s", flush=True)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or ["bfloat16", "int8", "int8+z"]
+    for md in args:
+        bench(md.replace("+z", ""), z_int8=md.endswith("+z"))

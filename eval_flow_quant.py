@@ -1,11 +1,16 @@
-"""Quantized evaluation: PTQ / hybrid / mixed-precision / full QAT.
+"""Quantized evaluation: PTQ / hybrid / mixed-precision / full QAT / deploy.
 
 CLI equivalent of the reference eval_flow_quant.py:883-1680. Modes:
   ptq      — load FP32 checkpoint, int8 convs + int8 membranes
              (optionally --auto_tune_lif per-layer membrane ranges);
   hybrid   — conv-only-QAT checkpoint + PTQ membranes;
   mixed    — conv-only-QAT checkpoint, fp32 membranes;
-  full_qat — fully QAT-trained checkpoint, no calibration.
+  full_qat — fully QAT-trained checkpoint, no calibration;
+  deploy   — the real int8 serving engine (evflow/deploy.py): folded BN,
+             hoisted per-channel int8 weights, int8 spike carries, actual
+             int8 MXU GEMMs (not fake-quant). ``--mem_dtype int8`` adds
+             int8 membranes (ranges auto-profiled), ``--z_int8`` adds
+             calibrated int8 GEMM intermediates — the fastest tier.
 """
 
 import argparse
@@ -16,7 +21,12 @@ def main():
     parser.add_argument("checkpoint", help="checkpoint path / reference .pth")
     parser.add_argument("--config", default="configs/eval_MVSEC.yml")
     parser.add_argument("--mode", default="ptq",
-                        choices=["ptq", "hybrid", "mixed", "full_qat"])
+                        choices=["ptq", "hybrid", "mixed", "full_qat", "deploy"])
+    parser.add_argument("--mem_dtype", default="bfloat16",
+                        choices=["bfloat16", "int8"],
+                        help="deploy mode: membrane carry dtype")
+    parser.add_argument("--z_int8", action="store_true",
+                        help="deploy mode: calibrated int8 GEMM intermediates")
     parser.add_argument("--calibration_batches", type=int, default=50)
     parser.add_argument("--auto_tune_lif", action="store_true",
                         help="profile per-layer membrane ranges")
@@ -57,6 +67,52 @@ def main():
              "opt_state": None, "epoch": 0, "loss": 0.0, "loss_variance": 0.0},
         )
         variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+
+    if args.mode == "deploy":
+        from evflow.data.h5_stream import H5EventStream
+        from evflow.deploy import Int8DeployEngine
+
+        mem_scales = None
+        if args.mem_dtype == "int8":
+            from evflow.quant.calibrate import profile_membrane_ranges, recommend_ranges
+
+            stream = H5EventStream(config, model_cfg.get("num_bins", 2),
+                                   model_cfg.get("round_encoding", False))
+            profiles = profile_membrane_ranges(
+                model, variables, stream, num_batches=args.profile_batches
+            )
+            ranges = recommend_ranges(profiles)
+            mem_scales = [
+                max(abs(ranges[str(i)][0]), abs(ranges[str(i)][1])) / 127.0
+                for i in range(model.num_units)
+            ]
+        engine = Int8DeployEngine(
+            model, variables, mem_dtype=args.mem_dtype, mem_scales=mem_scales
+        )
+        if args.z_int8:
+            stream = H5EventStream(config, model_cfg.get("num_bins", 2),
+                                   model_cfg.get("round_encoding", False))
+            windows = [
+                stream.next_batch()["event_cnt"]
+                for _ in range(args.calibration_batches)
+            ]
+            engine.calibrate_z(windows)
+
+        print("=== quantized evaluation: mode=deploy (real int8 serving engine) ===")
+        print(f"weights: per-channel int8 (folded BN); spikes: int8 carries")
+        print(f"membranes: {args.mem_dtype}"
+              + (" (profiled per-layer scales)" if mem_scales else ""))
+        print(f"GEMM intermediates: {'calibrated int8' if args.z_int8 else 'bf16'}")
+        results = evaluate(
+            config, variables=engine.params, model=engine,
+            path_results=args.path_results,
+            runid="quant_deploy", debug=args.debug,
+            max_windows=args.max_windows,
+        )
+        for metric, per_file in results.items():
+            for fname, val in per_file.items():
+                print(f"{metric:16s} {fname:32s} {val}")
+        return
 
     mode_map = {"ptq": "full", "hybrid": "states_only", "mixed": None, "full_qat": None}
     qmode = mode_map[args.mode]

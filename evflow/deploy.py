@@ -1,0 +1,372 @@
+"""Int8 deployment/serving engine for the FireNet family.
+
+This is the TPU serving analog of the reference's quantized deployment
+pipeline (eval_flow_quant.py PTQ modes + the Deeploy/ONNX int8 artifacts):
+a trained FP32 checkpoint is prepared ONCE on the host — BatchNorm folded
+into the conv kernels (eval running stats), weights quantized per output
+channel to int8, leak/threshold clamped — and inference then runs with
+every cross-layer tensor int8 at rest:
+
+  * spikes are carried as int8 {0,1} — exact, no activation fake-quant;
+  * conv GEMMs are dy-packed int8 x int8 -> int32 MXU dots
+    (evflow/ops/dypack.py formulation) with hoisted, pre-quantized weights
+    — nothing is re-quantized inside the streaming scan;
+  * recurrent cells fuse their feedforward + recurrent convs into one
+    K=6C dot (the two kernels share per-channel scales so the int32
+    accumulator dequantizes with a single per-column multiply);
+  * membranes are carried bf16, or int8 with per-layer symmetric scales
+    (the PTQ states configuration; scales from quant/calibrate.py
+    membrane profiling).
+
+Accuracy: with integer event-count inputs and binary spikes, every GEMM is
+EXACT in int32 — the only approximations are the per-channel weight
+rounding (the reference's conv PTQ, eval_flow_quant.py:584-880) and, when
+enabled, the int8 membrane grid (the reference's snntorch state_quant,
+SNNtorch_spiking_submodules.py:190-208). tests/test_deploy.py pins both:
+the engine matches the fake-quant flax path and holds AEE parity on the
+synthetic gtflow protocol.
+
+Measured on the round-3 probe (benchmarks/probe_int8_deploy.py): int8
+spike carries + int8 membranes run the 9-conv chain at 1860 win/s-equiv
+vs 1575 for the round-2 in-graph int8 path — at the chip's measured
+effective HBM bandwidth (~740 GB/s) for the step's byte count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evflow.export import fold_batchnorm_params
+from evflow.ops.dypack import pack_kernel_dy
+from evflow.ops.lif import LIFState, THRESH_MIN, leaky_step
+
+__all__ = ["Int8DeployEngine", "prepare_int8_params"]
+
+
+def _quantize_per_channel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """HWIO kernel -> (int8 kernel, per-output-channel scale)."""
+    absmax = np.max(np.abs(kernel), axis=(0, 1, 2))
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    w_i8 = np.clip(np.round(kernel / scale), -127, 127).astype(np.int8)
+    return w_i8, scale.astype(np.float32)
+
+
+def prepare_int8_params(
+    model,
+    variables: Dict[str, Any],
+    mem_scales: Optional[Sequence[float]] = None,
+    input_scale: float = 1.0,
+) -> Dict[str, Any]:
+    """Fold + quantize trained FireNet variables into the engine's pytree.
+
+    Host-side, runs once. ``mem_scales`` (one per unit) enables int8
+    membranes; obtain them from membrane profiling
+    (evflow/quant/calibrate.py) as ``max(|lo|, |hi|) / 127``.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    rec_units = {"G1", "G2"} if model.recurrent else set()
+
+    out: Dict[str, Any] = {"units": []}
+    for i, name in enumerate(model.unit_names):
+        p = params[name]
+        bn = p["bn"]["BatchNorm_0"]
+        bs = stats[name]["bn"]["BatchNorm_0"]
+        fk, fb = fold_batchnorm_params(
+            np.asarray(p["ff"]["kernel"], np.float32),
+            np.asarray(bn["scale"], np.float32),
+            np.asarray(bn["bias"], np.float32),
+            np.asarray(bs["mean"], np.float32),
+            np.asarray(bs["var"], np.float32),
+        )
+        unit: Dict[str, Any] = {}
+        if name in rec_units:
+            g = np.asarray(bn["scale"], np.float32) / np.sqrt(
+                np.asarray(bs["var"], np.float32) + 1e-5
+            )
+            rk = np.asarray(p["rec"]["kernel"], np.float32) * g[None, None, None, :]
+            # shared per-channel scale so ff+rec accumulate in one int32 dot
+            absmax = np.maximum(
+                np.max(np.abs(fk), axis=(0, 1, 2)), np.max(np.abs(rk), axis=(0, 1, 2))
+            )
+            scale = np.maximum(absmax, 1e-12) / 127.0
+            wf = np.clip(np.round(fk / scale), -127, 127).astype(np.int8)
+            wr = np.clip(np.round(rk / scale), -127, 127).astype(np.int8)
+            unit["w"] = jnp.concatenate(
+                [pack_kernel_dy(jnp.asarray(wf)), pack_kernel_dy(jnp.asarray(wr))],
+                axis=0,
+            )
+        else:
+            w_i8, scale = _quantize_per_channel(fk)
+            unit["w"] = pack_kernel_dy(jnp.asarray(w_i8))
+        # dequant scale per GEMM column [(dy, co)] = tile(scale, 3); the
+        # head folds the input scale in as well
+        col = np.tile(scale, 3) * (input_scale if i == 0 else 1.0)
+        unit["col_scale"] = jnp.asarray(col, jnp.bfloat16)
+        unit["bias"] = jnp.asarray(fb, jnp.bfloat16)
+        unit["beta"] = jnp.asarray(
+            np.clip(np.asarray(p["beta"], np.float32), 0.0, 1.0), jnp.bfloat16
+        )
+        unit["theta"] = jnp.asarray(
+            np.maximum(np.asarray(p["threshold"], np.float32), THRESH_MIN),
+            jnp.bfloat16,
+        )
+        if mem_scales is not None:
+            unit["mem_scale"] = jnp.bfloat16(float(mem_scales[i]))
+        out["units"].append(unit)
+
+    out["pred_kernel"] = jnp.asarray(
+        np.asarray(params["pred"]["conv2d"]["kernel"], np.float32), jnp.bfloat16
+    )
+    pred_bias = params["pred"]["conv2d"].get("bias")
+    out["pred_bias"] = (
+        jnp.asarray(np.asarray(pred_bias, np.float32), jnp.bfloat16)
+        if pred_bias is not None
+        else None
+    )
+    return out
+
+
+def _cols_dx_i8(x: jax.Array) -> jax.Array:
+    """dx-shift patch buffer [B, H, W, 3C], int8 in / int8 out."""
+    W = x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return jnp.concatenate([xp[:, :, dx : dx + W, :] for dx in range(3)], axis=-1)
+
+
+def _dy_shift_add(Z: jax.Array, H: int, C: int) -> jax.Array:
+    Zp = jnp.pad(Z, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    return (
+        Zp[:, 0:H, :, 0:C]
+        + Zp[:, 1 : 1 + H, :, C : 2 * C]
+        + Zp[:, 2 : 2 + H, :, 2 * C : 3 * C]
+    )
+
+
+def _gemm_epilogue(cols: jax.Array, w: jax.Array, col_scale: jax.Array,
+                   bias: jax.Array, B: int, H: int, W: int, C: int,
+                   z_requant: Optional[jax.Array] = None,
+                   z_scale: Optional[jax.Array] = None) -> jax.Array:
+    """int8 GEMM -> int32 -> dequant -> dy shift-add -> +bias.
+
+    With calibrated ``z_requant``/``z_scale`` (per GEMM column), the
+    intermediate Z is requantized to int8 right at the dot output —
+    halving the dominant HBM term of the step (Z write + the epilogue's
+    3 shifted reads) at the cost of one more 8-bit grid
+    (|error| <= z_scale/2 per tap before the dy-sum)."""
+    Zi = jax.lax.dot_general(
+        cols.reshape(-1, cols.shape[-1]),
+        w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    if z_requant is not None:
+        # all-bf16 requant chain so it can fuse into the dot's output
+        # epilogue (an f32 intermediate forces the int32 Z to materialize)
+        Zq = jnp.clip(
+            jnp.round(Zi.astype(jnp.bfloat16) * z_requant.astype(jnp.bfloat16)),
+            -127, 127,
+        ).astype(jnp.int8).reshape(B, H, W, 3 * C)
+        Z = Zq.astype(jnp.bfloat16) * z_scale
+    else:
+        Z = Zi.astype(jnp.bfloat16).reshape(B, H, W, 3 * C) * col_scale
+    return _dy_shift_add(Z, H, C) + bias
+
+
+class Int8DeployEngine:
+    """Duck-types the FireNet model protocol (``init_states`` / ``apply``)
+    so ``evflow.eval.evaluate(config, model=engine, variables=prepared)``
+    runs the full AEE protocol on the quantized serving path.
+
+    ``hard_reset``/``alpha`` mirror the training cell config; LIF dynamics
+    reuse :func:`evflow.ops.lif.leaky_step` exactly (inference forward).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables: Dict[str, Any],
+        mem_dtype: str = "bfloat16",
+        mem_scales: Optional[Sequence[float]] = None,
+        input_scale: float = 1.0,
+    ):
+        if model.cell_family != "snn":
+            raise ValueError("Int8DeployEngine supports the snn cell family")
+        if model.norm_input:
+            raise ValueError("norm_input is not supported on the int8 path")
+        if model.tebn or model.mpbn:
+            raise ValueError("TEBN/MPBN models are not supported on the int8 path")
+        if model.kernel_size != 3:
+            raise ValueError("the dy-packed int8 path requires 3x3 kernels")
+        if mem_dtype not in ("bfloat16", "int8"):
+            raise ValueError(f"mem_dtype must be bfloat16 or int8, got {mem_dtype!r}")
+        if mem_dtype == "int8" and mem_scales is None:
+            # reference default state_quant range [-250, 1] -> symmetric 250
+            mem_scales = [250.0 / 127.0] * model.num_units
+        self.model = model
+        self.encoding = model.encoding
+        rec_units = {"G1", "G2"} if model.recurrent else set()
+        self.unit_recurrent = tuple(n in rec_units for n in model.unit_names)
+        self.num_units = model.num_units
+        self.features = model.base_num_channels
+        self.mem_dtype = mem_dtype
+        self.hard_reset = model.hard_reset
+        self.alpha = model.alpha if hasattr(model, "alpha") else 2.0
+        self.params = prepare_int8_params(
+            model, variables, mem_scales=mem_scales, input_scale=input_scale
+        )
+        self.input_scale = float(input_scale)
+        self.z_int8 = False  # enabled by calibrate_z()
+
+    def calibrate_z(self, windows: Sequence[Any], margin: float = 1.05):
+        """Enable int8 requantization of the GEMM intermediate Z using
+        per-column scales collected over sample windows — the TPU analog of
+        the reference's activation calibration (eval_flow.py:31-47 runs 50
+        batches through brevitas ``calibration_mode``). Halves the step's
+        dominant HBM term. Call with a list of ``[B, H, W, 2]`` input
+        windows drawn from the eval distribution."""
+        if not windows:
+            raise ValueError("calibrate_z needs at least one sample window")
+        x0 = jnp.asarray(windows[0])
+        B, H, W, _ = x0.shape
+
+        @jax.jit
+        def probe(params, x, states):
+            xi = jnp.clip(
+                jnp.round(x / self.input_scale if self.input_scale != 1.0 else x),
+                -127, 127,
+            ).astype(jnp.int8)
+            h = xi
+            new_states = []
+            zmaxes = []
+            C = self.features
+            for i, unit in enumerate(params["units"]):
+                mem, prev_spk = states[i]
+                mem_f = (
+                    mem.astype(jnp.bfloat16) * unit["mem_scale"]
+                    if self.mem_dtype == "int8" else mem
+                )
+                cols = (
+                    jnp.concatenate([_cols_dx_i8(h), _cols_dx_i8(prev_spk)], axis=-1)
+                    if self.unit_recurrent[i] else _cols_dx_i8(h)
+                )
+                Zi = jax.lax.dot_general(
+                    cols.reshape(-1, cols.shape[-1]), unit["w"],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+                )
+                Zf = Zi.astype(jnp.float32) * unit["col_scale"].astype(jnp.float32)
+                zmaxes.append(jnp.max(jnp.abs(Zf), axis=0))
+                y = (_dy_shift_add(
+                    Zf.astype(jnp.bfloat16).reshape(B, H, W, 3 * C), H, C
+                ) + unit["bias"])
+                spk, mem_out = leaky_step(
+                    y, mem_f, unit["beta"], unit["theta"],
+                    reset="zero" if self.hard_reset else "subtract", alpha=self.alpha,
+                )
+                h = spk.astype(jnp.int8)
+                if self.mem_dtype == "int8":
+                    mem_out = jnp.clip(
+                        jnp.round(mem_out / unit["mem_scale"]), -127, 127
+                    ).astype(jnp.int8)
+                new_states.append(LIFState(mem_out, h))
+            return tuple(new_states), zmaxes
+
+        states = self.init_states(B, H, W)
+        maxes = [np.zeros(u["w"].shape[-1], np.float32) for u in self.params["units"]]
+        for w in windows:
+            states, zm = probe(self.params, jnp.asarray(w), states)
+            for i, m in enumerate(zm):
+                maxes[i] = np.maximum(maxes[i], np.asarray(m, np.float32))
+        for unit, m in zip(self.params["units"], maxes):
+            s_z = np.maximum(m * margin, 1e-8) / 127.0
+            col = np.asarray(unit["col_scale"], np.float32)
+            unit["z_scale"] = jnp.asarray(s_z, jnp.bfloat16)
+            unit["z_requant"] = jnp.asarray(col / s_z, jnp.float32)
+        self.z_int8 = True
+
+    def init_states(self, batch: int, height: int, width: int):
+        shape = (batch, height, width, self.features)
+        mdt = jnp.int8 if self.mem_dtype == "int8" else jnp.bfloat16
+        return tuple(
+            LIFState(jnp.zeros(shape, mdt), jnp.zeros(shape, jnp.int8))
+            for _ in range(self.num_units)
+        )
+
+    def apply(
+        self,
+        variables: Dict[str, Any],
+        event_voxel: Optional[jax.Array],
+        event_cnt: Optional[jax.Array],
+        states: Sequence[LIFState],
+        train: bool = False,
+        timestep: Optional[jax.Array] = None,
+        log: bool = False,
+    ):
+        """One event-window step on the int8 path. ``variables`` is the
+        prepared pytree from :func:`prepare_int8_params` (``engine.params``).
+        """
+        del train, timestep
+        x = event_cnt if self.encoding == "cnt" else event_voxel
+        if x is None:
+            raise ValueError("Selected encoding input is None")
+        B, H, W, _ = x.shape
+        C = self.features
+        reset = "zero" if self.hard_reset else "subtract"
+
+        xi = jnp.clip(
+            jnp.round(x / self.input_scale if self.input_scale != 1.0 else x),
+            -127,
+            127,
+        ).astype(jnp.int8)
+
+        h = xi
+        new_states: List[LIFState] = []
+        taps = {"0:input": x} if log else None
+        for i, unit in enumerate(variables["units"]):
+            mem, prev_spk = states[i]
+            if self.mem_dtype == "int8":
+                mem_f = mem.astype(jnp.bfloat16) * unit["mem_scale"]
+            else:
+                mem_f = mem
+            if self.unit_recurrent[i]:
+                cols = jnp.concatenate(
+                    [_cols_dx_i8(h), _cols_dx_i8(prev_spk)], axis=-1
+                )
+            else:
+                cols = _cols_dx_i8(h)
+            y = _gemm_epilogue(
+                cols, unit["w"], unit["col_scale"], unit["bias"], B, H, W, C,
+                z_requant=unit.get("z_requant") if self.z_int8 else None,
+                z_scale=unit.get("z_scale") if self.z_int8 else None,
+            )
+            spk, mem_out = leaky_step(
+                y, mem_f, unit["beta"], unit["theta"], reset=reset, alpha=self.alpha
+            )
+            h = spk.astype(jnp.int8)
+            if self.mem_dtype == "int8":
+                mem_out = jnp.clip(
+                    jnp.round(mem_out / unit["mem_scale"]), -127, 127
+                ).astype(jnp.int8)
+            new_states.append(LIFState(mem_out, h))
+            if log:
+                taps[f"{i + 1}:{self.model.unit_names[i]}"] = spk
+
+        hs = h.astype(jnp.bfloat16)
+        flow = jnp.einsum(
+            "bhwc,co->bhwo", hs, variables["pred_kernel"][0, 0]
+        )
+        if variables["pred_bias"] is not None:
+            flow = flow + variables["pred_bias"]
+        flow = jnp.tanh(flow).astype(jnp.float32)
+        if log:
+            taps[f"{self.num_units + 1}:pred"] = flow
+            from evflow.models.firenet import activity_fractions
+
+            activity = activity_fractions(taps)
+        else:
+            activity = None
+        return {"flow": [flow], "activity": activity}, tuple(new_states)

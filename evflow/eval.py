@@ -51,10 +51,10 @@ def _reset_slot_states(states, model, flags, B, H, W):
     if not flags.any():
         return states
     fresh = model.init_states(B, H, W)
-    keep = jnp.asarray(~flags, jnp.float32).reshape(B, *([1] * 3))
+    new_seq = jnp.asarray(flags, bool).reshape(B, *([1] * 3))
 
     def mix(old, new):
-        return old * keep + new * (1.0 - keep)
+        return jnp.where(new_seq, new, old)
 
     return jax.tree.map(mix, states, fresh)
 

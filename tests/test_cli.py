@@ -87,6 +87,30 @@ def test_eval_flow_cli(workspace, trained_run):
     assert "AEE" in out.stdout
 
 
+def _ckpt(trained_run):
+    ckpts = os.path.join(trained_run, "checkpoints", "most_recent")
+    if not os.path.isdir(ckpts):
+        pytest.skip("no checkpoint written")
+    return os.path.join(ckpts, sorted(os.listdir(ckpts))[-1])
+
+
+def test_eval_flow_quant_ptq_cli(workspace, trained_run):
+    out = run_cli(["eval_flow_quant.py", _ckpt(trained_run),
+                   "--config", workspace["eval_cfg"], "--mode", "ptq",
+                   "--calibration_batches", "2", "--max_windows", "3", "--debug"])
+    assert "AEE" in out.stdout
+
+
+def test_eval_flow_quant_deploy_cli(workspace, trained_run):
+    """The real int8 serving engine through the CLI, fastest tier
+    (int8 membranes + calibrated int8 GEMM intermediates)."""
+    out = run_cli(["eval_flow_quant.py", _ckpt(trained_run),
+                   "--config", workspace["eval_cfg"], "--mode", "deploy",
+                   "--mem_dtype", "int8", "--z_int8", "--profile_batches", "3",
+                   "--calibration_batches", "3", "--max_windows", "3", "--debug"])
+    assert "deploy" in out.stdout and "AEE" in out.stdout
+
+
 def test_model_export_cli(workspace, tmp_path):
     out_dir = str(tmp_path / "exported")
     out = run_cli(["model_export.py", "--config", workspace["eval_cfg"],

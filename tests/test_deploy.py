@@ -1,0 +1,297 @@
+"""Int8 deployment engine (evflow/deploy.py): wiring exactness + AEE parity.
+
+The engine is the serving analog of the reference's PTQ deployment
+(eval_flow_quant.py PTQ full / conv-only modes): folded BN, per-channel
+int8 weights, int8 spike carries, optional int8 membranes. Tests:
+
+1. grid-snapped weights -> the int8 GEMM is exact integer math, so the
+   engine must match the f32 flax model to bf16 rounding (catches any
+   layout / scale / recurrent-routing bug deterministically);
+2. full gtflow-protocol AEE parity vs f32 on a trained model (weight-PTQ
+   error budget), for both bf16 and int8 membrane carries.
+"""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evflow.config import combine_entries
+from evflow.deploy import Int8DeployEngine
+from evflow.eval import evaluate
+from evflow.registry import build_model
+from evflow.train import train
+from evflow.utils.checkpoint import load_checkpoint
+
+h5py = pytest.importorskip("h5py")
+
+RES = 64
+
+
+def _model_cfg(**over):
+    cfg = {
+        "name": "LIFFireNet_short",
+        "encoding": "cnt",
+        "round_encoding": False,
+        "norm_input": False,
+        "num_bins": 2,
+        "base_num_channels": 8,
+        "kernel_size": 3,
+        "mask_output": True,
+        "spiking_neuron": {
+            "leak": [0.0, 1.0],
+            "thresh": [0.0, 0.8],
+            "learn_leak": True,
+            "learn_thresh": True,
+            "hard_reset": True,
+        },
+    }
+    cfg.update(over)
+    return cfg
+
+
+def _snap_kernels_to_int8_grid(variables):
+    """Replace every conv kernel by its per-output-channel int8 quantization
+    (round(k/s)*s), so the engine's weight quantization is lossless.
+    Recurrent units share one scale across ff+rec, exactly as
+    prepare_int8_params does for the dual GEMM."""
+
+    def snap_one(k, s):
+        return jnp.asarray(np.clip(np.round(np.asarray(k, np.float32) / s), -127, 127) * s)
+
+    params = jax.tree.map(lambda x: x, variables)  # deep-ish copy of the dict tree
+    for name, unit in params["params"].items():
+        if not isinstance(unit, dict) or "ff" not in unit:
+            if isinstance(unit, dict) and "conv2d" in unit:  # pred head
+                k = np.asarray(unit["conv2d"]["kernel"], np.float32)
+                s = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
+                unit["conv2d"]["kernel"] = snap_one(k, s)
+            continue
+        kf = np.asarray(unit["ff"]["kernel"], np.float32)
+        if "rec" in unit:
+            kr = np.asarray(unit["rec"]["kernel"], np.float32)
+            s = np.maximum(
+                np.maximum(np.max(np.abs(kf), axis=(0, 1, 2)),
+                           np.max(np.abs(kr), axis=(0, 1, 2))), 1e-12
+            ) / 127.0
+            unit["ff"]["kernel"] = snap_one(kf, s)
+            unit["rec"]["kernel"] = snap_one(kr, s)
+        else:
+            s = np.maximum(np.max(np.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+            unit["ff"]["kernel"] = snap_one(kf, s)
+    return params
+
+
+def test_engine_matches_f32_on_grid_weights():
+    """With kernels already on the int8 grid and integer count inputs, the
+    engine differs from the f32 model only by bf16 rounding."""
+    model = build_model(_model_cfg())
+    B, H, W = 2, 16, 16
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(3), None, jnp.zeros((B, H, W, 2)), states)
+    v = _snap_kernels_to_int8_grid(v)
+    # shared per-channel scales for the recurrent units' dual GEMM: snap
+    # ff+rec together the way prepare_int8_params does
+    engine = Int8DeployEngine(model, v)
+
+    key = jax.random.PRNGKey(0)
+    est = engine.init_states(B, H, W)
+    agree = []
+    for t in range(6):
+        key, k = jax.random.split(key)
+        cnt = jax.random.poisson(k, 0.3, (B, H, W, 2)).astype(jnp.float32)
+        outf, states = model.apply(v, None, cnt, states, train=False)
+        oute, est = engine.apply(engine.params, None, cnt, est, train=False)
+        f32 = np.asarray(outf["flow"][0])
+        i8 = np.asarray(oute["flow"][0])
+        # spikes feeding pred can flip when a membrane sits exactly at the
+        # bf16 rounding edge; require near-total agreement of the flow field
+        agree.append(np.mean(np.abs(f32 - i8) < 0.02))
+    assert np.mean(agree) > 0.995, f"flow agreement too low: {np.mean(agree)}"
+
+
+def test_engine_rejects_unsupported_configs():
+    model = build_model(_model_cfg(norm_input=True))
+    v_shape = model.init_states(1, 8, 8)
+    with pytest.raises(ValueError, match="norm_input"):
+        Int8DeployEngine(model, {"params": {}})
+    del v_shape
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    from evflow.data.synthetic import make_dataset
+
+    base = tmp_path_factory.mktemp("deploy_parity")
+    train_root = str(base / "train")
+    root = str(base / "eval")
+    make_dataset(
+        train_root,
+        num_sequences=2,
+        resolution=(RES, RES),
+        events_per_sec=120_000,
+        duration=1.0,
+        flows=[(12.0, -8.0), (-10.0, 6.0)],
+        gt_hz=10.0,
+    )
+    make_dataset(
+        root,
+        num_sequences=1,
+        resolution=(RES, RES),
+        events_per_sec=120_000,
+        duration=3.0,
+        flows=[(12.0, -8.0)],
+        gt_hz=60.0,
+    )
+    tcfg = combine_entries(
+        {
+            "experiment": "deploy_parity",
+            "data": {"path": train_root, "mode": "events", "window": 500, "window_loss": 2500},
+            "model": _model_cfg(),
+            "loss": {"flow_regul_weight": 0.001, "clip_grad": 1.0},
+            "optimizer": {"name": "Adam", "lr": 0.002},
+            "loader": {
+                "n_epochs": 10000,
+                "batch_size": 2,
+                "resolution": [RES, RES],
+                "std_resolution": [RES, RES],
+                "augment": [],
+                "seed": 0,
+            },
+            "vis": {"verbose": False, "store_grads": False, "bars": False},
+            "hot_filter": {"enabled": False},
+        }
+    )
+    run = train(tcfg, path_runs=os.path.join(train_root, "runs"), max_steps=80, verbose=False)
+    ck = glob.glob(os.path.join(run.dir, "checkpoints", "most_recent", "*"))[0]
+
+    model = build_model(_model_cfg())
+    st = model.init_states(1, RES, RES)
+    v0 = model.init(jax.random.PRNGKey(0), None, jnp.zeros((1, RES, RES, 2)), st)
+    tmpl = {
+        "params": v0["params"],
+        "batch_stats": v0.get("batch_stats", {}),
+        "opt_state": None,
+        "epoch": 0,
+        "loss": 0.0,
+        "loss_variance": 0.0,
+    }
+    restored = load_checkpoint(ck, tmpl)
+    variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+    return root, variables
+
+
+def _ecfg(root):
+    return combine_entries(
+        {
+            "experiment": "deploy_parity",
+            "data": {"path": root, "mode": "gtflow_dt1", "window": 1},
+            "model": _model_cfg(),
+            "metrics": {"name": ["AEE"], "flow_scaling": RES, "heat_map": False},
+            "loader": {
+                "batch_size": 1,
+                "resolution": [RES, RES],
+                "std_resolution": [RES, RES],
+                "augment": [],
+                "seed": 0,
+            },
+            "vis": {"verbose": False, "enabled": False, "bars": False},
+            "hot_filter": {"enabled": False},
+        }
+    )
+
+
+def _aee(res):
+    return float(np.mean([float(x) for x in res["AEE"].values()]))
+
+
+def test_engine_aee_parity(trained):
+    """Full gtflow protocol through evaluate(): the engine (bf16 membranes)
+    must hold AEE within 2% of f32 — the per-channel weight-PTQ budget
+    (reference conv-only PTQ measures ~1%, eval_flow_quant.py)."""
+    root, variables = trained
+    model = build_model(_model_cfg())
+    cfg = _ecfg(root)
+
+    aee_f32 = _aee(
+        evaluate(cfg, path_results=os.path.join(root, "r", "f32"), debug=True,
+                 model=model, variables=variables, max_windows=160, verbose=False)
+    )
+    engine = Int8DeployEngine(model, variables)
+    aee_i8 = _aee(
+        evaluate(cfg, path_results=os.path.join(root, "r", "i8"), debug=True,
+                 model=engine, variables=engine.params, max_windows=160,
+                 verbose=False)
+    )
+    assert aee_f32 > 0.05
+    rel = abs(aee_i8 - aee_f32) / aee_f32
+    assert rel < 0.02, f"int8 engine AEE diverged: {aee_i8:.4f} vs {aee_f32:.4f} ({100*rel:.2f}%)"
+
+
+def test_engine_int8_membranes_aee(trained):
+    """int8 membrane carries with profiled per-layer scales stay within 5%
+    AEE of f32 (the PTQ states budget, benchmarks/VALIDATION.md)."""
+    root, variables = trained
+    model = build_model(_model_cfg())
+    cfg = _ecfg(root)
+
+    aee_f32 = _aee(
+        evaluate(cfg, path_results=os.path.join(root, "r", "f32b"), debug=True,
+                 model=model, variables=variables, max_windows=120, verbose=False)
+    )
+
+    # profile membrane ranges on the bf16 engine over a few windows
+    probe = Int8DeployEngine(model, variables)
+    est = probe.init_states(1, RES, RES)
+    key = jax.random.PRNGKey(1)
+    absmax = np.zeros(model_units := probe.num_units)
+    for _ in range(20):
+        key, k = jax.random.split(key)
+        cnt = jax.random.poisson(k, 0.2, (1, RES, RES, 2)).astype(jnp.float32)
+        _, est = probe.apply(probe.params, None, cnt, est)
+        for i in range(model_units):
+            absmax[i] = max(absmax[i], float(jnp.max(jnp.abs(est[i].mem))))
+    scales = np.maximum(absmax * 1.1, 1e-3) / 127.0
+
+    engine = Int8DeployEngine(model, variables, mem_dtype="int8", mem_scales=scales)
+    aee_q = _aee(
+        evaluate(cfg, path_results=os.path.join(root, "r", "i8m"), debug=True,
+                 model=engine, variables=engine.params, max_windows=120,
+                 verbose=False)
+    )
+    rel = abs(aee_q - aee_f32) / aee_f32
+    assert rel < 0.05, f"int8-membrane AEE diverged: {aee_q:.4f} vs {aee_f32:.4f} ({100*rel:.2f}%)"
+
+
+def test_engine_z_int8_aee(trained):
+    """Calibrated int8 requantization of the GEMM intermediate (the fastest
+    serving tier) stays within 5% AEE of f32 on the gtflow protocol."""
+    from evflow.data.h5_stream import H5EventStream
+
+    root, variables = trained
+    model = build_model(_model_cfg())
+    cfg = _ecfg(root)
+
+    aee_f32 = _aee(
+        evaluate(cfg, path_results=os.path.join(root, "r", "f32z"), debug=True,
+                 model=model, variables=variables, max_windows=120, verbose=False)
+    )
+
+    # calibration windows drawn from the eval stream, like the reference's
+    # 50-batch brevitas calibration pass (eval_flow.py:31-47)
+    data = H5EventStream(cfg, 2, False)
+    windows = [data.next_batch()["event_cnt"] for _ in range(15)]
+
+    engine = Int8DeployEngine(model, variables)
+    engine.calibrate_z(windows)
+    assert all("z_requant" in u for u in engine.params["units"])
+    aee_z = _aee(
+        evaluate(cfg, path_results=os.path.join(root, "r", "zi8"), debug=True,
+                 model=engine, variables=engine.params, max_windows=120,
+                 verbose=False)
+    )
+    rel = abs(aee_z - aee_f32) / aee_f32
+    assert rel < 0.05, f"z-int8 AEE diverged: {aee_z:.4f} vs {aee_f32:.4f} ({100*rel:.2f}%)"

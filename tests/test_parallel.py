@@ -114,3 +114,43 @@ def test_eval_fanout_batched_sequences(dataset, tmp_path):
                        max_windows=8, verbose=False)
     # both sequences contribute results
     assert len(results["AEE"]) == 2
+
+
+def test_deploy_engine_sharded_serving():
+    """The int8 serving engine fans out over the data mesh: batch-of-
+    sequences sharded, prepared int8 params replicated — flows match the
+    single-device engine exactly (integer GEMMs are deterministic)."""
+    from evflow.deploy import Int8DeployEngine
+    from evflow.registry import build_model
+
+    cfg = {"name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": 8,
+           "kernel_size": 3, "encoding": "cnt",
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    model = build_model(cfg)
+    B, H, W = 8, 16, 16
+    rng = np.random.default_rng(1)
+    cnt = rng.poisson(0.3, size=(B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+    engine = Int8DeployEngine(model, v, mem_dtype="int8")
+    est = engine.init_states(B, H, W)
+
+    out_single, st_single = jax.jit(
+        lambda p, c, s: engine.apply(p, None, c, s)
+    )(engine.params, jnp.asarray(cnt), est)
+
+    mesh = make_mesh()
+    bs = batch_sharding(mesh)
+    cnt_sh = jax.device_put(cnt, bs)
+    est_sh = jax.tree.map(lambda x: jax.device_put(x, bs), est)
+    p_rep = replicate(engine.params, mesh)
+    out_sh, st_sh = jax.jit(
+        lambda p, c, s: engine.apply(p, None, c, s)
+    )(p_rep, cnt_sh, est_sh)
+
+    np.testing.assert_array_equal(
+        np.asarray(st_single[0].spk), np.asarray(st_sh[0].spk)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_single["flow"][0]), np.asarray(out_sh["flow"][0]), atol=1e-5
+    )
