@@ -1,17 +1,21 @@
 """Headline benchmark: LIFFireNet 256x256 eval throughput (windows/sec/chip).
 
-BASELINE.md target: >= 5000 event-windows/sec/chip on TPU v5e. The model is
-LIFFireNet 32ch; one window = one forward step of one 256x256 sequence with
-membrane state carried across windows. Batch B parallel sequences (the
-reference's batch-slot semantics) x a jitted lax.scan over T consecutive
-windows; throughput counts T*B windows.
+BASELINE.md target: >= 5000 event-windows/sec/chip on TPU v5e with AEE
+within 1% of reference. The model is LIFFireNet 32ch; one window = one
+forward step of one 256x256 sequence with membrane state carried across
+windows. Batch B parallel sequences (the reference's batch-slot semantics)
+x a jitted lax.scan over T consecutive windows; throughput counts T*B
+windows.
 
-Measured configuration: the flax model with dy-packed matmul convs
-(evflow/ops/dypack.py: vertical taps packed into the GEMM's output dim,
-N=3C=96 -> 3x the MXU lane use of plain im2col) and bfloat16 conv compute +
-bf16 membrane carries — the honest user-facing eval path; accuracy of this
-exact config is evidenced by tests/test_bf16_parity.py (AEE within 1% of
-f32 over ~240 windows). See BENCH_NOTES.md for the variant study.
+Measured configuration: the int8 deployment engine (evflow/deploy.py) —
+folded BN, hoisted per-channel int8 weights, int8 spike carries, real int8
+MXU GEMMs in the dy-packed formulation, bf16 membrane carries. This is the
+serving path a user deploys (eval_flow_quant.py --mode deploy); its
+accuracy is evidenced by tests/test_deploy.py and
+benchmarks/deploy_aee_tiers.py: AEE within 0.03% of the f32 path over ~230
+windows of the full gtflow protocol (weight-only per-channel PTQ). See
+BENCH_NOTES.md round 3 for the tier study (int8 membranes reach 2407 win/s
+at ~1% AEE).
 
 Timing note: on the tunneled axon backend ``block_until_ready`` does not
 synchronize — a scalar fetch does, so we reduce the flows inside the scan
@@ -24,8 +28,10 @@ import json
 import os
 import time
 
+MEM_DTYPE = "bfloat16"  # the <=1%-AEE serving tier (see BENCH_NOTES.md)
 
-def bench(B=8, H=256, W=256, T=64, channels=32, iters=4):
+
+def bench(B=8, H=256, W=256, T=64, channels=32, iters=4, mem_dtype=MEM_DTYPE):
     import jax
 
     jax.config.update(
@@ -35,6 +41,7 @@ def bench(B=8, H=256, W=256, T=64, channels=32, iters=4):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
+    from evflow.deploy import Int8DeployEngine
     from evflow.registry import build_model
 
     cfg = {
@@ -43,34 +50,33 @@ def bench(B=8, H=256, W=256, T=64, channels=32, iters=4):
         "base_num_channels": channels,
         "kernel_size": 3,
         "encoding": "cnt",
-        "compute_dtype": "bfloat16",
-        "state_dtype": "bfloat16",
-        "conv_impl": "dypack",
         "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
     }
     model = build_model(cfg)
     states = model.init_states(B, H, W)
     key = jax.random.PRNGKey(0)
     variables = model.init(key, None, jnp.zeros((B, H, W, 2), jnp.float32), states)
+    engine = Int8DeployEngine(model, variables, mem_dtype=mem_dtype)
+    est = engine.init_states(B, H, W)
     # realistic sparse event-count input (~5% active pixels), reused each step
     window = jax.random.poisson(key, 0.05, (B, H, W, 2)).astype(jnp.float32)
 
-    def run(variables, window, states):
+    def run(params, window, states):
         def step(st, _):
-            out, new_st = model.apply(variables, None, window, st, train=False)
+            out, new_st = engine.apply(params, None, window, st)
             return new_st, out["flow"][0].sum()
 
         final, fsum = jax.lax.scan(step, states, None, length=T)
         return fsum.sum(), final
 
     run_j = jax.jit(run)
-    s, st = run_j(variables, window, states)
+    s, st = run_j(engine.params, window, est)
     float(s)  # force full execution (compile + run)
 
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        s, st = run_j(variables, window, st)
+        s, st = run_j(engine.params, window, st)
         float(s)
         best = min(best, time.perf_counter() - t0)
     return (T * B) / best

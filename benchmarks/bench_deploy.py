@@ -49,7 +49,47 @@ def bench(mem_dtype, z_int8=False, iters=4):
     print(f"deploy {tag:22s}: compile {cs:.0f}s, {T*B/best:.1f} win/s", flush=True)
 
 
+def bench_latency(mem_dtype="int8", T=64, iters=4):
+    """B=1 single-stream serving latency (ms per 256x256 window)."""
+    global B
+    saved, B = B, 1
+    try:
+        cfg = {
+            "name": "LIFFireNet", "num_bins": 2, "base_num_channels": 32,
+            "kernel_size": 3, "encoding": "cnt",
+            "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
+        }
+        model = build_model(cfg)
+        states = model.init_states(1, H, W)
+        key = jax.random.PRNGKey(0)
+        variables = model.init(key, None, jnp.zeros((1, H, W, 2), jnp.float32), states)
+        engine = Int8DeployEngine(model, variables, mem_dtype=mem_dtype)
+        est = engine.init_states(1, H, W)
+        window = jax.random.poisson(key, 0.05, (1, H, W, 2)).astype(jnp.float32)
+
+        @jax.jit
+        def run(params, window, states):
+            def step(st, _):
+                out, new_st = engine.apply(params, None, window, st)
+                return new_st, out["flow"][0].sum()
+            final, fsum = jax.lax.scan(step, states, None, length=T)
+            return fsum.sum(), final
+
+        s, st = run(engine.params, window, est); float(s)
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter(); s, st = run(engine.params, window, st); float(s)
+            best = min(best, time.perf_counter() - t0)
+        print(f"deploy B=1 latency (mem={mem_dtype}): {best/T*1e3:.3f} ms/window "
+              f"({T/best:.0f} win/s single-stream)", flush=True)
+    finally:
+        B = saved
+
+
 if __name__ == "__main__":
     args = sys.argv[1:] or ["bfloat16", "int8", "int8+z"]
     for md in args:
-        bench(md.replace("+z", ""), z_int8=md.endswith("+z"))
+        if md == "latency":
+            bench_latency()
+        else:
+            bench(md.replace("+z", ""), z_int8=md.endswith("+z"))

@@ -1,0 +1,85 @@
+"""Device-resident training-step throughput: conv_impl variants.
+
+Isolates the jitted TBPTT train step (window pre-staged on device, no host
+wire) at the reference train config scale — the number that binds on a
+normally-attached host (the end-to-end loop on THIS tunneled rig is
+wire-bound at ~60 MB/s, see BENCH_NOTES.md round 1)."""
+import sys; sys.path.insert(0, "/root/repo")
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from evflow.loss.warp_loss import EventWarpingConfig
+from evflow.registry import build_model, build_optimizer
+from evflow.train import make_train_step, stack_window
+
+B, H, W = 8, 128, 128
+P, N = 10, 1000  # passes per loss window, events per window
+
+
+def bench(conv_impl, compute_dtype=None, iters=4):
+    cfg = {
+        "name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": 8,
+        "kernel_size": 3, "encoding": "cnt", "conv_impl": conv_impl,
+        "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
+    }
+    if compute_dtype:
+        cfg["compute_dtype"] = compute_dtype
+    model = build_model(cfg)
+    states = model.init_states(B, H, W)
+    cnt0 = jnp.zeros((B, H, W, 2), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), None, cnt0, states)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     build_optimizer({"name": "Adam", "lr": 2e-4}))
+    opt_state = tx.init(variables["params"])
+    warp_cfg = EventWarpingConfig({
+        "loader": {"resolution": [H, W]},
+        "loss": {"flow_regul_weight": 0.001},
+        "model": {"mask_output": True},
+    })
+    step_fn = make_train_step(model, tx, warp_cfg)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(P):
+        ys = rng.integers(0, H, (B, N)).astype(np.float32)
+        xs = rng.integers(0, W, (B, N)).astype(np.float32)
+        ts = np.sort(rng.uniform(0, 1, (B, N)), axis=1).astype(np.float32)
+        ps = rng.choice([-1.0, 1.0], (B, N)).astype(np.float32)
+        cnt = rng.poisson(0.1, (B, H, W, 2)).astype(np.float32)
+        batches.append({
+            "event_list": np.stack([ts, ys, xs, ps], -1),
+            "event_list_pol_mask": np.stack(
+                [(ps > 0).astype(np.float32), (ps < 0).astype(np.float32)], -1),
+            "event_valid": np.ones((B, N), np.float32),
+            "event_cnt": cnt, "event_voxel": cnt.copy(),
+            "event_mask": (cnt.sum(-1, keepdims=True) > 0).astype(np.float32),
+        })
+    window = jax.tree.map(jnp.asarray, stack_window(batches))
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    loss, params, bstats, opt_state, states, _ = step_fn(
+        params, bstats, opt_state, states, window)
+    t0 = time.time(); float(loss); cs = time.time() - t0
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        loss, params, bstats, opt_state, states, _ = step_fn(
+            params, bstats, opt_state, states, window)
+        float(loss)
+        best = min(best, time.perf_counter() - t0)
+    tag = f"{conv_impl}{'+' + compute_dtype if compute_dtype else ''}"
+    print(f"train device step {tag:16s}: {P*B/best:.0f} win/s ({best*1e3:.1f} ms/step)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    for impl, dt in [("im2col", None), ("dypack", None), ("dypack", "bfloat16")]:
+        bench(impl, dt)

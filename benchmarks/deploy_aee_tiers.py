@@ -93,26 +93,20 @@ def main():
     a = aee(e1, e1.params, "d_bf16")
     print(f"deploy bf16-mem     : AEE {a:.5f}  rel {abs(a-a_f32)/a_f32*100:.2f}%", flush=True)
 
-    # profiled membrane scales
-    probe = Int8DeployEngine(model, variables)
-    est = probe.init_states(1, RES, RES)
-    key = jax.random.PRNGKey(1)
-    absmax = np.zeros(probe.num_units)
-    data = H5EventStream(ecfg, 2, False)
-    for _ in range(40):
-        b = data.next_batch()
-        _, est = probe.apply(probe.params, None, jnp.asarray(b["event_cnt"]), est)
-        for i in range(probe.num_units):
-            absmax[i] = max(absmax[i], float(jnp.max(jnp.abs(est[i].mem))))
-    scales = np.maximum(absmax * 1.1, 1e-3) / 127.0
+    # profiled per-channel asymmetric membrane ranges
+    from evflow.deploy import profile_mem_ranges
 
-    e2 = Int8DeployEngine(model, variables, mem_dtype="int8", mem_scales=scales)
+    data = H5EventStream(ecfg, 2, False)
+    prof_windows = [data.next_batch()["event_cnt"] for _ in range(40)]
+    ranges = profile_mem_ranges(model, variables, prof_windows)
+
+    e2 = Int8DeployEngine(model, variables, mem_dtype="int8", mem_ranges=ranges)
     a = aee(e2, e2.params, "d_i8m")
     print(f"deploy int8-mem     : AEE {a:.5f}  rel {abs(a-a_f32)/a_f32*100:.2f}%", flush=True)
 
     data = H5EventStream(ecfg, 2, False)
     windows = [data.next_batch()["event_cnt"] for _ in range(25)]
-    e3 = Int8DeployEngine(model, variables, mem_dtype="int8", mem_scales=scales)
+    e3 = Int8DeployEngine(model, variables, mem_dtype="int8", mem_ranges=ranges)
     e3.calibrate_z(windows)
     a = aee(e3, e3.params, "d_z")
     print(f"deploy int8-mem+zi8 : AEE {a:.5f}  rel {abs(a-a_f32)/a_f32*100:.2f}%", flush=True)

@@ -21,6 +21,10 @@ def main():
     parser.add_argument("--max_windows", type=int, default=None)
     parser.add_argument("--fused", action="store_true",
                         help="use the Pallas fused conv+LIF inference path")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler device trace to DIR "
+                             "(TensorBoard/Perfetto format) for the run — the "
+                             "TPU analog of the reference's timing hooks")
     args = parser.parse_args()
 
     from evflow.config import load_config, merge_configs
@@ -49,15 +53,24 @@ def main():
             runid = args.checkpoint
             break
 
-    results = evaluate(
-        config,
-        checkpoint=ckpt,
-        path_results=args.path_results,
-        runid=runid,
-        debug=args.debug,
-        max_windows=args.max_windows,
-        fused=args.fused,
-    )
+    import contextlib
+
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+    else:
+        prof = contextlib.nullcontext()
+    with prof:
+        results = evaluate(
+            config,
+            checkpoint=ckpt,
+            path_results=args.path_results,
+            runid=runid,
+            debug=args.debug,
+            max_windows=args.max_windows,
+            fused=args.fused,
+        )
     print()
     for metric, per_file in results.items():
         for fname, val in per_file.items():

@@ -72,22 +72,17 @@ def main():
         from evflow.data.h5_stream import H5EventStream
         from evflow.deploy import Int8DeployEngine
 
-        mem_scales = None
+        mem_ranges = None
         if args.mem_dtype == "int8":
-            from evflow.quant.calibrate import profile_membrane_ranges, recommend_ranges
+            from evflow.deploy import profile_mem_ranges
 
             stream = H5EventStream(config, model_cfg.get("num_bins", 2),
                                    model_cfg.get("round_encoding", False))
-            profiles = profile_membrane_ranges(
-                model, variables, stream, num_batches=args.profile_batches
-            )
-            ranges = recommend_ranges(profiles)
-            mem_scales = [
-                max(abs(ranges[str(i)][0]), abs(ranges[str(i)][1])) / 127.0
-                for i in range(model.num_units)
-            ]
+            windows = [stream.next_batch()["event_cnt"]
+                       for _ in range(args.profile_batches)]
+            mem_ranges = profile_mem_ranges(model, variables, windows)
         engine = Int8DeployEngine(
-            model, variables, mem_dtype=args.mem_dtype, mem_scales=mem_scales
+            model, variables, mem_dtype=args.mem_dtype, mem_ranges=mem_ranges
         )
         if args.z_int8:
             stream = H5EventStream(config, model_cfg.get("num_bins", 2),
@@ -101,7 +96,7 @@ def main():
         print("=== quantized evaluation: mode=deploy (real int8 serving engine) ===")
         print(f"weights: per-channel int8 (folded BN); spikes: int8 carries")
         print(f"membranes: {args.mem_dtype}"
-              + (" (profiled per-layer scales)" if mem_scales else ""))
+              + (" (profiled per-channel asymmetric ranges)" if mem_ranges else ""))
         print(f"GEMM intermediates: {'calibrated int8' if args.z_int8 else 'bf16'}")
         results = evaluate(
             config, variables=engine.params, model=engine,

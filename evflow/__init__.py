@@ -13,6 +13,8 @@ Layer map (mirrors reference SURVEY.md §1, redesigned TPU-first):
   evflow.loss      — contrast-maximization training loss + validation metrics
   evflow.parallel  — jax.sharding mesh / pjit utilities (new capability vs. reference)
   evflow.quant     — int8 fake-quant (weights/acts/membrane state) + calibration
+  evflow.deploy    — int8 serving engine (folded BN, real int8 MXU GEMMs,
+                     int8 spike/membrane carries) — the deployment runtime
   evflow.utils     — checkpointing, tracking, visualization
 """
 

@@ -14,9 +14,10 @@ every cross-layer tensor int8 at rest:
   * recurrent cells fuse their feedforward + recurrent convs into one
     K=6C dot (the two kernels share per-channel scales so the int32
     accumulator dequantizes with a single per-column multiply);
-  * membranes are carried bf16, or int8 with per-layer symmetric scales
-    (the PTQ states configuration; scales from quant/calibrate.py
-    membrane profiling).
+  * membranes are carried bf16, or int8 on a per-channel asymmetric
+    affine grid with an exact zero point (the PTQ states configuration;
+    ranges from :func:`profile_mem_ranges`, mirroring the reference's
+    membrane auto-tune, eval_flow_quant.py:186-581).
 
 Accuracy: with integer event-count inputs and binary spikes, every GEMM is
 EXACT in int32 — the only approximations are the per-channel weight
@@ -44,7 +45,65 @@ from evflow.export import fold_batchnorm_params
 from evflow.ops.dypack import pack_kernel_dy
 from evflow.ops.lif import LIFState, THRESH_MIN, leaky_step
 
-__all__ = ["Int8DeployEngine", "prepare_int8_params"]
+__all__ = [
+    "Int8DeployEngine",
+    "prepare_int8_params",
+    "profile_mem_scales",
+    "profile_mem_ranges",
+]
+
+
+def profile_mem_scales(
+    model,
+    variables: Dict[str, Any],
+    windows: Sequence[Any],
+    margin: float = 1.1,
+    floor: float = 1e-3,
+    per_channel: bool = True,
+) -> List[np.ndarray]:
+    """Per-layer (optionally per-channel) symmetric membrane quant scales,
+    profiled by streaming sample windows through the bf16-membrane engine —
+    the deployment analog of the reference's membrane-range auto-tune
+    (eval_flow_quant.py profile_membrane_ranges :186-463). Returns one
+    ``[C]`` (or scalar) array per unit: ``absmax * margin / 127``."""
+    ranges = profile_mem_ranges(model, variables, windows, margin=margin,
+                                floor=floor, per_channel=per_channel)
+    return [np.maximum(np.abs(lo), np.abs(hi)) / 127.0 for lo, hi in ranges]
+
+
+def profile_mem_ranges(
+    model,
+    variables: Dict[str, Any],
+    windows: Sequence[Any],
+    margin: float = 1.1,
+    floor: float = 1e-3,
+    per_channel: bool = True,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Per-layer per-channel membrane (lo, hi) ranges for ASYMMETRIC int8
+    membranes. SNN membranes sit mostly below threshold (the reference's own
+    default state_quant range is [-250, 1], SNNtorch_spiking_submodules.py
+    :190-208), so an asymmetric grid nearly doubles the resolution near the
+    firing threshold — where spike decisions happen."""
+    probe = Int8DeployEngine(model, variables)  # bf16 membranes
+    x0 = np.asarray(windows[0])
+    B, H, W, _ = x0.shape
+    states = probe.init_states(B, H, W)
+    axes = (0, 1, 2) if per_channel else None
+    shape = probe.features if per_channel else ()
+    lo = [np.zeros(shape) for _ in range(probe.num_units)]
+    hi = [np.zeros(shape) for _ in range(probe.num_units)]
+    for w in windows:
+        _, states = probe.apply(probe.params, None, jnp.asarray(w), states)
+        for i in range(probe.num_units):
+            m = np.asarray(states[i].mem, np.float32)
+            lo[i] = np.minimum(lo[i], m.min(axis=axes))
+            hi[i] = np.maximum(hi[i], m.max(axis=axes))
+    out = []
+    for l, h in zip(lo, hi):
+        l = np.minimum(l * margin, -floor)
+        h = np.maximum(h * margin, floor)
+        out.append((l, h))
+    return out
 
 
 def _quantize_per_channel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -58,14 +117,16 @@ def _quantize_per_channel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def prepare_int8_params(
     model,
     variables: Dict[str, Any],
-    mem_scales: Optional[Sequence[float]] = None,
+    mem_scales: Optional[Sequence[Any]] = None,
+    mem_ranges: Optional[Sequence[Tuple[Any, Any]]] = None,
     input_scale: float = 1.0,
 ) -> Dict[str, Any]:
     """Fold + quantize trained FireNet variables into the engine's pytree.
 
-    Host-side, runs once. ``mem_scales`` (one per unit) enables int8
-    membranes; obtain them from membrane profiling
-    (evflow/quant/calibrate.py) as ``max(|lo|, |hi|) / 127``.
+    Host-side, runs once. Int8 membranes use either ``mem_scales`` (one
+    symmetric scale — scalar or per-channel — per unit) or ``mem_ranges``
+    (per-unit (lo, hi) arrays → asymmetric affine grid with an exact zero
+    point; see :func:`profile_mem_ranges`).
     """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -115,8 +176,19 @@ def prepare_int8_params(
             np.maximum(np.asarray(p["threshold"], np.float32), THRESH_MIN),
             jnp.bfloat16,
         )
-        if mem_scales is not None:
-            unit["mem_scale"] = jnp.bfloat16(float(mem_scales[i]))
+        if mem_ranges is not None:
+            lo = np.asarray(mem_ranges[i][0], np.float32)
+            hi = np.asarray(mem_ranges[i][1], np.float32)
+            s = np.maximum(hi - lo, 1e-6) / 254.0
+            zp = np.round(-127.0 - lo / s)  # integer zero point; mem=0 -> q=zp
+            unit["mem_scale"] = jnp.asarray(s, jnp.float32)
+            unit["mem_zp"] = jnp.asarray(zp, jnp.float32)
+        elif mem_scales is not None:
+            # scalar or per-channel [C]; broadcasts over [..., C] membranes
+            unit["mem_scale"] = jnp.asarray(mem_scales[i], jnp.float32)
+            unit["mem_zp"] = jnp.asarray(
+                np.zeros_like(np.asarray(mem_scales[i], np.float32)), jnp.float32
+            )
         out["units"].append(unit)
 
     out["pred_kernel"] = jnp.asarray(
@@ -129,6 +201,22 @@ def prepare_int8_params(
         else None
     )
     return out
+
+
+def _mem_dequant(mem: jax.Array, unit: Dict[str, Any]) -> jax.Array:
+    """int8 (affine, exact zero point) -> bf16 membrane. Arithmetic in f32
+    (fused elementwise; bf16 would mis-round near the grid edges)."""
+    return ((mem.astype(jnp.float32) - unit["mem_zp"]) * unit["mem_scale"]).astype(
+        jnp.bfloat16
+    )
+
+
+def _mem_quant(mem_out: jax.Array, unit: Dict[str, Any]) -> jax.Array:
+    """bf16 membrane -> int8 affine storage."""
+    return jnp.clip(
+        jnp.round(mem_out.astype(jnp.float32) / unit["mem_scale"]) + unit["mem_zp"],
+        -127, 127,
+    ).astype(jnp.int8)
 
 
 def _cols_dx_i8(x: jax.Array) -> jax.Array:
@@ -191,7 +279,8 @@ class Int8DeployEngine:
         model,
         variables: Dict[str, Any],
         mem_dtype: str = "bfloat16",
-        mem_scales: Optional[Sequence[float]] = None,
+        mem_scales: Optional[Sequence[Any]] = None,
+        mem_ranges: Optional[Sequence[Tuple[Any, Any]]] = None,
         input_scale: float = 1.0,
     ):
         if model.cell_family != "snn":
@@ -204,9 +293,10 @@ class Int8DeployEngine:
             raise ValueError("the dy-packed int8 path requires 3x3 kernels")
         if mem_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"mem_dtype must be bfloat16 or int8, got {mem_dtype!r}")
-        if mem_dtype == "int8" and mem_scales is None:
-            # reference default state_quant range [-250, 1] -> symmetric 250
-            mem_scales = [250.0 / 127.0] * model.num_units
+        if mem_dtype == "int8" and mem_scales is None and mem_ranges is None:
+            # reference default state_quant range [-250, 1]
+            # (SNNtorch_spiking_submodules.py:190-208)
+            mem_ranges = [(-250.0, 1.0)] * model.num_units
         self.model = model
         self.encoding = model.encoding
         rec_units = {"G1", "G2"} if model.recurrent else set()
@@ -217,7 +307,8 @@ class Int8DeployEngine:
         self.hard_reset = model.hard_reset
         self.alpha = model.alpha if hasattr(model, "alpha") else 2.0
         self.params = prepare_int8_params(
-            model, variables, mem_scales=mem_scales, input_scale=input_scale
+            model, variables, mem_scales=mem_scales, mem_ranges=mem_ranges,
+            input_scale=input_scale,
         )
         self.input_scale = float(input_scale)
         self.z_int8 = False  # enabled by calibrate_z()
@@ -246,10 +337,7 @@ class Int8DeployEngine:
             C = self.features
             for i, unit in enumerate(params["units"]):
                 mem, prev_spk = states[i]
-                mem_f = (
-                    mem.astype(jnp.bfloat16) * unit["mem_scale"]
-                    if self.mem_dtype == "int8" else mem
-                )
+                mem_f = _mem_dequant(mem, unit) if self.mem_dtype == "int8" else mem
                 cols = (
                     jnp.concatenate([_cols_dx_i8(h), _cols_dx_i8(prev_spk)], axis=-1)
                     if self.unit_recurrent[i] else _cols_dx_i8(h)
@@ -269,10 +357,10 @@ class Int8DeployEngine:
                 )
                 h = spk.astype(jnp.int8)
                 if self.mem_dtype == "int8":
-                    mem_out = jnp.clip(
-                        jnp.round(mem_out / unit["mem_scale"]), -127, 127
-                    ).astype(jnp.int8)
-                new_states.append(LIFState(mem_out, h))
+                    mem_out = _mem_quant(mem_out, unit)
+                new_states.append(
+                    LIFState(mem_out, h if self.unit_recurrent[i] else None)
+                )
             return tuple(new_states), zmaxes
 
         states = self.init_states(B, H, W)
@@ -289,11 +377,23 @@ class Int8DeployEngine:
         self.z_int8 = True
 
     def init_states(self, batch: int, height: int, width: int):
+        """Only recurrent units carry their previous spikes — feedforward
+        units' spike carries are never read back (the reference carries
+        them for observability only), so dropping them saves one image-
+        sized HBM write+read per FF unit per step."""
         shape = (batch, height, width, self.features)
-        mdt = jnp.int8 if self.mem_dtype == "int8" else jnp.bfloat16
+
+        def mem0(u):
+            if self.mem_dtype == "int8":
+                # zero membrane encodes as the affine grid's zero point
+                return jnp.broadcast_to(
+                    jnp.round(u["mem_zp"]).astype(jnp.int8), shape
+                ).copy()
+            return jnp.zeros(shape, jnp.bfloat16)
+
         return tuple(
-            LIFState(jnp.zeros(shape, mdt), jnp.zeros(shape, jnp.int8))
-            for _ in range(self.num_units)
+            LIFState(mem0(u), jnp.zeros(shape, jnp.int8) if rec else None)
+            for u, rec in zip(self.params["units"], self.unit_recurrent)
         )
 
     def apply(
@@ -329,7 +429,7 @@ class Int8DeployEngine:
         for i, unit in enumerate(variables["units"]):
             mem, prev_spk = states[i]
             if self.mem_dtype == "int8":
-                mem_f = mem.astype(jnp.bfloat16) * unit["mem_scale"]
+                mem_f = _mem_dequant(mem, unit)
             else:
                 mem_f = mem
             if self.unit_recurrent[i]:
@@ -348,10 +448,10 @@ class Int8DeployEngine:
             )
             h = spk.astype(jnp.int8)
             if self.mem_dtype == "int8":
-                mem_out = jnp.clip(
-                    jnp.round(mem_out / unit["mem_scale"]), -127, 127
-                ).astype(jnp.int8)
-            new_states.append(LIFState(mem_out, h))
+                mem_out = _mem_quant(mem_out, unit)
+            new_states.append(
+                LIFState(mem_out, h if self.unit_recurrent[i] else None)
+            )
             if log:
                 taps[f"{i + 1}:{self.model.unit_names[i]}"] = spk
 

@@ -262,6 +262,55 @@ def export_model(
             "outputs": os.path.join(out_dir, "outputs.npz")}
 
 
+def export_deploy_engine(
+    engine,
+    out_dir: str,
+    batch: int = 1,
+    height: int = 256,
+    width: int = 256,
+    seed: int = 0,
+) -> Dict[str, str]:
+    """StableHLO export of the int8 serving step (evflow/deploy.py).
+
+    Unlike ``export_model(quantized=True)`` — which exports f32 convs with
+    int8-grid weights — this artifact contains the REAL int8 dataflow:
+    int8 dot_generals, int8 spike/membrane carries, host-folded scales.
+    The deployable analog of the reference's Model_export_RealQuant.py
+    QCDQ ONNX artifact."""
+    params = engine.params
+
+    def fwd(cnt, states):
+        out, new_states = engine.apply(params, None, cnt, states)
+        return out["flow"][0], new_states
+
+    rng = np.random.default_rng(seed)
+    cnt = jnp.asarray(_pick_golden_input(rng, batch, height, width))
+    states = engine.init_states(batch, height, width)
+    flow, new_states = jax.jit(fwd)(cnt, states)
+
+    os.makedirs(out_dir, exist_ok=True)
+    artifact = os.path.join(out_dir, "model_int8.stablehlo")
+    export_stablehlo(fwd, (cnt, states), artifact)
+    # FF units carry no spikes (engine drops never-read carries)
+    np.savez(
+        os.path.join(out_dir, "int8_inputs.npz"),
+        input=np.asarray(cnt),
+        **{f"mem_{i}": np.asarray(s.mem) for i, s in enumerate(states)},
+        **{f"spk_{i}": np.asarray(s.spk) for i, s in enumerate(states)
+           if s.spk is not None},
+    )
+    np.savez(
+        os.path.join(out_dir, "int8_outputs.npz"),
+        flow=np.asarray(flow),
+        **{f"mem_{i}": np.asarray(s.mem) for i, s in enumerate(new_states)},
+        **{f"spk_{i}": np.asarray(s.spk) for i, s in enumerate(new_states)
+           if s.spk is not None},
+    )
+    return {"artifact": artifact,
+            "inputs": os.path.join(out_dir, "int8_inputs.npz"),
+            "outputs": os.path.join(out_dir, "int8_outputs.npz")}
+
+
 def export_lif_layer(
     out_dir: str, channels: int = 4, height: int = 32, width: int = 32, seed: int = 0
 ):

@@ -17,7 +17,10 @@ def main():
     parser.add_argument("--height", type=int, default=256)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--what", default="model",
-                        choices=["model", "lif_layer", "conv_lif_layer"])
+                        choices=["model", "deploy", "lif_layer", "conv_lif_layer"])
+    parser.add_argument("--mem_dtype", default="bfloat16",
+                        choices=["bfloat16", "int8"],
+                        help="deploy export: membrane carry dtype")
     parser.add_argument("--quantized", action="store_true",
                         help="int8-grid weights + quant metadata "
                              "(Model_export_RealQuant.py equivalent)")
@@ -62,8 +65,14 @@ def main():
             variables = {"params": restored["params"],
                          "batch_stats": restored["batch_stats"]}
 
-    out = E.export_model(model, variables, args.out, height=H, width=W,
-                         quantized=args.quantized)
+    if args.what == "deploy":
+        from evflow.deploy import Int8DeployEngine
+
+        engine = Int8DeployEngine(model, variables, mem_dtype=args.mem_dtype)
+        out = E.export_deploy_engine(engine, args.out, height=H, width=W)
+    else:
+        out = E.export_model(model, variables, args.out, height=H, width=W,
+                             quantized=args.quantized)
     for k, v in out.items():
         print(f"{k}: {v}")
 

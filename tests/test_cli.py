@@ -87,6 +87,17 @@ def test_eval_flow_cli(workspace, trained_run):
     assert "AEE" in out.stdout
 
 
+def test_eval_flow_profile_cli(workspace, trained_run, tmp_path):
+    """--profile writes a jax.profiler device trace (SURVEY §5.1 TPU analog)."""
+    prof = str(tmp_path / "trace")
+    run_cli(["eval_flow.py", _ckpt(trained_run), "--config", workspace["eval_cfg"],
+             "--max_windows", "2", "--debug", "--profile", prof])
+    hits = []
+    for root, _, files in os.walk(prof):
+        hits += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz"))]
+    assert hits, "no profiler trace files written"
+
+
 def _ckpt(trained_run):
     ckpts = os.path.join(trained_run, "checkpoints", "most_recent")
     if not os.path.isdir(ckpts):

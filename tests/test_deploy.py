@@ -243,20 +243,17 @@ def test_engine_int8_membranes_aee(trained):
                  model=model, variables=variables, max_windows=120, verbose=False)
     )
 
-    # profile membrane ranges on the bf16 engine over a few windows
-    probe = Int8DeployEngine(model, variables)
-    est = probe.init_states(1, RES, RES)
+    # profile per-channel membrane scales on the bf16 engine
+    from evflow.deploy import profile_mem_ranges
+
     key = jax.random.PRNGKey(1)
-    absmax = np.zeros(model_units := probe.num_units)
+    windows = []
     for _ in range(20):
         key, k = jax.random.split(key)
-        cnt = jax.random.poisson(k, 0.2, (1, RES, RES, 2)).astype(jnp.float32)
-        _, est = probe.apply(probe.params, None, cnt, est)
-        for i in range(model_units):
-            absmax[i] = max(absmax[i], float(jnp.max(jnp.abs(est[i].mem))))
-    scales = np.maximum(absmax * 1.1, 1e-3) / 127.0
+        windows.append(jax.random.poisson(k, 0.2, (1, RES, RES, 2)).astype(jnp.float32))
+    ranges = profile_mem_ranges(model, variables, windows)
 
-    engine = Int8DeployEngine(model, variables, mem_dtype="int8", mem_scales=scales)
+    engine = Int8DeployEngine(model, variables, mem_dtype="int8", mem_ranges=ranges)
     aee_q = _aee(
         evaluate(cfg, path_results=os.path.join(root, "r", "i8m"), debug=True,
                  model=engine, variables=engine.params, max_windows=120,
@@ -295,3 +292,46 @@ def test_engine_z_int8_aee(trained):
     )
     rel = abs(aee_z - aee_f32) / aee_f32
     assert rel < 0.05, f"z-int8 AEE diverged: {aee_z:.4f} vs {aee_f32:.4f} ({100*rel:.2f}%)"
+
+
+@pytest.mark.parametrize("name,recurrent", [
+    ("LIFFireNet", True),         # full 7-unit, G1/G2 recurrent (dual GEMM)
+    ("LIFFireFlowNet_short", False),  # feedforward variant: no dual GEMM
+])
+def test_engine_model_variants(name, recurrent):
+    model = build_model(_model_cfg(name=name))
+    B, H, W = 1, 16, 16
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(5), None, jnp.zeros((B, H, W, 2)), states)
+    engine = Int8DeployEngine(model, v, mem_dtype="int8")
+    assert any(engine.unit_recurrent) == recurrent
+    est = engine.init_states(B, H, W)
+    cnt = jnp.ones((B, H, W, 2), jnp.float32)
+    out, est = jax.jit(lambda p, c, s: engine.apply(p, None, c, s))(
+        engine.params, cnt, est
+    )
+    assert out["flow"][0].shape == (B, H, W, 2)
+    assert np.isfinite(np.asarray(out["flow"][0])).all()
+    assert est[0].mem.dtype == jnp.int8
+    # FF units drop their (never-read) spike carries; recurrent units keep them
+    assert est[0].spk is None
+    if recurrent:
+        assert est[1].spk.dtype == jnp.int8
+
+
+def test_engine_voxel_input_scale():
+    """Voxel encodings are fractional; the engine quantizes the input with a
+    calibrated scale folded into the head's dequant columns."""
+    model = build_model(_model_cfg(encoding="voxel"))
+    B, H, W = 1, 16, 16
+    states = model.init_states(B, H, W)
+    vox = jax.random.uniform(jax.random.PRNGKey(7), (B, H, W, 2)) * 0.5
+    v = model.init(jax.random.PRNGKey(5), vox, None, states)
+    s_in = float(jnp.max(jnp.abs(vox))) / 127.0
+    engine = Int8DeployEngine(model, v, input_scale=s_in)
+    est = engine.init_states(B, H, W)
+    oute, _ = engine.apply(engine.params, vox, None, est)
+    outf, _ = model.apply(v, vox, None, states, train=False)
+    # input quantization adds noise; flows must still track the f32 model
+    d = np.abs(np.asarray(oute["flow"][0]) - np.asarray(outf["flow"][0]))
+    assert np.mean(d < 0.05) > 0.98

@@ -112,3 +112,25 @@ def test_exported_streaming_state_consistency(trained_like_model):
     assert not np.allclose(np.asarray(f1), np.asarray(f2)) or not np.allclose(
         np.asarray(s1[0].mem), np.asarray(s2[0].mem)
     )
+
+
+def test_deploy_engine_export_roundtrip(trained_like_model, tmp_path):
+    """The int8 serving step exports to StableHLO (real int8 dataflow) and
+    the reloaded artifact reproduces its golden outputs bit-exactly."""
+    from evflow.deploy import Int8DeployEngine
+
+    model, v = trained_like_model
+    engine = Int8DeployEngine(model, v, mem_dtype="int8")
+    out = E.export_deploy_engine(engine, str(tmp_path / "dep"), batch=1,
+                                 height=16, width=16)
+    assert os.path.exists(out["artifact"])
+    gin = np.load(out["inputs"])
+    gout = np.load(out["outputs"])
+    states = engine.init_states(1, 16, 16)
+    res = E.load_and_run_stablehlo(out["artifact"], jnp.asarray(gin["input"]), states)
+    flow, new_states = res[0], res[1]
+    np.testing.assert_array_equal(np.asarray(flow), gout["flow"])
+    # int8 carries survive the artifact boundary (G1 = unit 1 is recurrent;
+    # FF units carry no spikes)
+    assert np.asarray(new_states[1].spk).dtype == np.int8
+    np.testing.assert_array_equal(np.asarray(new_states[0].mem), gout["mem_0"])

@@ -148,9 +148,11 @@ def test_deploy_engine_sharded_serving():
         lambda p, c, s: engine.apply(p, None, c, s)
     )(p_rep, cnt_sh, est_sh)
 
+    # G1 (unit 1) is recurrent and carries its spikes; FF units carry None
     np.testing.assert_array_equal(
-        np.asarray(st_single[0].spk), np.asarray(st_sh[0].spk)
+        np.asarray(st_single[1].spk), np.asarray(st_sh[1].spk)
     )
+    assert st_single[0].spk is None
     np.testing.assert_allclose(
         np.asarray(out_single["flow"][0]), np.asarray(out_sh["flow"][0]), atol=1e-5
     )

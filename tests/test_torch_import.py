@@ -99,3 +99,25 @@ def test_imported_model_runs(tmp_path, model_and_vars):
     states = m.init_states(1, 16, 16)
     res, _ = m.apply(out, None, jnp.ones((1, 16, 16, 2)), states)
     assert np.isfinite(np.asarray(res["flow"][0])).all()
+
+
+def test_imported_checkpoint_feeds_deploy_engine(tmp_path, model_and_vars):
+    """A reference .pth goes straight into the int8 serving engine — the
+    migration path for users of the reference repo."""
+    from evflow.deploy import Int8DeployEngine
+
+    m, v = model_and_vars
+    sd = make_reference_state_dict()
+    path = str(tmp_path / "model.pth")
+    torch.save({"model_state_dict": sd, "epoch": 7, "loss": 0.5}, path)
+    variables, leftover = import_torch_checkpoint(path, v)
+    engine = Int8DeployEngine(m, variables, mem_dtype="int8")
+    est = engine.init_states(1, 16, 16)
+    cnt = jnp.ones((1, 16, 16, 2), jnp.float32)
+    out, est = engine.apply(engine.params, None, cnt, est)
+    flow = np.asarray(out["flow"][0])
+    assert flow.shape == (1, 16, 16, 2) and np.isfinite(flow).all()
+    # BN folding consumed the imported running stats: engine biases reflect
+    # the reference bn.bias - running_mean * g, not zeros
+    assert float(np.abs(np.asarray(engine.params["units"][0]["bias"],
+                                   np.float32)).sum()) > 0

@@ -18,6 +18,9 @@ def main():
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel device count (default: all)")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler device trace to DIR "
+                             "(TensorBoard/Perfetto format)")
     args = parser.parse_args()
 
     from evflow.config import load_config
@@ -34,14 +37,23 @@ def main():
         if n > 1 and config["loader"]["batch_size"] % n == 0:
             mesh = make_mesh(n)
 
-    run = train(
-        config,
-        path_runs=args.path_runs,
-        prev_ckpt=args.prev_runid or None,
-        mesh=mesh,
-        max_steps=args.max_steps,
-        verbose=bool(config.get("vis", {}).get("verbose", True)),
-    )
+    import contextlib
+
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+    else:
+        prof = contextlib.nullcontext()
+    with prof:
+        run = train(
+            config,
+            path_runs=args.path_runs,
+            prev_ckpt=args.prev_runid or None,
+            mesh=mesh,
+            max_steps=args.max_steps,
+            verbose=bool(config.get("vis", {}).get("verbose", True)),
+        )
     print(f"\nRun dir: {run.dir}")
 
 
