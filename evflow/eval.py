@@ -39,6 +39,8 @@ def make_eval_step(model, log: bool = False):
 
     @jax.jit
     def step(variables, voxel, cnt, states):
+        # counts may arrive as compact uint16 over the host wire
+        cnt = cnt.astype(jnp.float32) if cnt is not None else None
         out, new_states = model.apply(variables, voxel, cnt, states, train=False,
                                       log=log)
         return tuple(out["flow"]), new_states, out["activity"]
@@ -165,7 +167,7 @@ def evaluate(
 
         @jax.jit
         def _fused_step(params, voxel, cnt, st):
-            x = voxel if model.encoding == "voxel" else cnt
+            x = voxel if model.encoding == "voxel" else cnt.astype(jnp.float32)
             flow, st2 = fused_net.step(params, x, st)
             return (flow,), st2, None
 
@@ -178,6 +180,10 @@ def evaluate(
     # association cadence)
     idx_AEE = np.zeros(B, np.int64)
     cadence = int(np.round(1.0 / window)) if window else 1
+    # compact host->device wire: count encodings are exact small integers
+    # unless downsample pooling (res < std_res) makes them fractional
+    std_res = tuple(loader.get("std_resolution", loader["resolution"]))
+    compact_wire = tuple(loader["resolution"]) == std_res
     val_results: Dict[str, Dict[str, Dict[str, float]]] = {}
     vis_frames = []
     windows_done = 0
@@ -204,7 +210,14 @@ def evaluate(
             voxel = (
                 jnp.asarray(batch["event_voxel"]) if encoding == "voxel" else None
             )
-            cnt = jnp.asarray(batch["event_cnt"])
+            cnt_np = batch["event_cnt"]
+            if compact_wire:
+                # counts are small non-negative integers unless downsample
+                # pooling is active — ship uint16 (exact, half the f32 bytes;
+                # restored to f32 inside the jitted step)
+                cnt = jnp.asarray(cnt_np.astype(np.uint16))
+            else:
+                cnt = jnp.asarray(cnt_np)
             flows, states, activity = step_fn(variables, voxel, cnt, states)
             flows = list(flows)
             if log_activity and activity is not None:
