@@ -350,3 +350,26 @@ def test_eval_b2_matches_two_b1_runs(dataset, tmp_path):
         p1 = float(r1["AEE_percent"][fname])
         p2 = float(r2["AEE_percent"][fname])
         assert p1 == pytest.approx(p2, rel=1e-4, abs=1e-7), (fname, p1, p2)
+
+
+def test_evaluate_with_vis_store_writes_artifacts(dataset, tmp_path):
+    """End-to-end eval with vis.store: per-sequence image dirs (events, flow,
+    masked flow vectors/gradient overlays) land in the results tree —
+    reference utils/visualization.py store pipeline (:222-570, :711-1022)."""
+    from evflow.registry import build_model
+
+    cfg = eval_cfg(dataset)
+    cfg["vis"] = {"verbose": False, "enabled": False, "bars": False,
+                  "store": True, "store_interval": 0.0, "px": 64}
+    model = build_model(cfg["model"])
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((1, 32, 32, 2)), states)
+    out_root = str(tmp_path / "res")
+    evaluate(cfg, path_results=out_root, runid="vis", debug=False,
+             model=model, variables=v, max_windows=6, verbose=False)
+    hits = []
+    for root, dirs, files in os.walk(out_root):
+        hits += [os.path.join(root, f) for f in files if f.endswith(".png")]
+    assert hits, "no stored visualization frames"
+    kinds = {os.path.basename(os.path.dirname(h)) for h in hits}
+    assert any("flow" in k for k in kinds), f"no flow panels in {kinds}"
