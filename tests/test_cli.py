@@ -138,6 +138,13 @@ def test_lif_layer_export_cli(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "lif_layer.stablehlo"))
 
 
+def test_serve_stream_cli(workspace):
+    """Streaming serving demo: HDF5 -> Prefetcher -> int8 engine."""
+    out = run_cli(["tools/serve_stream.py", "--config", workspace["eval_cfg"],
+                   "--synthetic", "--resolution", "32", "--windows", "10"])
+    assert "win/s end-to-end" in out.stdout and "issue latency" in out.stdout
+
+
 def test_analyze_voltage_cli(workspace):
     out = run_cli(["analyze_voltage_dynamics.py", "--config", workspace["eval_cfg"],
                    "--num_batches", "2"])

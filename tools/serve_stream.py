@@ -1,0 +1,140 @@
+"""Streaming inference server demo: HDF5 event stream -> int8 engine.
+
+End-to-end serving pipeline measurement — host HDF5 reads + encodings
+(background Prefetcher) overlapping device inference on the int8
+deployment engine — with per-window latency percentiles and a throughput
+summary. The production analog of the reference's real-time eval loop
+(eval_flow.py:208-343), restructured as a serving pipeline:
+
+    python tools/serve_stream.py --config configs/eval_MVSEC.yml \
+        [checkpoint] [--mem_dtype int8] [--windows 500] [--synthetic]
+
+With --synthetic, a temporary synthetic sequence (known GT flow) is
+generated so the demo runs without MVSEC data.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--config", default="configs/eval_MVSEC.yml")
+    p.add_argument("--mem_dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    p.add_argument("--windows", type=int, default=200)
+    p.add_argument("--synthetic", action="store_true",
+                   help="serve a generated synthetic sequence (no MVSEC needed)")
+    p.add_argument("--resolution", type=int, default=128,
+                   help="synthetic sequence resolution")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evflow.config import load_config
+    from evflow.data.h5_stream import H5EventStream, Prefetcher
+    from evflow.deploy import Int8DeployEngine
+    from evflow.registry import build_model
+
+    config = load_config(args.config)
+    if args.synthetic:
+        import tempfile
+
+        from evflow.data.synthetic import make_dataset
+
+        root = tempfile.mkdtemp(prefix="serve_demo_")
+        R = args.resolution
+        make_dataset(root, num_sequences=1, resolution=(R, R),
+                     events_per_sec=30_000 * (R // 32) ** 2, duration=4.0,
+                     flows=[(12.0, -8.0)], gt_hz=30.0)
+        config["data"]["path"] = root
+        config["data"]["mode"] = "gtflow_dt1"
+        config["data"]["window"] = 1
+        config["loader"]["resolution"] = [R, R]
+        config["loader"]["std_resolution"] = [R, R]
+        config["loader"]["batch_size"] = 1
+        config.setdefault("hot_filter", {})["enabled"] = False
+
+    model_cfg = config["model"]
+    model = build_model(model_cfg)
+    H, W = config["loader"]["resolution"]
+    B = int(config["loader"].get("batch_size", 1))
+    states0 = model.init_states(B, H, W)
+    variables = model.init(
+        jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states0
+    )
+    if args.checkpoint:
+        from evflow.utils.checkpoint import import_torch_checkpoint, load_checkpoint
+
+        if args.checkpoint.endswith((".pth", ".pt")):
+            variables, _ = import_torch_checkpoint(args.checkpoint, variables)
+        else:
+            restored = load_checkpoint(
+                args.checkpoint,
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {}),
+                 "opt_state": None, "epoch": 0, "loss": 0.0, "loss_variance": 0.0},
+            )
+            variables = {"params": restored["params"],
+                         "batch_stats": restored["batch_stats"]}
+
+    engine = Int8DeployEngine(model, variables, mem_dtype=args.mem_dtype)
+    states = engine.init_states(B, H, W)
+
+    @jax.jit
+    def step(params, cnt, st):
+        out, st2 = engine.apply(params, None, cnt.astype(jnp.float32), st)
+        return out["flow"][0], st2
+
+    data = H5EventStream(config, model_cfg.get("num_bins", 2),
+                         model_cfg.get("round_encoding", False))
+    fetch = Prefetcher(data, depth=2)
+
+    # warm up (compile)
+    first = next(fetch)
+    cnt = jnp.asarray(first["event_cnt"].astype(np.uint16))
+    flow, states = step(engine.params, cnt, states)
+    flow.block_until_ready(); float(jnp.sum(flow))
+
+    lat = []
+    t_start = time.perf_counter()
+    served = 1
+    pending = None  # deferred fetch: overlap host wire with device compute
+    try:
+        while served < args.windows:
+            batch = next(fetch)
+            if batch["epoch_done"]:
+                break
+            t0 = time.perf_counter()
+            cnt = jnp.asarray(batch["event_cnt"].astype(np.uint16))
+            flow, states = step(engine.params, cnt, states)
+            if pending is not None:
+                float(pending)  # sync one step late
+            pending = jnp.sum(flow)
+            lat.append(time.perf_counter() - t0)
+            served += 1
+        if pending is not None:
+            float(pending)
+    finally:
+        fetch.close()
+
+    wall = time.perf_counter() - t_start
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
+    print(f"served {served} windows x B={B} in {wall:.2f}s "
+          f"-> {served * B / wall:.1f} win/s end-to-end")
+    if len(lat_ms):
+        print(f"issue latency ms: p50={np.percentile(lat_ms, 50):.2f} "
+              f"p90={np.percentile(lat_ms, 90):.2f} "
+              f"p99={np.percentile(lat_ms, 99):.2f} max={lat_ms[-1]:.2f}")
+    print(f"engine: int8 weights (folded BN), membranes {args.mem_dtype}, "
+          f"model {model_cfg.get('name')} @ {H}x{W}")
+
+
+if __name__ == "__main__":
+    main()
