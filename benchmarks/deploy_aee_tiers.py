@@ -116,6 +116,29 @@ def main():
     a = aee(e4, e4.params, "d_zb")
     print(f"deploy bf16-mem+zi8 : AEE {a:.5f}  rel {abs(a-a_f32)/a_f32*100:.2f}%", flush=True)
 
+    if "--sweep" in sys.argv:
+        # mixed-membrane sweep: which units tolerate int8 membranes?
+        names = list(model.unit_names)
+        n = len(names)
+
+        def mixed(tags):
+            dts = ["int8" if i in tags else "bfloat16" for i in range(n)]
+            e = Int8DeployEngine(model, variables, mem_dtype=dts, mem_ranges=ranges)
+            label = "".join("i" if i in tags else "b" for i in range(n))
+            a = aee(e, e.params, f"mx_{label}")
+            print(f"mixed {label} ({','.join(names[i] for i in tags) or 'none'}"
+                  f" int8): AEE {a:.5f}  rel {abs(a-a_f32)/a_f32*100:+.2f}%",
+                  flush=True)
+            return a
+
+        for i in range(n):            # only unit i int8 — per-unit sensitivity
+            mixed({i})
+        rec = {i for i, r in enumerate(model.unit_names) if r in ("G1", "G2")}
+        mixed(set(range(n)) - rec)    # all FF int8, recurrent bf16
+        mixed(rec)                    # only recurrent int8
+        for i in range(n):            # leave-one-out bf16
+            mixed(set(range(n)) - {i})
+
 
 if __name__ == "__main__":
     main()

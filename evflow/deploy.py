@@ -245,7 +245,10 @@ def _gemm_epilogue(cols: jax.Array, w: jax.Array, col_scale: jax.Array,
     intermediate Z is requantized to int8 right at the dot output —
     halving the dominant HBM term of the step (Z write + the epilogue's
     3 shifted reads) at the cost of one more 8-bit grid
-    (|error| <= z_scale/2 per tap before the dy-sum)."""
+    (|error| <= z_scale/2 per tap before the dy-sum). NB: neither the int8
+    requant chain nor a pure float8 convert fuses into the dot epilogue on
+    this toolchain (measured: int8-Z 986, f8-Z 768 vs bf16-Z 2407 win/s —
+    benchmarks/probe_f8_z.py), so bf16 Z is the fast path."""
     Zi = jax.lax.dot_general(
         cols.reshape(-1, cols.shape[-1]),
         w,
@@ -278,7 +281,7 @@ class Int8DeployEngine:
         self,
         model,
         variables: Dict[str, Any],
-        mem_dtype: str = "bfloat16",
+        mem_dtype: Any = "bfloat16",
         mem_scales: Optional[Sequence[Any]] = None,
         mem_ranges: Optional[Sequence[Tuple[Any, Any]]] = None,
         input_scale: float = 1.0,
@@ -291,9 +294,22 @@ class Int8DeployEngine:
             raise ValueError("TEBN/MPBN models are not supported on the int8 path")
         if model.kernel_size != 3:
             raise ValueError("the dy-packed int8 path requires 3x3 kernels")
-        if mem_dtype not in ("bfloat16", "int8"):
-            raise ValueError(f"mem_dtype must be bfloat16 or int8, got {mem_dtype!r}")
-        if mem_dtype == "int8" and mem_scales is None and mem_ranges is None:
+        # mem_dtype: one name for all units, or a per-unit sequence (the
+        # mixed tier — e.g. recurrent units bf16, feedforward int8 — the
+        # per-layer analog of the reference's per-layer membrane strategy
+        # table, eval_flow_quant.py:186-463)
+        if isinstance(mem_dtype, str):
+            per_unit = (mem_dtype,) * model.num_units
+        else:
+            per_unit = tuple(mem_dtype)
+            if len(per_unit) != model.num_units:
+                raise ValueError(
+                    f"mem_dtype sequence must have {model.num_units} entries"
+                )
+        for d in per_unit:
+            if d not in ("bfloat16", "int8"):
+                raise ValueError(f"mem_dtype must be bfloat16 or int8, got {d!r}")
+        if "int8" in per_unit and mem_scales is None and mem_ranges is None:
             # reference default state_quant range [-250, 1]
             # (SNNtorch_spiking_submodules.py:190-208)
             mem_ranges = [(-250.0, 1.0)] * model.num_units
@@ -303,7 +319,10 @@ class Int8DeployEngine:
         self.unit_recurrent = tuple(n in rec_units for n in model.unit_names)
         self.num_units = model.num_units
         self.features = model.base_num_channels
-        self.mem_dtype = mem_dtype
+        self.unit_mem_int8 = tuple(d == "int8" for d in per_unit)
+        self.mem_dtype = "int8" if all(self.unit_mem_int8) else (
+            "bfloat16" if not any(self.unit_mem_int8) else "mixed"
+        )
         self.hard_reset = model.hard_reset
         self.alpha = model.alpha if hasattr(model, "alpha") else 2.0
         self.params = prepare_int8_params(
@@ -337,7 +356,7 @@ class Int8DeployEngine:
             C = self.features
             for i, unit in enumerate(params["units"]):
                 mem, prev_spk = states[i]
-                mem_f = _mem_dequant(mem, unit) if self.mem_dtype == "int8" else mem
+                mem_f = _mem_dequant(mem, unit) if self.unit_mem_int8[i] else mem
                 cols = (
                     jnp.concatenate([_cols_dx_i8(h), _cols_dx_i8(prev_spk)], axis=-1)
                     if self.unit_recurrent[i] else _cols_dx_i8(h)
@@ -356,7 +375,7 @@ class Int8DeployEngine:
                     reset="zero" if self.hard_reset else "subtract", alpha=self.alpha,
                 )
                 h = spk.astype(jnp.int8)
-                if self.mem_dtype == "int8":
+                if self.unit_mem_int8[i]:
                     mem_out = _mem_quant(mem_out, unit)
                 new_states.append(
                     LIFState(mem_out, h if self.unit_recurrent[i] else None)
@@ -383,8 +402,8 @@ class Int8DeployEngine:
         sized HBM write+read per FF unit per step."""
         shape = (batch, height, width, self.features)
 
-        def mem0(u):
-            if self.mem_dtype == "int8":
+        def mem0(u, int8):
+            if int8:
                 # zero membrane encodes as the affine grid's zero point
                 return jnp.broadcast_to(
                     jnp.round(u["mem_zp"]).astype(jnp.int8), shape
@@ -392,8 +411,10 @@ class Int8DeployEngine:
             return jnp.zeros(shape, jnp.bfloat16)
 
         return tuple(
-            LIFState(mem0(u), jnp.zeros(shape, jnp.int8) if rec else None)
-            for u, rec in zip(self.params["units"], self.unit_recurrent)
+            LIFState(mem0(u, i8), jnp.zeros(shape, jnp.int8) if rec else None)
+            for u, rec, i8 in zip(
+                self.params["units"], self.unit_recurrent, self.unit_mem_int8
+            )
         )
 
     def apply(
@@ -428,7 +449,7 @@ class Int8DeployEngine:
         taps = {"0:input": x} if log else None
         for i, unit in enumerate(variables["units"]):
             mem, prev_spk = states[i]
-            if self.mem_dtype == "int8":
+            if self.unit_mem_int8[i]:
                 mem_f = _mem_dequant(mem, unit)
             else:
                 mem_f = mem
@@ -447,7 +468,7 @@ class Int8DeployEngine:
                 y, mem_f, unit["beta"], unit["theta"], reset=reset, alpha=self.alpha
             )
             h = spk.astype(jnp.int8)
-            if self.mem_dtype == "int8":
+            if self.unit_mem_int8[i]:
                 mem_out = _mem_quant(mem_out, unit)
             new_states.append(
                 LIFState(mem_out, h if self.unit_recurrent[i] else None)

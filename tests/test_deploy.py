@@ -319,6 +319,44 @@ def test_engine_model_variants(name, recurrent):
         assert est[1].spk.dtype == jnp.int8
 
 
+def test_engine_mixed_membrane_tier():
+    """Per-unit mem_dtype (the mixed tier): configured units carry int8
+    membranes, the rest bf16; an all-bfloat16 list is identical to the
+    plain bf16 engine."""
+    model = build_model(_model_cfg())
+    B, H, W = 1, 16, 16
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(5), None, jnp.zeros((B, H, W, 2)), states)
+    n = model.num_units
+    rec = {i for i, nm in enumerate(model.unit_names) if nm in ("G1", "G2")}
+    dts = ["bfloat16" if i in rec else "int8" for i in range(n)]
+
+    engine = Int8DeployEngine(model, v, mem_dtype=dts)
+    assert engine.mem_dtype == "mixed"
+    est = engine.init_states(B, H, W)
+    for i in range(n):
+        want = jnp.bfloat16 if i in rec else jnp.int8
+        assert est[i].mem.dtype == want, (i, est[i].mem.dtype)
+    cnt = jnp.ones((B, H, W, 2), jnp.float32)
+    out, est2 = jax.jit(lambda p, c, s: engine.apply(p, None, c, s))(
+        engine.params, cnt, est
+    )
+    assert np.isfinite(np.asarray(out["flow"][0])).all()
+    for i in range(n):
+        assert est2[i].mem.dtype == est[i].mem.dtype
+
+    # an all-bf16 sequence is the plain bf16 engine
+    e_seq = Int8DeployEngine(model, v, mem_dtype=["bfloat16"] * n)
+    e_str = Int8DeployEngine(model, v)
+    assert e_seq.mem_dtype == "bfloat16"
+    o1, _ = e_seq.apply(e_seq.params, None, cnt, e_seq.init_states(B, H, W))
+    o2, _ = e_str.apply(e_str.params, None, cnt, e_str.init_states(B, H, W))
+    np.testing.assert_array_equal(np.asarray(o1["flow"][0]), np.asarray(o2["flow"][0]))
+
+    with pytest.raises(ValueError, match="entries"):
+        Int8DeployEngine(model, v, mem_dtype=["int8"] * (n + 1))
+
+
 def test_engine_voxel_input_scale():
     """Voxel encodings are fractional; the engine quantizes the input with a
     calibrated scale folded into the head's dequant columns."""
