@@ -9,13 +9,15 @@ windows.
 
 Measured configuration: the int8 deployment engine (evflow/deploy.py) —
 folded BN, hoisted per-channel int8 weights, int8 spike carries, real int8
-MXU GEMMs in the dy-packed formulation, bf16 membrane carries. This is the
-serving path a user deploys (eval_flow_quant.py --mode deploy); its
-accuracy is evidenced by tests/test_deploy.py and
-benchmarks/deploy_aee_tiers.py: AEE within 0.03% of the f32 path over ~230
-windows of the full gtflow protocol (weight-only per-channel PTQ). See
-BENCH_NOTES.md round 3 for the tier study (int8 membranes reach 2407 win/s
-at ~1% AEE).
+MXU GEMMs in the dy-packed formulation, mixed membrane carries (bf16 head
+membrane, profiled-asymmetric int8 everywhere else). This is the serving
+path a user deploys (eval_flow_quant.py --mode deploy --mem_dtype mixed);
+its accuracy is evidenced by tests/test_deploy.py and
+benchmarks/deploy_aee_tiers.py: the head unit is the sole source of the
+int8-membrane AEE penalty, and the mixed tier holds AEE within 0.12% of
+the f32 path over ~230 windows of the full gtflow protocol. See
+BENCH_NOTES.md rounds 3-4 for the tier study (bf16 membranes: 2089 win/s
+at 0.03%; full-int8 membranes: 2407 at ~1.1-1.5%).
 
 Timing note: on the tunneled axon backend ``block_until_ready`` does not
 synchronize — a scalar fetch does, so we reduce the flows inside the scan
@@ -28,7 +30,7 @@ import json
 import os
 import time
 
-MEM_DTYPE = "bfloat16"  # the <=1%-AEE serving tier (see BENCH_NOTES.md)
+MEM_DTYPE = "mixed"  # the <=1%-AEE serving tier (see BENCH_NOTES.md)
 
 
 def bench(B=8, H=256, W=256, T=64, channels=32, iters=4, mem_dtype=MEM_DTYPE):

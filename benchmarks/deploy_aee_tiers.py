@@ -116,6 +116,10 @@ def main():
     a = aee(e4, e4.params, "d_zb")
     print(f"deploy bf16-mem+zi8 : AEE {a:.5f}  rel {abs(a-a_f32)/a_f32*100:.2f}%", flush=True)
 
+    e5 = Int8DeployEngine(model, variables, mem_dtype="mixed", mem_ranges=ranges)
+    a = aee(e5, e5.params, "d_mixed")
+    print(f"deploy mixed-mem    : AEE {a:.5f}  rel {abs(a-a_f32)/a_f32*100:.2f}%", flush=True)
+
     if "--sweep" in sys.argv:
         # mixed-membrane sweep: which units tolerate int8 membranes?
         names = list(model.unit_names)

@@ -38,9 +38,14 @@ def timeit(fn, *args):
     return cs, best
 
 
-# diagonal kernel for the grouped conv: [3, 1, in_per_group=3, out_per_group=1]
-DIAG = jnp.asarray(np.eye(3, dtype=np.float32)[:, None, :, None], jnp.bfloat16)
-DN = jax.lax.conv_dimension_numbers((B, H, W, 3 * C), (3, 1, 3, 1),
+# diagonal kernel for the grouped conv: [3, 1, in_per_group=3, out_total=C]
+# (out features must be a multiple of feature_group_count; out_per_group=1,
+# group g's kernel is slice [..., g] — same diagonal for every group)
+DIAG = jnp.asarray(
+    np.broadcast_to(np.eye(3, dtype=np.float32)[:, None, :, None], (3, 1, 3, C)),
+    jnp.bfloat16,
+)
+DN = jax.lax.conv_dimension_numbers((B, H, W, 3 * C), (3, 1, 3, C),
                                     ("NHWC", "HWIO", "NHWC"))
 
 
@@ -116,15 +121,23 @@ def run_chain(x, mems):
 
 
 if __name__ == "__main__":
-    # correctness: both epilogues equal on random Z
-    Z = jax.random.normal(key, (2, 16, 16, 3 * C), jnp.bfloat16)
-    Zc = Z.reshape(2, 16, 16, 3, C).transpose(0, 1, 2, 4, 3).reshape(2, 16, 16, 3 * C)
-    with jax.default_device(jax.devices()[0]):
-        a = np.asarray(ep_elem(Z).astype(jnp.float32))
-        b = np.asarray(ep_conv(Zc)[..., : C].astype(jnp.float32))  # out is [.., C]
-    assert a.shape[-1] == C and b.shape[-1] == C
+    # correctness: both epilogues equal on random Z (small-H local variant
+    # of ep_elem; ep_elem itself hardcodes H for the timed path)
+    h16 = 16
+    Z = jax.random.normal(key, (2, h16, 16, 3 * C), jnp.bfloat16)
+    Zc = Z.reshape(2, h16, 16, 3, C).transpose(0, 1, 2, 4, 3).reshape(
+        2, h16, 16, 3 * C)
+    Zp = jnp.pad(Z, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    a = np.asarray((Zp[:, 0:h16, :, 0:C] + Zp[:, 1:1 + h16, :, C:2 * C]
+                    + Zp[:, 2:2 + h16, :, 2 * C:3 * C]).astype(jnp.float32))
+    dn16 = jax.lax.conv_dimension_numbers((2, h16, 16, 3 * C), (3, 1, 3, C),
+                                          ("NHWC", "HWIO", "NHWC"))
+    b = np.asarray(jax.lax.conv_general_dilated(
+        Zc, DIAG, (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn16,
+        feature_group_count=C).astype(jnp.float32))
     err = np.max(np.abs(a - b))
     print(f"epilogue equivalence: max|diff| = {err:.2e}", flush=True)
+    assert err < 0.1  # bf16 accumulation-order rounding
 
     which = sys.argv[1:] or ["e1", "e2", "e3"]
     Z0 = jax.random.normal(key, (B, H, W, 3 * C), jnp.bfloat16)

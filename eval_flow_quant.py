@@ -23,8 +23,9 @@ def main():
     parser.add_argument("--mode", default="ptq",
                         choices=["ptq", "hybrid", "mixed", "full_qat", "deploy"])
     parser.add_argument("--mem_dtype", default="bfloat16",
-                        choices=["bfloat16", "int8"],
-                        help="deploy mode: membrane carry dtype")
+                        choices=["bfloat16", "int8", "mixed"],
+                        help="deploy mode: membrane carry dtype (mixed = "
+                             "bf16 head membrane, int8 elsewhere)")
     parser.add_argument("--z_int8", action="store_true",
                         help="deploy mode: calibrated int8 GEMM intermediates")
     parser.add_argument("--calibration_batches", type=int, default=50)
@@ -73,7 +74,7 @@ def main():
         from evflow.deploy import Int8DeployEngine
 
         mem_ranges = None
-        if args.mem_dtype == "int8":
+        if args.mem_dtype in ("int8", "mixed"):
             from evflow.deploy import profile_mem_ranges
 
             stream = H5EventStream(config, model_cfg.get("num_bins", 2),

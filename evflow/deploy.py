@@ -14,10 +14,14 @@ every cross-layer tensor int8 at rest:
   * recurrent cells fuse their feedforward + recurrent convs into one
     K=6C dot (the two kernels share per-channel scales so the int32
     accumulator dequantizes with a single per-column multiply);
-  * membranes are carried bf16, or int8 on a per-channel asymmetric
-    affine grid with an exact zero point (the PTQ states configuration;
-    ranges from :func:`profile_mem_ranges`, mirroring the reference's
-    membrane auto-tune, eval_flow_quant.py:186-581).
+  * membranes are carried bf16, int8 on a per-channel asymmetric affine
+    grid with an exact zero point (the PTQ states configuration; ranges
+    from :func:`profile_mem_ranges`, mirroring the reference's membrane
+    auto-tune, eval_flow_quant.py:186-581), or per-unit mixed — the
+    default fast tier is ``mem_dtype="mixed"`` (bf16 head membrane, int8
+    elsewhere): the sensitivity sweep shows the head unit, which
+    integrates raw event counts, is the sole source of the int8-membrane
+    AEE penalty (benchmarks/deploy_aee_tiers.py --sweep).
 
 Accuracy: with integer event-count inputs and binary spikes, every GEMM is
 EXACT in int32 — the only approximations are the per-channel weight
@@ -294,11 +298,17 @@ class Int8DeployEngine:
             raise ValueError("TEBN/MPBN models are not supported on the int8 path")
         if model.kernel_size != 3:
             raise ValueError("the dy-packed int8 path requires 3x3 kernels")
-        # mem_dtype: one name for all units, or a per-unit sequence (the
-        # mixed tier — e.g. recurrent units bf16, feedforward int8 — the
-        # per-layer analog of the reference's per-layer membrane strategy
-        # table, eval_flow_quant.py:186-463)
-        if isinstance(mem_dtype, str):
+        # mem_dtype: one name for all units, "mixed", or a per-unit sequence
+        # — the per-layer analog of the reference's per-layer membrane
+        # strategy table (eval_flow_quant.py:186-463). "mixed" = bf16 head
+        # membrane, int8 everywhere else: the membrane-sensitivity sweep
+        # (benchmarks/deploy_aee_tiers.py --sweep) shows the head unit —
+        # which integrates raw event counts — is the SOLE source of the
+        # int8-membrane AEE penalty (+1.2% with head int8 in ANY combo vs
+        # +0.12% with every non-head membrane int8).
+        if mem_dtype == "mixed":
+            per_unit = ("bfloat16",) + ("int8",) * (model.num_units - 1)
+        elif isinstance(mem_dtype, str):
             per_unit = (mem_dtype,) * model.num_units
         else:
             per_unit = tuple(mem_dtype)

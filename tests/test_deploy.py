@@ -263,6 +263,40 @@ def test_engine_int8_membranes_aee(trained):
     assert rel < 0.05, f"int8-membrane AEE diverged: {aee_q:.4f} vs {aee_f32:.4f} ({100*rel:.2f}%)"
 
 
+def test_engine_mixed_membrane_aee(trained):
+    """The 'mixed' tier (bf16 head membrane, int8 elsewhere) must hold AEE
+    within 2% of f32 — the head unit is the sole source of the int8
+    membrane penalty (benchmarks/deploy_aee_tiers.py --sweep: +0.12% for
+    all-but-head int8 vs +1.2% for any combination including the head)."""
+    root, variables = trained
+    model = build_model(_model_cfg())
+    cfg = _ecfg(root)
+
+    aee_f32 = _aee(
+        evaluate(cfg, path_results=os.path.join(root, "r", "f32m"), debug=True,
+                 model=model, variables=variables, max_windows=120, verbose=False)
+    )
+
+    from evflow.deploy import profile_mem_ranges
+
+    key = jax.random.PRNGKey(1)
+    windows = []
+    for _ in range(20):
+        key, k = jax.random.split(key)
+        windows.append(jax.random.poisson(k, 0.2, (1, RES, RES, 2)).astype(jnp.float32))
+    ranges = profile_mem_ranges(model, variables, windows)
+
+    engine = Int8DeployEngine(model, variables, mem_dtype="mixed", mem_ranges=ranges)
+    assert engine.unit_mem_int8[0] is False and all(engine.unit_mem_int8[1:])
+    aee_q = _aee(
+        evaluate(cfg, path_results=os.path.join(root, "r", "mxm"), debug=True,
+                 model=engine, variables=engine.params, max_windows=120,
+                 verbose=False)
+    )
+    rel = abs(aee_q - aee_f32) / aee_f32
+    assert rel < 0.02, f"mixed-membrane AEE diverged: {aee_q:.4f} vs {aee_f32:.4f} ({100*rel:.2f}%)"
+
+
 def test_engine_z_int8_aee(trained):
     """Calibrated int8 requantization of the GEMM intermediate (the fastest
     serving tier) stays within 5% AEE of f32 on the gtflow protocol."""

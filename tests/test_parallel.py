@@ -156,3 +156,103 @@ def test_deploy_engine_sharded_serving():
     np.testing.assert_allclose(
         np.asarray(out_single["flow"][0]), np.asarray(out_sh["flow"][0]), atol=1e-5
     )
+
+
+def test_spatial_sharded_flax_matches_single_device():
+    """DP x SP 2x4 mesh: batch over `data`, image rows over `space`; GSPMD
+    inserts the 3x3-conv halo exchanges (evflow/parallel/spatial.py). Flows
+    match the single-device model."""
+    from evflow.parallel.spatial import (
+        make_mesh_2d, shard_image_batch, spatial_jit_step)
+    from evflow.registry import build_model
+
+    cfg = {"name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": 8,
+           "kernel_size": 3, "encoding": "cnt",
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    model = build_model(cfg)
+    B, H, W = 2, 32, 32
+    rng = np.random.default_rng(2)
+    cnt = rng.poisson(0.3, size=(B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+
+    out_single, st_single = jax.jit(
+        lambda v, c, s: model.apply(v, None, c, s)
+    )(v, jnp.asarray(cnt), states)
+
+    mesh = make_mesh_2d(2, 4)
+    cnt_sh = shard_image_batch(cnt, mesh)
+    st_sh = shard_image_batch(states, mesh)
+    assert cnt_sh.sharding.spec == P("data", "space")
+    step = spatial_jit_step(lambda v, c, s: model.apply(v, None, c, s), mesh)
+    out_sp, st_sp = step(v, cnt_sh, st_sh)
+    np.testing.assert_allclose(
+        np.asarray(out_single["flow"][0]), np.asarray(out_sp["flow"][0]),
+        atol=1e-5,
+    )
+    # carried membrane state is also row-sharded and identical
+    np.testing.assert_allclose(
+        np.asarray(st_single[1].mem), np.asarray(st_sp[1].mem), atol=1e-5
+    )
+
+
+def test_spatial_sharded_deploy_engine_exact():
+    """Pure SP (1x8) on the int8 serving engine: rows sharded 8-way; the
+    dy shift-add partitions with collective-permute halos; integer GEMMs
+    make the match exact."""
+    from evflow.deploy import Int8DeployEngine
+    from evflow.parallel.spatial import (
+        make_mesh_2d, shard_image_batch, spatial_jit_step)
+    from evflow.registry import build_model
+
+    cfg = {"name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": 8,
+           "kernel_size": 3, "encoding": "cnt",
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    model = build_model(cfg)
+    B, H, W = 1, 32, 32
+    rng = np.random.default_rng(3)
+    cnt = rng.poisson(0.3, size=(B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+    engine = Int8DeployEngine(model, v, mem_dtype="mixed")
+    est = engine.init_states(B, H, W)
+
+    out_single, _ = jax.jit(
+        lambda p, c, s: engine.apply(p, None, c, s)
+    )(engine.params, jnp.asarray(cnt), est)
+
+    mesh = make_mesh_2d(1, 8)
+    cnt_sh = shard_image_batch(cnt, mesh)
+    est_sh = shard_image_batch(est, mesh)
+    step = spatial_jit_step(lambda p, c, s: engine.apply(p, None, c, s), mesh)
+    out_sp, st_sp = step(engine.params, cnt_sh, est_sh)
+    np.testing.assert_array_equal(
+        np.asarray(out_single["flow"][0]), np.asarray(out_sp["flow"][0])
+    )
+    # int8 membranes stay row-sharded on device
+    assert st_sp[1].mem.dtype == jnp.int8
+
+
+def test_spatial_grads_match_single_device():
+    """Training under SP: gradient of a conv+LIF cell with rows sharded
+    4-way equals the single-device gradient (halo exchange in fwd+bwd)."""
+    from evflow.models.cells import SNNConvLIF
+    from evflow.parallel.spatial import make_mesh_2d, shard_image_batch
+
+    cell = SNNConvLIF(input_size=2, features=4)
+    B, H, W = 2, 16, 16
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(B, H, W, 2)).astype(np.float32)
+    v = cell.init(jax.random.PRNGKey(0), jnp.asarray(x), None)
+
+    def loss(params, x):
+        out, _ = cell.apply({"params": params, "batch_stats": v["batch_stats"]}, x, None)
+        return (out * out).sum()
+
+    g_single = jax.grad(loss)(v["params"], jnp.asarray(x))
+
+    mesh = make_mesh_2d(2, 4)
+    x_sh = shard_image_batch(x, mesh)
+    g_sp = jax.jit(jax.grad(loss))(v["params"], x_sh)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
