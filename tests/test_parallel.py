@@ -256,3 +256,15 @@ def test_spatial_grads_match_single_device():
     g_sp = jax.jit(jax.grad(loss))(v["params"], x_sh)
     for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_dryrun_multichip_entry(capsys):
+    """The driver's multi-chip dry run must execute on a real n-device mesh
+    (regression: env-var platform forcing was silently ignored and the
+    'mesh' ran on one device)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    out = capsys.readouterr().out
+    assert "dryrun_multichip(8):" in out and out.strip().endswith("OK")
+    assert "dp x sp mesh (4x2)" in out
