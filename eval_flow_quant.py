@@ -73,17 +73,31 @@ def main():
         from evflow.data.h5_stream import H5EventStream
         from evflow.deploy import Int8DeployEngine
 
+        encoding = model_cfg.get("encoding", "cnt")
+        wkey = "event_voxel" if encoding == "voxel" else "event_cnt"
+        input_scale = 1.0
         mem_ranges = None
-        if args.mem_dtype in ("int8", "mixed"):
-            from evflow.deploy import profile_mem_ranges
-
+        need_windows = args.mem_dtype in ("int8", "mixed") or encoding == "voxel"
+        if need_windows:
             stream = H5EventStream(config, model_cfg.get("num_bins", 2),
                                    model_cfg.get("round_encoding", False))
-            windows = [stream.next_batch()["event_cnt"]
+            windows = [stream.next_batch()[wkey]
                        for _ in range(args.profile_batches)]
-            mem_ranges = profile_mem_ranges(model, variables, windows)
+            if encoding == "voxel":
+                # fractional voxel inputs need a calibrated int8 input grid
+                import numpy as np
+
+                input_scale = max(
+                    float(np.max(np.abs(np.asarray(w)))) for w in windows
+                ) / 127.0 or 1.0
+            if args.mem_dtype in ("int8", "mixed"):
+                from evflow.deploy import profile_mem_ranges
+
+                mem_ranges = profile_mem_ranges(model, variables, windows,
+                                                input_scale=input_scale)
         engine = Int8DeployEngine(
-            model, variables, mem_dtype=args.mem_dtype, mem_ranges=mem_ranges
+            model, variables, mem_dtype=args.mem_dtype, mem_ranges=mem_ranges,
+            input_scale=input_scale,
         )
         if args.z_int8:
             stream = H5EventStream(config, model_cfg.get("num_bins", 2),

@@ -645,7 +645,18 @@ class Prefetcher:
         return item
 
     def close(self):
+        """Stop and JOIN the worker before returning, so callers can close
+        the underlying HDF5 files without racing an in-flight
+        ``next_batch`` (h5py is not safe against concurrent close)."""
         self._stop.set()
+        # drain until the worker exits — it may be blocked on q.put
+        while self.t.is_alive():
+            try:
+                self.q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+            self.t.join(timeout=0.05)
+        # leftover buffered batches
         try:
             while True:
                 self.q.get_nowait()

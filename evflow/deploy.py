@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from evflow.export import fold_batchnorm_params
-from evflow.ops.dypack import pack_kernel_dy
+from evflow.ops.dypack import cols_dx, dy_epilogue, pack_kernel_dy
 from evflow.ops.lif import LIFState, THRESH_MIN, leaky_step
 
 __all__ = [
@@ -64,6 +64,7 @@ def profile_mem_scales(
     margin: float = 1.1,
     floor: float = 1e-3,
     per_channel: bool = True,
+    input_scale: float = 1.0,
 ) -> List[np.ndarray]:
     """Per-layer (optionally per-channel) symmetric membrane quant scales,
     profiled by streaming sample windows through the bf16-membrane engine —
@@ -71,7 +72,8 @@ def profile_mem_scales(
     (eval_flow_quant.py profile_membrane_ranges :186-463). Returns one
     ``[C]`` (or scalar) array per unit: ``absmax * margin / 127``."""
     ranges = profile_mem_ranges(model, variables, windows, margin=margin,
-                                floor=floor, per_channel=per_channel)
+                                floor=floor, per_channel=per_channel,
+                                input_scale=input_scale)
     return [np.maximum(np.abs(lo), np.abs(hi)) / 127.0 for lo, hi in ranges]
 
 
@@ -82,26 +84,38 @@ def profile_mem_ranges(
     margin: float = 1.1,
     floor: float = 1e-3,
     per_channel: bool = True,
+    input_scale: float = 1.0,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Per-layer per-channel membrane (lo, hi) ranges for ASYMMETRIC int8
     membranes. SNN membranes sit mostly below threshold (the reference's own
     default state_quant range is [-250, 1], SNNtorch_spiking_submodules.py
     :190-208), so an asymmetric grid nearly doubles the resolution near the
-    firing threshold — where spike decisions happen."""
-    probe = Int8DeployEngine(model, variables)  # bf16 membranes
+    firing threshold — where spike decisions happen. ``windows`` feed the
+    model's own encoding (cnt or voxel; voxel needs ``input_scale``)."""
+    probe = Int8DeployEngine(model, variables, input_scale=input_scale)
     x0 = np.asarray(windows[0])
     B, H, W, _ = x0.shape
-    states = probe.init_states(B, H, W)
     axes = (0, 1, 2) if per_channel else None
+    is_cnt = probe.encoding == "cnt"
+
+    @jax.jit
+    def prof_step(params, x, states):
+        _, new_states = probe.apply(
+            params, None if is_cnt else x, x if is_cnt else None, states
+        )
+        mins = [jnp.min(s.mem.astype(jnp.float32), axis=axes) for s in new_states]
+        maxs = [jnp.max(s.mem.astype(jnp.float32), axis=axes) for s in new_states]
+        return new_states, mins, maxs
+
+    states = probe.init_states(B, H, W)
     shape = probe.features if per_channel else ()
     lo = [np.zeros(shape) for _ in range(probe.num_units)]
     hi = [np.zeros(shape) for _ in range(probe.num_units)]
     for w in windows:
-        _, states = probe.apply(probe.params, None, jnp.asarray(w), states)
+        states, mins, maxs = prof_step(probe.params, jnp.asarray(w), states)
         for i in range(probe.num_units):
-            m = np.asarray(states[i].mem, np.float32)
-            lo[i] = np.minimum(lo[i], m.min(axis=axes))
-            hi[i] = np.maximum(hi[i], m.max(axis=axes))
+            lo[i] = np.minimum(lo[i], np.asarray(mins[i]))
+            hi[i] = np.maximum(hi[i], np.asarray(maxs[i]))
     out = []
     for l, h in zip(lo, hi):
         l = np.minimum(l * margin, -floor)
@@ -223,20 +237,11 @@ def _mem_quant(mem_out: jax.Array, unit: Dict[str, Any]) -> jax.Array:
     ).astype(jnp.int8)
 
 
-def _cols_dx_i8(x: jax.Array) -> jax.Array:
-    """dx-shift patch buffer [B, H, W, 3C], int8 in / int8 out."""
-    W = x.shape[2]
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    return jnp.concatenate([xp[:, :, dx : dx + W, :] for dx in range(3)], axis=-1)
-
-
-def _dy_shift_add(Z: jax.Array, H: int, C: int) -> jax.Array:
-    Zp = jnp.pad(Z, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    return (
-        Zp[:, 0:H, :, 0:C]
-        + Zp[:, 1 : 1 + H, :, C : 2 * C]
-        + Zp[:, 2 : 2 + H, :, 2 * C : 3 * C]
-    )
+# the dy-pack indexing invariants live in ONE place — evflow/ops/dypack.py
+# (cols_dx builds the dx patch buffer, dy_epilogue the row shift-add); the
+# serving engine must stay bit-identical to the training-side formulation
+_cols_dx_i8 = cols_dx
+_dy_shift_add = dy_epilogue
 
 
 def _gemm_epilogue(cols: jax.Array, w: jax.Array, col_scale: jax.Array,
@@ -298,6 +303,12 @@ class Int8DeployEngine:
             raise ValueError("TEBN/MPBN models are not supported on the int8 path")
         if model.kernel_size != 3:
             raise ValueError("the dy-packed int8 path requires 3x3 kernels")
+        if model.encoding != "cnt" and input_scale == 1.0:
+            raise ValueError(
+                "voxel-encoding models need a calibrated input_scale: voxel "
+                "values are fractional in (0, 1) and would be rounded to "
+                "int8 on the unit grid, destroying the input signal"
+            )
         # mem_dtype: one name for all units, "mixed", or a per-unit sequence
         # — the per-layer analog of the reference's per-layer membrane
         # strategy table (eval_flow_quant.py:186-463). "mixed" = bf16 head

@@ -180,10 +180,15 @@ def evaluate(
     # association cadence)
     idx_AEE = np.zeros(B, np.int64)
     cadence = int(np.round(1.0 / window)) if window else 1
-    # compact host->device wire: count encodings are exact small integers
-    # unless downsample pooling (res < std_res) makes them fractional
+    # compact host->device wire: count encodings are exact small NON-NEGATIVE
+    # integers unless downsample pooling (res < std_res) makes them
+    # fractional, or temporal_cnt makes channel 0 = (pos - neg) signed —
+    # uint16 would wrap negatives to ~65535
     std_res = tuple(loader.get("std_resolution", loader["resolution"]))
-    compact_wire = tuple(loader["resolution"]) == std_res
+    compact_wire = (
+        tuple(loader["resolution"]) == std_res
+        and not bool(model_cfg.get("temporal_cnt", False))
+    )
     val_results: Dict[str, Dict[str, Dict[str, float]]] = {}
     vis_frames = []
     windows_done = 0
@@ -341,6 +346,9 @@ def evaluate(
     except KeyboardInterrupt:
         # close video writers cleanly on interrupt (eval_flow.py:344-348)
         print("Evaluation interrupted. Closing video files...")
+    finally:
+        # join the prefetch worker BEFORE closing the HDF5 files it reads
+        fetch.close()
     data.close()
     if vis is not None:
         vis.close_videos()

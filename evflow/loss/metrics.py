@@ -282,10 +282,17 @@ class _BaseMetric:
     def reset(self):
         self._reset_window()
 
-    def get_error_map(self):
+    def get_error_map(self, consume: bool = True):
+        """Error map of the most recent metric evaluation. With ``consume``
+        (default) the map is cleared on read so a cadence-gated metric
+        (AEE every 1/window windows) never pairs a stale map with a later
+        window's flow/events in stored visualizations."""
         if self._last_error_map is None:
             return None
-        return np.asarray(self._last_error_map)
+        out = np.asarray(self._last_error_map)
+        if consume:
+            self._last_error_map = None
+        return out
 
     # -- heatmaps (loss/flow.py:489-594) ----------------------------------
     def accumulate_error_heatmap(self, error_map, mask_map):

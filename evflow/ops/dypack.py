@@ -35,7 +35,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["conv3x3_dypack", "conv3x3_dypack_dual", "pack_kernel_dy"]
+__all__ = ["conv3x3_dypack", "conv3x3_dypack_dual", "pack_kernel_dy",
+           "cols_dx", "dy_epilogue"]
 
 
 def pack_kernel_dy(kernel: jax.Array) -> jax.Array:
@@ -82,10 +83,10 @@ def conv3x3_dypack(
         cols = jnp.concatenate([xp[:, :, dx : dx + W, :] for dx in range(3)], axis=-1)
         Z = (cols.reshape(-1, 3 * Cin) @ wp.astype(cdt)).reshape(B, H, W, 3 * C)
 
-    return _epilogue(Z, H, C)
+    return dy_epilogue(Z, H, C)
 
 
-def _epilogue(Z: jax.Array, H: int, C: int) -> jax.Array:
+def dy_epilogue(Z: jax.Array, H: int, C: int) -> jax.Array:
     """y[r] = Z[r-1, dy0] + Z[r, dy1] + Z[r+1, dy2] (SAME padding in y)."""
     Zp = jnp.pad(Z, ((0, 0), (1, 1), (0, 0), (0, 0)))
     return (
@@ -95,7 +96,7 @@ def _epilogue(Z: jax.Array, H: int, C: int) -> jax.Array:
     )
 
 
-def _cols_dx(x: jax.Array) -> jax.Array:
+def cols_dx(x: jax.Array) -> jax.Array:
     """dx-shift patch buffer: [B, H, W, 3*C]."""
     W = x.shape[2]
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
@@ -125,8 +126,8 @@ def conv3x3_dypack_dual(
         w_i8 = jnp.clip(jnp.round(wp / s_w), -127, 127).astype(jnp.int8)
         cols = jnp.concatenate(
             [
-                _cols_dx(jnp.clip(jnp.round(x1), -127, 127).astype(jnp.int8)),
-                _cols_dx(jnp.clip(jnp.round(x2), -127, 127).astype(jnp.int8)),
+                cols_dx(jnp.clip(jnp.round(x1), -127, 127).astype(jnp.int8)),
+                cols_dx(jnp.clip(jnp.round(x2), -127, 127).astype(jnp.int8)),
             ],
             axis=-1,
         )
@@ -140,9 +141,9 @@ def conv3x3_dypack_dual(
     else:
         cdt = dtype or x1.dtype
         cols = jnp.concatenate(
-            [_cols_dx(x1.astype(cdt)), _cols_dx(x2.astype(cdt))], axis=-1
+            [cols_dx(x1.astype(cdt)), cols_dx(x2.astype(cdt))], axis=-1
         )
         Z = (cols.reshape(-1, cols.shape[-1]) @ wp.astype(cdt)).reshape(
             B, H, W, 3 * C
         )
-    return _epilogue(Z, H, C)
+    return dy_epilogue(Z, H, C)

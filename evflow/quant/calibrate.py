@@ -168,6 +168,13 @@ def collect_activation_scales(
     loader = stream.config["loader"]
     B = int(loader.get("batch_size", 1))
     H, W = loader["resolution"]
+    # probe with a plain conv impl: the fused dypack_int8 path exposes its
+    # kernels through _KernelHolder modules whose __call__ returns the RAW
+    # WEIGHT (cells.py:311-331) — the capture filter would record weight
+    # absmax as the activation scale. im2col is f32-exact to lax conv
+    # (tests/test_models.py), so the collected scales match any impl.
+    if getattr(model, "conv_impl", "auto") == "dypack_int8":
+        model = model.clone(conv_impl="im2col")
     states = model.init_states(B, H, W)
 
     qmax = 2 ** (num_bits - 1) - 1
@@ -212,6 +219,12 @@ def collect_activation_scales(
             nxt = units[i + 1] if i + 1 < len(units) else "pred"
             bump(f"{nxt}/input", spk_m)
         bump("pred/output", taps.get("pred/conv2d/__call__/[0]", 0.0))
+    for u in units:  # a zero output scale means the tap was never captured
+        if maxima.get(f"{u}/output", 0.0) <= 0.0:
+            raise RuntimeError(
+                f"calibration captured no conv output for unit {u!r} — "
+                "intermediate capture names changed?"
+            )
     return {k: v / qmax for k, v in maxima.items()}
 
 

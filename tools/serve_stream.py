@@ -25,7 +25,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--config", default="configs/eval_MVSEC.yml")
-    p.add_argument("--mem_dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    p.add_argument("--mem_dtype", default="mixed",
+                   choices=["bfloat16", "int8", "mixed"])
     p.add_argument("--windows", type=int, default=200)
     p.add_argument("--synthetic", action="store_true",
                    help="serve a generated synthetic sequence (no MVSEC needed)")
@@ -96,9 +97,20 @@ def main():
                          model_cfg.get("round_encoding", False))
     fetch = Prefetcher(data, depth=2)
 
+    # compact uint16 wire only when counts are exact non-negative integers
+    # (no downsample pooling, no signed temporal_cnt) — same guard as
+    # evflow/eval.py's compact_wire
+    loader = config["loader"]
+    std_res = tuple(loader.get("std_resolution", loader["resolution"]))
+    compact = (tuple(loader["resolution"]) == std_res
+               and not bool(model_cfg.get("temporal_cnt", False)))
+
+    def wire(cnt_np):
+        return jnp.asarray(cnt_np.astype(np.uint16) if compact else cnt_np)
+
     # warm up (compile)
     first = next(fetch)
-    cnt = jnp.asarray(first["event_cnt"].astype(np.uint16))
+    cnt = wire(first["event_cnt"])
     flow, states = step(engine.params, cnt, states)
     flow.block_until_ready(); float(jnp.sum(flow))
 
@@ -112,7 +124,7 @@ def main():
             if batch["epoch_done"]:
                 break
             t0 = time.perf_counter()
-            cnt = jnp.asarray(batch["event_cnt"].astype(np.uint16))
+            cnt = wire(batch["event_cnt"])
             flow, states = step(engine.params, cnt, states)
             if pending is not None:
                 float(pending)  # sync one step late
