@@ -19,8 +19,9 @@ def main():
     parser.add_argument("--what", default="model",
                         choices=["model", "deploy", "lif_layer", "conv_lif_layer"])
     parser.add_argument("--mem_dtype", default="bfloat16",
-                        choices=["bfloat16", "int8"],
-                        help="deploy export: membrane carry dtype")
+                        choices=["bfloat16", "int8", "mixed"],
+                        help="deploy export: membrane carry dtype (mixed = "
+                             "bf16 head membrane, int8 elsewhere)")
     parser.add_argument("--quantized", action="store_true",
                         help="int8-grid weights + quant metadata "
                              "(Model_export_RealQuant.py equivalent)")
