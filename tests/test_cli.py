@@ -138,6 +138,26 @@ def test_lif_layer_export_cli(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "lif_layer.stablehlo"))
 
 
+def test_train_flow_validation_cli(workspace):
+    """In-process periodic validation: one run dir, val metrics logged,
+    best_val_aae checkpoint kept (reference train_flow_validation.py:28-130)."""
+    import glob
+
+    runs = os.path.join(workspace["ws"], "runs_val")
+    out = run_cli(["train_flow_validation.py",
+                   "--config", workspace["train_cfg"],
+                   "--val_config", workspace["eval_cfg"],
+                   "--path_runs", runs,
+                   "--val_every", "1", "--val_max_windows", "6",
+                   "--max_steps", "20"])
+    assert "validation" in out.stdout and "best val AAE" in out.stdout
+    # layout: runs/<experiment>/<runid>/
+    run_dirs = [d for d in glob.glob(os.path.join(runs, "*", "*"))
+                if os.path.isdir(d)]
+    assert len(run_dirs) == 1  # single run dir across validation rounds
+    assert glob.glob(os.path.join(run_dirs[0], "checkpoints", "best_val_aae", "*"))
+
+
 def test_serve_stream_cli(workspace):
     """Streaming serving demo: HDF5 -> Prefetcher -> int8 engine."""
     out = run_cli(["tools/serve_stream.py", "--config", workspace["eval_cfg"],
