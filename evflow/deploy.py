@@ -54,7 +54,45 @@ __all__ = [
     "prepare_int8_params",
     "profile_mem_scales",
     "profile_mem_ranges",
+    "save_engine",
 ]
+
+
+def save_engine(engine: "Int8DeployEngine", path: str) -> str:
+    """Write the engine's prepared int8 parameters + config to one ``.npz``
+    deployment artifact (loaded by :meth:`Int8DeployEngine.from_artifact`).
+    bf16 tensors are stored as f32 (npz has no bfloat16) and restored to
+    their recorded dtypes on load. The real-int8 analog of the reference's
+    save_quantized_model state-dict artifact (utils/utils.py:125-184)."""
+    import json
+
+    arrays: Dict[str, np.ndarray] = {}
+    dtypes: Dict[str, str] = {}
+
+    def put(key, v):
+        dt = str(v.dtype)
+        dtypes[key] = dt
+        # npz has no bfloat16 — store as f32, restore on load
+        arrays[key] = np.asarray(v, np.float32) if dt == "bfloat16" else np.asarray(v)
+
+    unit_keys = []
+    for i, u in enumerate(engine.params["units"]):
+        unit_keys.append(sorted(u.keys()))
+        for k, v in u.items():
+            put(f"unit{i}.{k}", v)
+    put("pred_kernel", engine.params["pred_kernel"])
+    if engine.params["pred_bias"] is not None:
+        put("pred_bias", engine.params["pred_bias"])
+    meta = {
+        "num_units": engine.num_units,
+        "unit_keys": unit_keys,
+        "dtypes": dtypes,
+        "mem_dtype": ["int8" if b else "bfloat16" for b in engine.unit_mem_int8],
+        "input_scale": engine.input_scale,
+        "model": engine.model.__class__.__name__,
+    }
+    np.savez(path, __meta__=np.asarray(json.dumps(meta)), **arrays)
+    return path
 
 
 def profile_mem_scales(
@@ -289,12 +327,15 @@ class Int8DeployEngine:
     def __init__(
         self,
         model,
-        variables: Dict[str, Any],
+        variables: Optional[Dict[str, Any]],
         mem_dtype: Any = "bfloat16",
         mem_scales: Optional[Sequence[Any]] = None,
         mem_ranges: Optional[Sequence[Tuple[Any, Any]]] = None,
         input_scale: float = 1.0,
+        _prepared: Optional[Dict[str, Any]] = None,
     ):
+        if variables is None and _prepared is None:
+            raise ValueError("need trained variables or a prepared artifact")
         if model.cell_family != "snn":
             raise ValueError("Int8DeployEngine supports the snn cell family")
         if model.norm_input:
@@ -346,12 +387,50 @@ class Int8DeployEngine:
         )
         self.hard_reset = model.hard_reset
         self.alpha = model.alpha if hasattr(model, "alpha") else 2.0
-        self.params = prepare_int8_params(
-            model, variables, mem_scales=mem_scales, mem_ranges=mem_ranges,
-            input_scale=input_scale,
-        )
+        if _prepared is not None:
+            self.params = _prepared
+        else:
+            self.params = prepare_int8_params(
+                model, variables, mem_scales=mem_scales, mem_ranges=mem_ranges,
+                input_scale=input_scale,
+            )
         self.input_scale = float(input_scale)
-        self.z_int8 = False  # enabled by calibrate_z()
+        self.z_int8 = all(
+            "z_requant" in u for u in self.params["units"]
+        ) if _prepared is not None else False  # enabled by calibrate_z()
+
+    @classmethod
+    def from_artifact(cls, model, path: str) -> "Int8DeployEngine":
+        """Reconstruct an engine from a :func:`save_engine` artifact —
+        serving hosts load the folded/quantized parameters directly
+        without the f32 checkpoint or re-preparation (the deployment
+        analog of the reference's load_quantized_model, utils/utils.py
+        :187-224)."""
+        import json
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["__meta__"]))
+
+            def arr(key):
+                return jnp.asarray(z[key], jnp.dtype(meta["dtypes"][key]))
+
+            units = []
+            for i in range(meta["num_units"]):
+                unit = {}
+                for k in meta["unit_keys"][i]:
+                    unit[k] = arr(f"unit{i}.{k}")
+                units.append(unit)
+            params = {"units": units, "pred_kernel": arr("pred_kernel")}
+            params["pred_bias"] = (
+                arr("pred_bias") if "pred_bias" in z.files else None
+            )
+        if meta["num_units"] != model.num_units:
+            raise ValueError(
+                f"artifact has {meta['num_units']} units, model has "
+                f"{model.num_units}"
+            )
+        return cls(model, variables=None, mem_dtype=meta["mem_dtype"],
+                   input_scale=meta["input_scale"], _prepared=params)
 
     def calibrate_z(self, windows: Sequence[Any], margin: float = 1.05):
         """Enable int8 requantization of the GEMM intermediate Z using

@@ -6,6 +6,7 @@ pipeline collapses into jax.export on TPU).
 """
 
 import argparse
+import os
 
 
 def main():
@@ -69,8 +70,13 @@ def main():
     if args.what == "deploy":
         from evflow.deploy import Int8DeployEngine
 
+        from evflow.deploy import save_engine
+
         engine = Int8DeployEngine(model, variables, mem_dtype=args.mem_dtype)
         out = E.export_deploy_engine(engine, args.out, height=H, width=W)
+        out["engine_params"] = save_engine(
+            engine, os.path.join(args.out, "engine_int8.npz")
+        )
     else:
         out = E.export_model(model, variables, args.out, height=H, width=W,
                              quantized=args.quantized)

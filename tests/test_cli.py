@@ -132,6 +132,33 @@ def test_model_export_cli(workspace, tmp_path):
     assert np.isfinite(g["flow"]).all()
 
 
+def test_model_export_deploy_cli(workspace, tmp_path):
+    """--what deploy: real-int8 StableHLO + loadable engine-params artifact."""
+    out_dir = str(tmp_path / "exported_deploy")
+    run_cli(["model_export.py", "--config", workspace["eval_cfg"],
+             "--out", out_dir, "--height", "32", "--width", "32",
+             "--what", "deploy", "--mem_dtype", "mixed"])
+    assert os.path.exists(os.path.join(out_dir, "model_int8.stablehlo"))
+    art = os.path.join(out_dir, "engine_int8.npz")
+    assert os.path.exists(art)
+    # artifact reconstructs a working engine
+    import jax
+    import jax.numpy as jnp
+    import yaml as _yaml
+
+    from evflow.deploy import Int8DeployEngine
+    from evflow.registry import build_model
+
+    with open(workspace["eval_cfg"]) as f:
+        mc = _yaml.safe_load(f)["model"]
+    mc["spiking_neuron"] = {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}
+    model = build_model(mc)
+    eng = Int8DeployEngine.from_artifact(model, art)
+    cnt = jnp.ones((1, 32, 32, 2), jnp.float32)
+    out2, _ = eng.apply(eng.params, None, cnt, eng.init_states(1, 32, 32))
+    assert np.isfinite(np.asarray(out2["flow"][0])).all()
+
+
 def test_lif_layer_export_cli(tmp_path):
     out_dir = str(tmp_path / "lif")
     run_cli(["model_export.py", "--what", "lif_layer", "--out", out_dir])

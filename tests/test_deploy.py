@@ -407,3 +407,35 @@ def test_engine_voxel_input_scale():
     # input quantization adds noise; flows must still track the f32 model
     d = np.abs(np.asarray(oute["flow"][0]) - np.asarray(outf["flow"][0]))
     assert np.mean(d < 0.05) > 0.98
+
+
+def test_engine_artifact_roundtrip(tmp_path):
+    """save_engine -> from_artifact reproduces the engine exactly (flows
+    bit-identical; per-unit membrane dtypes and input scale preserved)."""
+    from evflow.deploy import save_engine
+
+    model = build_model(_model_cfg())
+    B, H, W = 1, 16, 16
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(9), None, jnp.zeros((B, H, W, 2)), states)
+    e1 = Int8DeployEngine(model, v, mem_dtype="mixed")
+    path = str(tmp_path / "engine.npz")
+    save_engine(e1, path)
+
+    e2 = Int8DeployEngine.from_artifact(model, path)
+    assert e2.unit_mem_int8 == e1.unit_mem_int8
+    assert e2.input_scale == e1.input_scale
+    for u1, u2 in zip(e1.params["units"], e2.params["units"]):
+        assert set(u1) == set(u2)
+        for k in u1:
+            assert u1[k].dtype == u2[k].dtype, k
+            np.testing.assert_array_equal(
+                np.asarray(u1[k], np.float32), np.asarray(u2[k], np.float32))
+
+    cnt = jax.random.poisson(jax.random.PRNGKey(1), 0.3, (B, H, W, 2)).astype(jnp.float32)
+    o1, _ = e1.apply(e1.params, None, cnt, e1.init_states(B, H, W))
+    o2, _ = e2.apply(e2.params, None, cnt, e2.init_states(B, H, W))
+    np.testing.assert_array_equal(np.asarray(o1["flow"][0]), np.asarray(o2["flow"][0]))
+
+    with pytest.raises(ValueError, match="variables or a prepared"):
+        Int8DeployEngine(model, None)
