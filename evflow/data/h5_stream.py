@@ -159,6 +159,12 @@ class H5EventStream:
         self.num_shards = num_shards
         self.shard_index = shard_index
 
+        # per-open-file h5py handle/timestamp caches (see _events_ds /
+        # _find_ts_index); ts arrays are cached up to this budget per file
+        self._ds_cache: Dict[int, tuple] = {}
+        self._ts_cache: Dict[int, np.ndarray] = {}
+        self.ts_cache_bytes = int(loader.get("ts_cache_bytes", 256 << 20))
+
         # per-slot state
         B = self.batch_size
         self.batch_idx = list(range(B))
@@ -174,6 +180,15 @@ class H5EventStream:
         self.hot_cfg = hot
         self.hot_idx = [0] * B
         self.hot_events = [np.zeros(self.resolution, np.float32) for _ in range(B)]
+
+        # skip building the voxel encoding when the model config explicitly
+        # selects counts — it is never read, and at serving rates the host
+        # encode time matters (bilinear voxel is the most expensive encoder).
+        # With no model config (bare-stream use) all encodings are built.
+        model_enc = config.get("model", {}).get("encoding")
+        self.build_voxel = (
+            model_enc != "cnt" or bool(loader.get("build_all_encodings", False))
+        )
 
         # temporal count mode (dataloader/base.py:280-308): channel 0 =
         # (pos-neg) of the current window, channel 1 = previous window's
@@ -199,6 +214,9 @@ class H5EventStream:
     def _open_slot(self, b: int, path: str):
         if len(self.open_files) > b:
             try:
+                old = id(self.open_files[b])
+                self._ds_cache.pop(old, None)
+                self._ts_cache.pop(old, None)
                 self.open_files[b].close()
             except Exception:
                 pass
@@ -251,14 +269,46 @@ class H5EventStream:
 
     # -- event reading -----------------------------------------------------
 
+    def _events_ds(self, f):
+        """Cached h5py dataset handles + t0 per open file: re-resolving
+        ``f["events/xs"]`` etc. every window costs more than the reads
+        themselves at serving rates (measured ~58% of next_batch)."""
+        c = self._ds_cache.get(id(f))
+        if c is None:
+            c = (f["events/xs"], f["events/ys"], f["events/ts"],
+                 f["events/ps"], float(f.attrs["t0"]))
+            self._ds_cache[id(f)] = c
+        return c
+
     def _find_ts_index(self, f, timestamp: float) -> int:
-        return int(np.searchsorted(f["events/ts"], timestamp, side="left"))
+        """bisect_left over events/ts. np.searchsorted on an h5py dataset
+        would materialize the WHOLE array per call (two full reads per
+        window in time/frames/gtflow modes) — instead cache the ts array
+        once per open file when it fits the budget, else run an
+        O(log n) dataset-probe bisect (the reference's
+        binary_search_array, dataloader/encodings.py:9-27)."""
+        dts = self._events_ds(f)[2]
+        c = self._ts_cache.get(id(f))
+        if c is None and dts.size * 8 <= self.ts_cache_bytes:
+            c = dts[...]
+            self._ts_cache[id(f)] = c
+        if c is not None:
+            return int(np.searchsorted(c, timestamp, side="left"))
+        lo, hi = 0, dts.shape[0]
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if dts[mid] < timestamp:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
 
     def _get_events(self, f, i0: int, i1: int):
-        xs = f["events/xs"][i0:i1].astype(np.float32)
-        ys = f["events/ys"][i0:i1].astype(np.float32)
-        ts = f["events/ts"][i0:i1].astype(np.float64) - f.attrs["t0"]
-        ps = f["events/ps"][i0:i1].astype(np.float32)
+        dxs, dys, dts, dps, t0 = self._events_ds(f)
+        xs = dxs[i0:i1].astype(np.float32)
+        ys = dys[i0:i1].astype(np.float32)
+        ts = dts[i0:i1].astype(np.float64) - t0
+        ps = dps[i0:i1].astype(np.float32)
         if ts.shape[0] > 0:
             self.last_proc_timestamp = float(ts[-1])
         return xs, ys, ts, ps
@@ -418,7 +468,7 @@ class H5EventStream:
                 event_mask = self._native.mask_encoding(xs, ys, ps, (H, W))
                 event_voxel = self._native.voxel_encoding(
                     xs, ys, tsn, ps, self.num_bins, (H, W), self.round_encoding
-                )
+                ) if self.build_voxel else None
                 pol_mask = (
                     self._native.polarity_mask(ps)
                     if ps.size
@@ -429,7 +479,7 @@ class H5EventStream:
                 event_mask = enc.np_events_to_mask(xs, ys, ps, (H, W))
                 event_voxel = enc.np_events_to_voxel(
                     xs, ys, tsn, ps, self.num_bins, (H, W), self.round_encoding
-                )
+                ) if self.build_voxel else None
                 pol_mask = (
                     enc.np_polarity_mask(ps)
                     if ps.size
@@ -459,7 +509,8 @@ class H5EventStream:
                     max_rate=float(self.hot_cfg.get("max_rate", 0.8)),
                 )
                 event_cnt *= hot_mask[..., None]
-                event_voxel *= hot_mask[..., None]
+                if event_voxel is not None:
+                    event_voxel *= hot_mask[..., None]
                 event_mask *= hot_mask[..., None]
 
             # frames (h5.py:336-347)
@@ -505,7 +556,10 @@ class H5EventStream:
 
         out = {
             "event_cnt": event_cnt,
-            "event_voxel": event_voxel,
+            # when the voxel encoding is skipped (cnt model), alias counts so
+            # consumers that forward batch["event_voxel"] blindly (the model
+            # ignores it) see a well-formed array with zero extra host work
+            "event_voxel": event_voxel if event_voxel is not None else event_cnt,
             "event_mask": event_mask,
             "event_list": event_list,
             "event_list_pol_mask": pol_mask,
@@ -525,7 +579,10 @@ class H5EventStream:
             if ph == 0 or pw == 0:
                 raise ValueError(f"Invalid pooling kernel ({ph}, {pw})")
             out["event_cnt"] = _avg_pool(out["event_cnt"], ph, pw)
-            out["event_voxel"] = _avg_pool(out["event_voxel"], ph, pw)
+            out["event_voxel"] = (
+                _avg_pool(out["event_voxel"], ph, pw)
+                if event_voxel is not None else out["event_cnt"]
+            )
             if not self.keep_gt_full_res:
                 out["event_mask"] = _avg_pool(out["event_mask"], ph, pw)
             if out["event_list"].size:

@@ -288,13 +288,14 @@ def test_dypack_conv_matches_lax_f32():
     from evflow.ops.dypack import conv3x3_dypack
 
     rng = jax.random.PRNGKey(3)
-    x = jax.random.normal(rng, (2, 16, 20, 8))
-    k = jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 8, 8))
-    ref = jax.lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )
-    out = conv3x3_dypack(x, k)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    for H, W in ((16, 20), (17, 23)):  # incl. odd, non-square sensor crops
+        x = jax.random.normal(rng, (2, H, W, 8))
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 8, 8))
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        out = conv3x3_dypack(x, k)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 def test_dypack_int8_matches_quantized_reference():
