@@ -216,6 +216,7 @@ class H5EventStream:
             try:
                 old = id(self.open_files[b])
                 self._ds_cache.pop(old, None)
+                self._ds_cache.pop((old, "gt"), None)
                 self._ts_cache.pop(old, None)
                 self.open_files[b].close()
             except Exception:
@@ -535,9 +536,12 @@ class H5EventStream:
             if self.mode in ("gtflow_dt1", "gtflow_dt4"):
                 timed = self.slot_gt[b]
                 idx = int(np.ceil(self.batch_row[b] + self.window))
-                fm = self.open_files[b][self.mode.replace("gtflow_", "flow_")][
-                    timed.names[idx]
-                ][:]
+                f = self.open_files[b]
+                grp = self._ds_cache.get((id(f), "gt"))
+                if grp is None:
+                    grp = f[self.mode.replace("gtflow_", "flow_")]
+                    self._ds_cache[(id(f), "gt")] = grp
+                fm = grp[timed.names[idx]][:]
                 if fm.ndim == 3 and fm.shape[0] == 2:
                     fm = np.moveaxis(fm, 0, -1)  # [H, W, 2] (x, y)
                 # flow augmentation (base.py:144-159)
