@@ -185,7 +185,11 @@ class H5EventStream:
         # selects counts — it is never read, and at serving rates the host
         # encode time matters (bilinear voxel is the most expensive encoder).
         # With no model config (bare-stream use) all encodings are built.
-        model_enc = config.get("model", {}).get("encoding")
+        model_cfg = config.get("model")
+        # no model config at all (bare-stream use) -> build everything;
+        # with a model config, "cnt" is the default encoding everywhere
+        # (registry.py/train.py/eval.py), so an omitted key also skips
+        model_enc = model_cfg.get("encoding", "cnt") if model_cfg else None
         self.build_voxel = (
             model_enc != "cnt" or bool(loader.get("build_all_encodings", False))
         )
@@ -290,7 +294,7 @@ class H5EventStream:
         binary_search_array, dataloader/encodings.py:9-27)."""
         dts = self._events_ds(f)[2]
         c = self._ts_cache.get(id(f))
-        if c is None and dts.size * 8 <= self.ts_cache_bytes:
+        if c is None and dts.size * dts.dtype.itemsize <= self.ts_cache_bytes:
             c = dts[...]
             self._ts_cache[id(f)] = c
         if c is not None:
@@ -399,7 +403,17 @@ class H5EventStream:
 
     def _slot_item(self, b: int) -> Tuple[Dict[str, np.ndarray], bool]:
         new_seq = False
+        restarts = 0
         while True:
+            if restarts > 2 * len(self.files):
+                # every file rolled over without producing one window —
+                # e.g. data.window larger than any sequence. Raise instead
+                # of spinning through the file ring forever.
+                raise ValueError(
+                    f"no sequence can produce a window (mode={self.mode!r}, "
+                    f"window={self.window}) — all {len(self.files)} files "
+                    "are shorter than one window"
+                )
             restart = False
             if self.mode in ("frames", "gtflow_dt1", "gtflow_dt4"):
                 timed = self.slot_frames[b] if self.mode == "frames" else self.slot_gt[b]
@@ -435,6 +449,7 @@ class H5EventStream:
             if restart:
                 new_seq = True
                 self.new_seq = True
+                restarts += 1
                 self._reset_sequence(b)
                 continue
 
@@ -684,6 +699,7 @@ class Prefetcher:
         self.stream = stream
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._dead: Optional[Exception] = None
         self.t = threading.Thread(target=self._worker, daemon=True)
         self.t.start()
 
@@ -700,8 +716,15 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if self._dead is not None:
+            raise RuntimeError(
+                f"prefetch worker died: {self._dead!r}"
+            ) from self._dead
         item = self.q.get()
         if isinstance(item, Exception):
+            # the worker exits after enqueueing the error — mark dead so a
+            # consumer that retries doesn't block forever on an unfed queue
+            self._dead = item
             raise item
         return item
 

@@ -99,14 +99,18 @@ def _smoothness(
             m = event_mask[..., sl1[0], sl1[1]] * event_mask[..., sl2[0], sl2[1]]
             diff = diff * m
         total = total + diff.sum()
-    if include_dt and flow_x.shape[1] > 1:
-        diff = _charbonnier(
-            (flow_x[:, :-1] - flow_x[:, 1:]) + (flow_y[:, :-1] - flow_y[:, 1:])
-        )
-        if event_mask is not None:
-            diff = diff * (event_mask[:, :-1] * event_mask[:, 1:])
-        total = total + diff.sum()
+    if include_dt:
+        # reference parity: the dt component counts toward the divisor
+        # whenever overwrite_intermediate is off, even for a single-pass
+        # window where its sum is empty/zero (loss/flow.py:290-295)
         components += 1
+        if flow_x.shape[1] > 1:
+            diff = _charbonnier(
+                (flow_x[:, :-1] - flow_x[:, 1:]) + (flow_y[:, :-1] - flow_y[:, 1:])
+            )
+            if event_mask is not None:
+                diff = diff * (event_mask[:, :-1] * event_mask[:, 1:])
+            total = total + diff.sum()
     total = total / components
     total = total / flow_x.shape[1]  # /= number of passes (flow_dx.shape[1])
     return total

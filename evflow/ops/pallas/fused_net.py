@@ -37,6 +37,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from evflow.ops.pallas.common import lif_update
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -45,19 +47,7 @@ __all__ = ["fused_firenet_step", "PallasFusedFireNet"]
 
 
 def _lif(ff, mem, beta, theta, hard_reset: bool):
-    # algebraically reduced snn.Leaky update (reset_delay=False); the
-    # select form compiles where the arithmetic form ICEs this Mosaic
-    if hard_reset:
-        # u = (1 - H(mem - theta)) * (beta*mem + ff);  mem' = (1 - spk) * u
-        u = jnp.where(mem > theta, jnp.zeros_like(ff), beta * mem + ff)
-        spk = (u > theta).astype(ff.dtype)
-        mem2 = jnp.where(u > theta, jnp.zeros_like(u), u)
-        return spk, mem2
-    reset_prev = (mem > theta).astype(ff.dtype)
-    u = beta * mem + ff - reset_prev * theta
-    spk = (u > theta).astype(ff.dtype)
-    mem2 = u - (spk - reset_prev) * theta
-    return spk, mem2
+    return lif_update(ff, mem, beta, theta, hard_reset)
 
 
 def _wpad(v):

@@ -27,6 +27,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from evflow.ops.pallas.common import (
+    dy_group_patches as _dy_group_patches, lif_update)
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -46,15 +49,8 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int, n_tiles: int,
                sem_x, sem_a0, sem_a1, sem_om, sem_os, sem_of, *sems_m):
         b = pl.program_id(0)
 
-        def dy_group_patches(src, dy):
-            """[C, E, W] value -> [3C, E, W] (dx in {0,1,2}) for one dy."""
-            z_col = jnp.zeros((C, E, 1), src.dtype)
-            z_row = jnp.zeros((C, 1, W + 2), src.dtype)
-            vp = jnp.concatenate([z_col, src, z_col], axis=2)
-            vp = jnp.concatenate([z_row, vp, z_row], axis=1)
-            sub = vp[:, dy : dy + E, :]
-            return jnp.concatenate(
-                [sub[:, :, dx_ : dx_ + W] for dx_ in range(3)], axis=0)
+        def dy_group_patches(src, dy):  # bound to the shared helper
+            return _dy_group_patches(src, dy, C, E, W)
 
         def layer_body(l, _):
             wv = w_ref[pl.ds(l, 1)][0]  # [C, 18C]
@@ -82,15 +78,7 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int, n_tiles: int,
             mem = smem_all[pl.ds(l, 1)][0].astype(jnp.float32)
 
             # single LIF instance (snn.Leaky inference, reset_delay=False)
-            if hard_reset:
-                u = jnp.where(mem > theta, jnp.zeros_like(ff), beta * mem + ff)
-                spk = (u > theta).astype(jnp.float32)
-                mem2 = jnp.where(u > theta, jnp.zeros_like(u), u)
-            else:
-                reset_prev = (mem > theta).astype(jnp.float32)
-                u = beta * mem + ff - reset_prev * theta
-                spk = (u > theta).astype(jnp.float32)
-                mem2 = u - (spk - reset_prev) * theta
+            spk, mem2 = lif_update(ff, mem, beta, theta, hard_reset)
 
             sout_m[pl.ds(l, 1)] = jax.lax.expand_dims(
                 jax.lax.slice_in_dim(mem2, 8, 8 + TH, axis=1), [0]

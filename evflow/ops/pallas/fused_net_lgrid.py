@@ -28,6 +28,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from evflow.ops.pallas.common import (
+    dy_group_patches as _dy_group_patches, lif_update)
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -78,15 +81,8 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int,
 
         is_rec = jnp.logical_or(l == rec0, l == rec1)
 
-        def dy_group_patches(src, dy):
-            """[C, E, W] value -> [3C, E, W] (dx in {0,1,2}) for one dy."""
-            z_col = jnp.zeros((C, E, 1), src.dtype)
-            z_row = jnp.zeros((C, 1, W + 2), src.dtype)
-            vp = jnp.concatenate([z_col, src, z_col], axis=2)
-            vp = jnp.concatenate([z_row, vp, z_row], axis=1)  # [C, E+2, W+2]
-            sub = vp[:, dy : dy + E, :]
-            return jnp.concatenate(
-                [sub[:, :, dx : dx + W] for dx in range(3)], axis=0)
+        def dy_group_patches(src, dy):  # bound to the shared helper
+            return _dy_group_patches(src, dy, C, E, W)
 
         wv = w_ref[pl.ds(l, 1)][0]  # [C, 18C]
         hv = hbuf[:]
@@ -120,15 +116,7 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int,
         mem = smem_all[pl.ds(l, 1)][0].astype(jnp.float32)
 
         # single LIF instance (snn.Leaky inference, reset_delay=False)
-        if hard_reset:
-            u = jnp.where(mem > theta, jnp.zeros_like(ff), beta * mem + ff)
-            spk = (u > theta).astype(jnp.float32)
-            mem2 = jnp.where(u > theta, jnp.zeros_like(u), u)
-        else:
-            reset_prev = (mem > theta).astype(jnp.float32)
-            u = beta * mem + ff - reset_prev * theta
-            spk = (u > theta).astype(jnp.float32)
-            mem2 = u - (spk - reset_prev) * theta
+        spk, mem2 = lif_update(ff, mem, beta, theta, hard_reset)
 
         mem_out[0, 0] = mem2[:, 8 : 8 + TH, :].astype(state_dtype)
         spk_out[0, 0] = spk[:, 8 : 8 + TH, :].astype(state_dtype)

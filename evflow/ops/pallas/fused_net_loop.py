@@ -21,6 +21,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from evflow.ops.pallas.common import (
+    dy_group_patches as _dy_group_patches, lif_update)
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -65,14 +68,8 @@ def _make_kernel(L: int, R: int, TH: int, E: int, W: int, C: int,
         for d in das:
             d.wait()
 
-        def dy_group_patches(src, dy):
-            z_col = jnp.zeros((C, E, 1), src.dtype)
-            z_row = jnp.zeros((C, 1, W + 2), src.dtype)
-            vp = jnp.concatenate([z_col, src, z_col], axis=2)
-            vp = jnp.concatenate([z_row, vp, z_row], axis=1)
-            sub = vp[:, dy : dy + E, :]
-            return jnp.concatenate(
-                [sub[:, :, dx_ : dx_ + W] for dx_ in range(3)], axis=0)
+        def dy_group_patches(src, dy):  # bound to the shared helper
+            return _dy_group_patches(src, dy, C, E, W)
 
         # static unroll over layers: all indices are Python ints, so no
         # dynamic gathers are generated (the fori_loop form hits
@@ -105,15 +102,7 @@ def _make_kernel(L: int, R: int, TH: int, E: int, W: int, C: int,
             ffb = ff + bias
             mem = smem_all[l].astype(jnp.float32)
 
-            if hard_reset:
-                u = jnp.where(mem > theta, jnp.zeros_like(ffb), beta * mem + ffb)
-                spk = (u > theta).astype(jnp.float32)
-                mem2 = jnp.where(u > theta, jnp.zeros_like(u), u)
-            else:
-                reset_prev = (mem > theta).astype(jnp.float32)
-                u = beta * mem + ffb - reset_prev * theta
-                spk = (u > theta).astype(jnp.float32)
-                mem2 = u - (spk - reset_prev) * theta
+            spk, mem2 = lif_update(ffb, mem, beta, theta, hard_reset)
 
             sout_m[l] = mem2[:, 8 : 8 + TH, :].astype(state_dtype)
             if l in rec_layer_ids:

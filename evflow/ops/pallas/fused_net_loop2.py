@@ -29,6 +29,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from evflow.ops.pallas.common import (
+    dy_group_patches as _dy_group_patches, lif_update)
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -76,15 +79,8 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int,
         for d in das:
             d.wait()
 
-        def dy_group_patches(src, dy):
-            """[C, E, W] value -> [3C, E, W] (dx in {0,1,2}) for one dy."""
-            z_col = jnp.zeros((C, E, 1), src.dtype)
-            z_row = jnp.zeros((C, 1, W + 2), src.dtype)
-            vp = jnp.concatenate([z_col, src, z_col], axis=2)
-            vp = jnp.concatenate([z_row, vp, z_row], axis=1)
-            sub = vp[:, dy : dy + E, :]
-            return jnp.concatenate(
-                [sub[:, :, dx_ : dx_ + W] for dx_ in range(3)], axis=0)
+        def dy_group_patches(src, dy):  # bound to the shared helper
+            return _dy_group_patches(src, dy, C, E, W)
 
         def body(l, _):
             wv = w_ref[pl.ds(l, 1)][0]   # [C, 18C]
@@ -116,15 +112,7 @@ def _make_kernel(L: int, TH: int, E: int, W: int, C: int,
             mem = smem_all[pl.ds(l, 1)][0].astype(jnp.float32)
 
             # single LIF instance (snn.Leaky inference, reset_delay=False)
-            if hard_reset:
-                u = jnp.where(mem > theta, jnp.zeros_like(ff), beta * mem + ff)
-                spk = (u > theta).astype(jnp.float32)
-                mem2 = jnp.where(u > theta, jnp.zeros_like(u), u)
-            else:
-                reset_prev = (mem > theta).astype(jnp.float32)
-                u = beta * mem + ff - reset_prev * theta
-                spk = (u > theta).astype(jnp.float32)
-                mem2 = u - (spk - reset_prev) * theta
+            spk, mem2 = lif_update(ff, mem, beta, theta, hard_reset)
 
             # 4-D dynamic stores into scratch; the stored values are sliced
             # with lax.slice_in_dim — jnp's mixed None+slice indexing falls

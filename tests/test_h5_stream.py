@@ -282,3 +282,29 @@ def test_multihost_file_sharding(dataset):
     cfg_bad["loader"].update(num_shards=5, shard_index=4)
     with pytest.raises(ValueError):
         H5EventStream(cfg_bad, num_bins=2)
+
+
+def test_window_larger_than_all_files_raises(dataset):
+    """If no sequence can produce one window, next_batch raises instead of
+    spinning through the file ring forever."""
+    root, _ = dataset
+    s = H5EventStream(events_cfg(root, window=10_000_000), num_bins=2)
+    with pytest.raises(ValueError, match="shorter than one window"):
+        s.next_batch()
+    s.close()
+
+
+def test_prefetcher_dead_worker_raises(dataset):
+    """After the worker dies on an exception, further next() calls raise
+    instead of blocking forever on an unfed queue."""
+    from evflow.data.h5_stream import Prefetcher
+
+    root, _ = dataset
+    s = H5EventStream(events_cfg(root, window=10_000_000), num_bins=2)
+    fetch = Prefetcher(s, depth=2)
+    with pytest.raises(ValueError):
+        next(fetch)
+    with pytest.raises(RuntimeError, match="prefetch worker died"):
+        next(fetch)
+    fetch.close()
+    s.close()
