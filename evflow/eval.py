@@ -215,14 +215,15 @@ def evaluate(
             voxel = (
                 jnp.asarray(batch["event_voxel"]) if encoding == "voxel" else None
             )
-            cnt_np = batch["event_cnt"]
-            if compact_wire:
+            if encoding == "voxel":
+                cnt = None  # the model never reads it; don't ship it
+            elif compact_wire:
                 # counts are small non-negative integers unless downsample
                 # pooling is active — ship uint16 (exact, half the f32 bytes;
                 # restored to f32 inside the jitted step)
-                cnt = jnp.asarray(cnt_np.astype(np.uint16))
+                cnt = jnp.asarray(batch["event_cnt"].astype(np.uint16))
             else:
-                cnt = jnp.asarray(cnt_np)
+                cnt = jnp.asarray(batch["event_cnt"])
             flows, states, activity = step_fn(variables, voxel, cnt, states)
             flows = list(flows)
             if log_activity and activity is not None:

@@ -130,6 +130,14 @@ def export_variables_from_trained(
     """Convert trained FireNet variables into ExportFireNet params:
     BN folded into conv kernels/biases, beta clipped to [0, 1] (the training
     cell clamps at use), thresholds clamped >= 0.01."""
+    if getattr(model, "mpbn", False):
+        raise NotImplementedError(
+            "MPBN models cannot be exported through ExportFireNet: the "
+            "membrane BatchNorm changes the spike condition (fold via "
+            "evflow.models.norm.mpbn_effective_threshold needs the export "
+            "cell to separate thresholding from the raw-membrane reset); "
+            "export the plain-BN equivalent instead"
+        )
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     emodel = ExportFireNet(
@@ -146,10 +154,19 @@ def export_variables_from_trained(
         kernel = np.asarray(p["ff"]["kernel"], np.float32)
         bn = p["bn"]["BatchNorm_0"]
         bs = stats[name]["bn"]["BatchNorm_0"]
+        scale = np.asarray(bn["scale"], np.float32)
+        bias = np.asarray(bn["bias"], np.float32)
+        if "p" in p["bn"]:
+            # TEBN: y = BN(x) * p_t; flax eval with no timestep uses
+            # p.mean(0) (models/norm.py:69) — exact fold: scale'=γ·p̄,
+            # bias'=β·p̄
+            pm = np.asarray(p["bn"]["p"], np.float32).mean(axis=0)
+            scale = scale * pm
+            bias = bias * pm
         fk, fb = fold_batchnorm_params(
             kernel,
-            np.asarray(bn["scale"], np.float32),
-            np.asarray(bn["bias"], np.float32),
+            scale,
+            bias,
             np.asarray(bs["mean"], np.float32),
             np.asarray(bs["var"], np.float32),
         )
@@ -157,7 +174,7 @@ def export_variables_from_trained(
         if "rec" in p:
             # rec conv output also passes through the same BN (applied to
             # ff+rec in training); fold the scale into the rec kernel too
-            g = np.asarray(bn["scale"], np.float32) / np.sqrt(
+            g = scale / np.sqrt(
                 np.asarray(bs["var"], np.float32) + 1e-5
             )
             ep[f"{name}_rec"] = {
@@ -240,7 +257,9 @@ def export_model(
         return emodel.apply(evars, x, states)
 
     rng = np.random.default_rng(seed)
-    x = jnp.asarray(_pick_golden_input(rng, batch, height, width))
+    cin = int(getattr(model, "num_bins", 2)) if getattr(
+        model, "encoding", "cnt") == "voxel" else 2
+    x = jnp.asarray(_pick_golden_input(rng, batch, height, width, C=cin))
     flow, new_states = jax.jit(fwd)(x, states)
 
     os.makedirs(out_dir, exist_ok=True)

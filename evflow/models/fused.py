@@ -64,10 +64,17 @@ class FusedFireNet:
             up = p[name]
             bn = up["bn"]["BatchNorm_0"]
             bs = stats[name]["bn"]["BatchNorm_0"]
+            scale = jnp.asarray(bn["scale"], jnp.float32)
+            bias = jnp.asarray(bn["bias"], jnp.float32)
+            if "p" in up["bn"]:
+                # TEBN mean-p fold (same as export_variables_from_trained)
+                pm = jnp.asarray(up["bn"]["p"], jnp.float32).mean(axis=0)
+                scale = scale * pm
+                bias = bias * pm
             w, b = fold_bn(
                 jnp.asarray(up["ff"]["kernel"], jnp.float32),
-                jnp.asarray(bn["scale"], jnp.float32),
-                jnp.asarray(bn["bias"], jnp.float32),
+                scale,
+                bias,
                 jnp.asarray(bs["mean"], jnp.float32),
                 jnp.asarray(bs["var"], jnp.float32),
             )
@@ -81,7 +88,7 @@ class FusedFireNet:
                 ),
             }
             if rec:
-                g = jnp.asarray(bn["scale"], jnp.float32) / jnp.sqrt(
+                g = scale / jnp.sqrt(
                     jnp.asarray(bs["var"], jnp.float32) + 1e-5
                 )
                 entry["w_rec"] = (

@@ -69,7 +69,7 @@ def profile_membrane_ranges(
 
     @jax.jit
     def step(variables, voxel, cnt, states):
-        out, new_states = model.apply(variables, None, cnt, states, train=False)
+        out, new_states = model.apply(variables, voxel, cnt, states, train=False)
         return new_states, _membrane_stats(new_states)
 
     agg: Dict[str, Dict[str, Any]] = {}
@@ -184,9 +184,9 @@ def collect_activation_scales(
         maxima[key] = max(maxima.get(key, 0.0), m)
 
     @jax.jit
-    def step(variables, cnt, states):
+    def step(variables, voxel, cnt, states):
         (out, new_states), inter = model.apply(
-            variables, None, cnt, states, train=False,
+            variables, voxel, cnt, states, train=False,
             capture_intermediates=lambda mdl, name: name == "__call__",
         )
         return new_states, inter["intermediates"]
@@ -200,8 +200,13 @@ def collect_activation_scales(
             stream.new_seq = False
             states = model.init_states(B, H, W)
         cnt = jnp.asarray(batch["event_cnt"])
-        states, inter = step(variables, cnt, states)
-        bump(f"{units[0]}/input", float(np.max(np.abs(np.asarray(cnt)))))
+        voxel = (
+            jnp.asarray(batch["event_voxel"])
+            if getattr(model, "encoding", "cnt") == "voxel" else None
+        )
+        states, inter = step(variables, voxel, cnt, states)
+        head_in = voxel if voxel is not None else cnt
+        bump(f"{units[0]}/input", float(np.max(np.abs(np.asarray(head_in)))))
         flat = jax.tree_util.tree_flatten_with_path(jax.device_get(inter))[0]
         taps = {}
         for path, v in flat:

@@ -80,7 +80,8 @@ def stack_window(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return out
 
 
-def compact_window(window: Dict[str, np.ndarray], encoding: str) -> Dict[str, Any]:
+def compact_window(window: Dict[str, np.ndarray], encoding: str,
+                   exact_ints: bool = True) -> Dict[str, Any]:
     """Shrink the host->device wire for one TBPTT window.
 
     The model reads exactly one encoding (models/model.py:146-161), so the
@@ -90,16 +91,22 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str) -> Dict[str, An
     Event coordinates/timestamps stay f32. This roughly halves bytes on the
     host→device link, which dominates train wall-clock on latency- or
     bandwidth-bound interconnects.
+
+    ``exact_ints=False`` (downsample pooling active: resolution <
+    std_resolution makes counts/masks fractional in (0,1)) keeps the
+    narrow-dtype casts off — a uint8 cast would truncate pooled masks to 0
+    and silently disable the smoothness mask.
     """
     w: Dict[str, Any] = dict(window)
     if encoding == "voxel":
         w["event_cnt"] = None
     else:
         w["event_voxel"] = None
-    for k in ("event_mask", "event_list_pol_mask", "event_valid"):
-        w[k] = w[k].astype(np.uint8)
-    if w.get("event_cnt") is not None:
-        w["event_cnt"] = w["event_cnt"].astype(np.float16)
+    if exact_ints:
+        for k in ("event_mask", "event_list_pol_mask", "event_valid"):
+            w[k] = w[k].astype(np.uint8)
+        if w.get("event_cnt") is not None:
+            w["event_cnt"] = w["event_cnt"].astype(np.float16)
     return w
 
 
@@ -235,8 +242,16 @@ def train(
     loader = config["loader"]
     H, W = loader["resolution"]
     B = loader["batch_size"]
-    P_ = max(1, int(config["data"].get("window_loss", config["data"]["window"])
-                    // config["data"]["window"]))
+    # downsample pooling makes counts/masks fractional — keep the compact
+    # wire's narrow integer casts off in that case (see compact_window)
+    pooled = tuple(loader["resolution"]) != tuple(
+        loader.get("std_resolution", loader["resolution"])
+    )
+    # round, not float floor-div: 0.5 // 0.1 == 4.0 in float (time mode)
+    P_ = max(1, int(round(
+        config["data"].get("window_loss", config["data"]["window"])
+        / config["data"]["window"]
+    )))
 
     # init
     rng = jax.random.PRNGKey(int(loader.get("seed", 0)))
@@ -336,7 +351,11 @@ def train(
         if len(pending) < P_:
             continue
 
-        window = _shard_window(compact_window(stack_window(pending), encoding), mesh)
+        window = _shard_window(
+            compact_window(stack_window(pending), encoding,
+                           exact_ints=not pooled),
+            mesh,
+        )
         pending = []
         flush_loss()  # previous step has long finished; fetch is cheap now
         loss, params, batch_stats, opt_state, states, grads = step_fn(

@@ -134,3 +134,41 @@ def test_deploy_engine_export_roundtrip(trained_like_model, tmp_path):
     # FF units carry no spikes)
     assert np.asarray(new_states[1].spk).dtype == np.int8
     np.testing.assert_array_equal(np.asarray(new_states[0].mem), gout["mem_0"])
+
+
+def test_export_tebn_mean_p_fold():
+    """TEBN models export with the per-timestep scale folded as p.mean(0)
+    (the flax eval semantics with no timestep); MPBN export raises."""
+    from evflow.export import export_variables_from_trained
+    from evflow.registry import build_model
+
+    cfg = {"name": "LIFFireNet_short", "encoding": "cnt", "num_bins": 2,
+           "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+           "tebn": {"enabled": True, "num_timesteps": 4},
+           "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}}
+    m = build_model(cfg)
+    st = m.init_states(1, 16, 16)
+    v = m.init(jax.random.PRNGKey(0), None, jnp.zeros((1, 16, 16, 2)), st)
+    p = v["params"]
+    key = jax.random.PRNGKey(1)
+    for name in m.unit_names:
+        key, k = jax.random.split(key)
+        p[name]["bn"]["p"] = jax.random.uniform(
+            k, p[name]["bn"]["p"].shape, minval=0.5, maxval=1.5)
+    v = {"params": p, "batch_stats": v["batch_stats"]}
+    em, ev = export_variables_from_trained(m, v)
+    x = jax.random.poisson(jax.random.PRNGKey(2), 0.3, (1, 16, 16, 2)).astype(jnp.float32)
+    outf, _ = m.apply(v, None, x, st, train=False)
+    flow, _ = em.apply(ev, x, em.init_states(1, 16, 16))
+    d = np.abs(np.asarray(outf["flow"][0]) - np.asarray(flow))
+    # tanh-flow scale; residual is spike-edge noise, not a missing p factor
+    assert d.max() < 0.05, d.max()
+
+    cfg2 = dict(cfg)
+    cfg2.pop("tebn")
+    cfg2["mpbn"] = {"enabled": True}
+    m2 = build_model(cfg2)
+    v2 = m2.init(jax.random.PRNGKey(0), None, jnp.zeros((1, 16, 16, 2)),
+                 m2.init_states(1, 16, 16))
+    with pytest.raises(NotImplementedError, match="MPBN"):
+        export_variables_from_trained(m2, v2)
