@@ -165,6 +165,21 @@ class H5EventStream:
         self._ts_cache: Dict[int, np.ndarray] = {}
         self.ts_cache_bytes = int(loader.get("ts_cache_bytes", 256 << 20))
 
+        # optional per-slot fetch fan-out (loader.fetch_workers > 1): each
+        # batch slot's read+encode runs on a pool thread. Deterministic
+        # except augmentation draw ORDER on concurrent rollovers (the
+        # shared rng is lock-guarded, but thread arrival order varies).
+        workers = int(loader.get("fetch_workers", 1))
+        self._slot_lock = threading.Lock()
+        self._pool = None
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=min(workers, self.batch_size),
+                thread_name_prefix="evflow-slot",
+            )
+
         # per-slot state
         B = self.batch_size
         self.batch_idx = list(range(B))
@@ -244,15 +259,18 @@ class H5EventStream:
             self.slot_aug[b][mech] = bool(self.rng.random() < prob)
 
     def _reset_sequence(self, b: int):
-        """h5.py:255-283 + base.py:54-69."""
-        self.seq_num += 1
-        self.batch_row[b] = 0.0
-        self.batch_idx[b] = max(self.batch_idx) + 1
-        self._open_slot(b, self.files[self.batch_idx[b] % len(self.files)])
-        self._resample_aug(b)
-        if self.hot_enabled:
-            self.hot_idx[b] = 0
-            self.hot_events[b] = np.zeros(self.resolution, np.float32)
+        """h5.py:255-283 + base.py:54-69. Lock-guarded: shared counters
+        (seq_num, batch_idx max) and the augmentation rng must not race
+        when fetch_workers > 1 roll two slots over concurrently."""
+        with self._slot_lock:
+            self.seq_num += 1
+            self.batch_row[b] = 0.0
+            self.batch_idx[b] = max(self.batch_idx) + 1
+            self._open_slot(b, self.files[self.batch_idx[b] % len(self.files)])
+            self._resample_aug(b)
+            if self.hot_enabled:
+                self.hot_idx[b] = 0
+                self.hot_events[b] = np.zeros(self.resolution, np.float32)
 
     def shuffle(self, flag: bool = True):
         if flag:
@@ -628,12 +646,22 @@ class H5EventStream:
           step starts a fresh sequence — consumers mask-reset its carry);
           epoch_done: python bool, seq_num: python int.
         """
-        items = []
-        flags = []
-        for b in range(self.batch_size):
-            item, ns = self._slot_item(b)
-            items.append(item)
-            flags.append(ns)
+        if self._pool is not None and self.batch_size > 1:
+            # per-slot fan-out: slots stream independent files; HDF5 calls
+            # serialize on h5py's internal lock, but the numpy/native
+            # encode work releases the GIL. Rollover bookkeeping (shared
+            # rng/seq counters) is guarded by _slot_lock in _reset_sequence.
+            results = list(self._pool.map(self._slot_item,
+                                          range(self.batch_size)))
+            items = [r[0] for r in results]
+            flags = [r[1] for r in results]
+        else:
+            items = []
+            flags = []
+            for b in range(self.batch_size):
+                item, ns = self._slot_item(b)
+                items.append(item)
+                flags.append(ns)
 
         n_max = max(it["event_list"].shape[0] for it in items)
         if self.mode == "events":
@@ -684,6 +712,9 @@ class H5EventStream:
         self.samples = 0
 
     def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
         for f in self.open_files:
             try:
                 f.close()

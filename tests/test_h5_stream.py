@@ -308,3 +308,26 @@ def test_prefetcher_dead_worker_raises(dataset):
         next(fetch)
     fetch.close()
     s.close()
+
+
+def test_fetch_workers_identical_stream(dataset):
+    """loader.fetch_workers > 1 fans slot fetches over a thread pool and
+    (with augmentation off) produces byte-identical batches to the
+    sequential path across sequence rollovers."""
+    root, _ = dataset
+    cfg1 = events_cfg(root, window=300, batch=2)
+    cfg2 = events_cfg(root, window=300, batch=2)
+    cfg2["loader"]["fetch_workers"] = 2
+    s1 = H5EventStream(cfg1, num_bins=2)
+    s2 = H5EventStream(cfg2, num_bins=2)
+    for _ in range(12):
+        b1 = s1.next_batch()
+        b2 = s2.next_batch()
+        assert b1["epoch_done"] == b2["epoch_done"]
+        if b1["epoch_done"]:
+            break
+        for k in ("event_cnt", "event_voxel", "event_mask", "event_list",
+                  "event_valid", "new_seq"):
+            np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]), err_msg=k)
+    s1.close()
+    s2.close()
