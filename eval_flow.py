@@ -35,18 +35,21 @@ def main():
     ckpt = args.checkpoint
     runid = os.path.basename(ckpt.rstrip("/")) or "eval"
     # run-id resolution: merge training params back like the reference merges
-    # MLflow run params (eval_flow.py:52-53)
-    for exp in (os.listdir(args.path_runs) if os.path.isdir(args.path_runs) else []):
+    # MLflow run params (eval_flow.py:52-53). An existing path is a direct
+    # checkpoint reference — never reinterpreted as a run id.
+    for exp in ([] if os.path.exists(ckpt) else
+                (os.listdir(args.path_runs) if os.path.isdir(args.path_runs) else [])):
         cand = os.path.join(args.path_runs, exp, ckpt)
         if os.path.isdir(cand):
             import yaml
 
             with open(os.path.join(cand, "params.yaml")) as f:
                 train_params = yaml.safe_load(f)
+            # merge_configs overlays eval settings on the training params —
+            # eval wins on conflicts, training-only keys (model arch) survive
             config = merge_configs(
                 {k: str(v) for k, v in train_params.items()}, config
             )
-            config = load_config(args.config)  # eval settings win
             ckpt = os.path.join(cand, "checkpoints", "lowest_loss")
             if os.path.isdir(ckpt):
                 ckpt = os.path.join(ckpt, sorted(os.listdir(ckpt))[-1])

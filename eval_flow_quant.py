@@ -76,6 +76,13 @@ def main():
         encoding = model_cfg.get("encoding", "cnt")
         wkey = "event_voxel" if encoding == "voxel" else "event_cnt"
         input_scale = 1.0
+        if encoding == "cnt":
+            # pooled counts are exact multiples of 1/(ph*pw); scale the
+            # engine's int8 input grid accordingly (exact, no rounding loss)
+            th, tw = config["loader"]["resolution"]
+            sh, sw = config["loader"].get("std_resolution", [th, tw])
+            if (sh, sw) != (th, tw):
+                input_scale = 1.0 / ((sh // th) * (sw // tw))
         mem_ranges = None
         need_windows = args.mem_dtype in ("int8", "mixed") or encoding == "voxel"
         if need_windows:

@@ -113,7 +113,12 @@ class H5EventStream:
         self.std_resolution = tuple(loader.get("std_resolution", loader["resolution"]))
         self.keep_gt_full_res = bool(loader.get("keep_gt_full_res", False))
         self.augment = list(loader.get("augment", []))
-        self.augment_prob = list(loader.get("augment_prob", [0.5] * len(self.augment)))
+        self.augment_prob = list(loader.get("augment_prob") or [])
+        if self.augment and len(self.augment_prob) < len(self.augment):
+            # default 0.5 per mechanism — also when augment_prob is present
+            # but shorter/empty (the default_config ships an empty list,
+            # which would otherwise silently disable augmentation via zip)
+            self.augment_prob += [0.5] * (len(self.augment) - len(self.augment_prob))
         self.rng = np.random.default_rng(int(loader.get("seed", 0)))
 
         self.epoch = 0

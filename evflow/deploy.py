@@ -91,6 +91,8 @@ def save_engine(engine: "Int8DeployEngine", path: str) -> str:
         "input_scale": engine.input_scale,
         "model": engine.model.__class__.__name__,
     }
+    if not path.endswith(".npz"):
+        path = path + ".npz"  # np.savez appends it anyway; return the truth
     np.savez(path, __meta__=np.asarray(json.dumps(meta)), **arrays)
     return path
 

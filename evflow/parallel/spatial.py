@@ -113,11 +113,25 @@ def spatial_jit_step(step_fn, mesh: Mesh, data_axis="data", space_axis="space"):
     cache = {}
 
     def jitted(params, window, states):
-        if "fn" not in cache:  # shardings depend only on pytree structure
-            cache["fn"] = jax.jit(
+        # key the jit wrapper on pytree structure + each leaf's shard
+        # choice: a later call with a different structure or an axis no
+        # longer divisible by the mesh gets its own correctly-specified jit
+        def choice(tree):
+            nd = mesh.shape[data_axis]
+            ns = mesh.shape[space_axis]
+            return tuple(
+                hasattr(x, "ndim") and x.ndim >= 2
+                and x.shape[0] % nd == 0 and x.shape[1] % ns == 0
+                for x in jax.tree.leaves(tree)
+            )
+
+        key = (jax.tree.structure((window, states)),
+               choice(window), choice(states))
+        if key not in cache:
+            cache[key] = jax.jit(
                 step_fn,
                 in_shardings=(rep, spec_img(window), spec_img(states)),
             )
-        return cache["fn"](params, window, states)
+        return cache[key](params, window, states)
 
     return jitted

@@ -154,7 +154,10 @@ def build_optimizer(opt_cfg: Dict[str, Any]) -> optax.GradientTransformation:
     name = opt_cfg.get("name", "Adam")
     if name not in _OPTIMIZERS:
         raise KeyError(f"Unknown optimizer {name!r}. Registered: {sorted(_OPTIMIZERS)}")
-    return _OPTIMIZERS[name](float(opt_cfg.get("lr", 2e-4)))
+    # forward every hyperparameter except the name (weight_decay, momentum,
+    # ...) — the registered factories accept keyword args
+    kw = {k: v for k, v in opt_cfg.items() if k not in ("name", "lr")}
+    return _OPTIMIZERS[name](float(opt_cfg.get("lr", 2e-4)), **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -2,14 +2,20 @@
 //
 // Role: the hot host-side data path. The reference computes all event
 // encodings with torch scatter ops on host inside the dataloader
-// (dataloader/encodings.py:30-103); here the same kernels are plain C++
-// (OpenMP across batch slots / bins) feeding the device input pipeline, plus
-// a scalar reference implementation of the deployment LIF kernel
+// (dataloader/encodings.py:30-103); here the same kernels are plain
+// single-threaded C++ feeding the device input pipeline, plus a scalar
+// reference implementation of the deployment LIF kernel
 // (ONNX_LIF_operator/src/lif_op.cpp:8-56 semantics) used to cross-check
 // exported StableHLO artifacts without JAX on the deployment host.
 //
+// Parallelism lives a level up: ctypes releases the GIL around these calls,
+// so the loader's per-slot thread pool (loader.fetch_workers,
+// evflow/data/h5_stream.py) runs one kernel per batch slot concurrently.
+// In-kernel scatter-adds are kept serial on purpose — events alias pixels,
+// and atomics cost more than they save at window sizes.
+//
 // Plain C ABI (no pybind11 in this image); see evflow/data/native.py for the
-// ctypes bindings. Build: `make -C native` (g++ -O3 -march=native -fopenmp).
+// ctypes bindings. Build: `make -C native` (g++ -O3, see Makefile).
 
 #include <algorithm>
 #include <cmath>

@@ -36,7 +36,9 @@ def main():
             xs = f["events/xs"][:n].astype(np.float32)
             ys = f["events/ys"][:n].astype(np.float32)
             ts = f["events/ts"][:n].astype(np.float64)
-            ps = f["events/ps"][:n].astype(np.float32) * 2 - 1
+            ps = f["events/ps"][:n].astype(np.float32)
+            if ps.size and ps.min() >= 0:  # {0,1} storage convention only
+                ps = ps * 2 - 1
         ts = (ts - ts.min()) / max(1e-9, ts.max() - ts.min())
         H = int(ys.max()) + 1
         W = int(xs.max()) + 1
