@@ -439,3 +439,32 @@ def test_engine_artifact_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="variables or a prepared"):
         Int8DeployEngine(model, None)
+
+
+def test_engine_pooled_counts_input_scale():
+    """Downsample-pooled counts (multiples of 1/(ph*pw)) are EXACT on the
+    engine's int8 input grid with input_scale = 1/(ph*pw); with the default
+    unit grid they round to zero and destroy the input."""
+    model = build_model(_model_cfg())
+    B, H, W = 1, 16, 16
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(3), None, jnp.zeros((B, H, W, 2)), states)
+    v = _snap_kernels_to_int8_grid(v)
+
+    # pooled counts: integer counts avg-pooled 2x2 -> multiples of 0.25
+    key = jax.random.PRNGKey(4)
+    raw = jax.random.poisson(key, 0.4, (B, 2 * H, 2 * W, 2)).astype(jnp.float32)
+    pooled = raw.reshape(B, H, 2, W, 2, 2).mean(axis=(2, 4))
+
+    outf, _ = model.apply(v, None, pooled, states, train=False)
+
+    e = Int8DeployEngine(model, v, input_scale=0.25)
+    oute, _ = e.apply(e.params, None, pooled, e.init_states(B, H, W))
+    agree = np.mean(np.abs(np.asarray(outf["flow"][0]) - np.asarray(oute["flow"][0])) < 0.02)
+    assert agree > 0.98, agree
+
+    # unit grid: round() zeroes sub-1 counts -> mostly-empty input
+    e0 = Int8DeployEngine(model, v)
+    xi = jnp.clip(jnp.round(pooled), -127, 127)
+    zero_frac = float((xi == 0).mean())
+    assert zero_frac > float((jnp.round(pooled / 0.25) == 0).mean())
