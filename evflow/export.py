@@ -193,10 +193,21 @@ def export_variables_from_trained(
 
 
 def export_stablehlo(fn, example_args, path: str) -> bytes:
-    """Serialize a jitted function to a portable StableHLO artifact."""
+    """Serialize a jitted function to a portable StableHLO artifact.
+
+    Lowered for BOTH tpu and cpu so the artifact replays on any
+    deployment host (jax.export locks artifacts to their lowering
+    platforms; the reference's ONNX is platform-neutral)."""
     from jax import export as jexport
 
-    exported = jexport.export(jax.jit(fn))(*example_args)
+    try:
+        exported = jexport.export(jax.jit(fn), platforms=("tpu", "cpu"))(
+            *example_args
+        )
+    except Exception:
+        # some jax builds reject multi-platform lowering for programs with
+        # platform-specific ops — fall back to the default platform
+        exported = jexport.export(jax.jit(fn))(*example_args)
     data = exported.serialize()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:

@@ -9,6 +9,69 @@ import argparse
 import os
 
 
+def verify_artifacts(art_dir: str, atol: float = 5e-2) -> bool:
+    """Replay every StableHLO artifact in ``art_dir`` against its golden
+    inputs and compare to the recorded golden outputs — the deployment-host
+    acceptance check (the analog of the reference shipping inputs.npz /
+    outputs.npz next to its ONNX for Deeploy validation,
+    Model_export.py:133-160). Returns True when all artifacts match."""
+    import glob
+
+    import numpy as np
+
+    from evflow import export as E
+
+    pairs = []
+    if os.path.exists(os.path.join(art_dir, "model.stablehlo")):
+        pairs.append(("model.stablehlo", "inputs.npz", "outputs.npz"))
+    if os.path.exists(os.path.join(art_dir, "model_int8.stablehlo")):
+        pairs.append(("model_int8.stablehlo", "int8_inputs.npz", "int8_outputs.npz"))
+    if not pairs:
+        print(f"no model artifacts found under {art_dir}")
+        return False
+
+    def unvoid(a):
+        # np.savez stores ml_dtypes bfloat16 as raw void-2 bytes; the bit
+        # pattern reinterprets exactly
+        if a.dtype.kind == "V" and a.dtype.itemsize == 2:
+            import ml_dtypes
+
+            return a.view(ml_dtypes.bfloat16)
+        return a
+
+    all_ok = True
+    for art, fin, fout in pairs:
+        gin = {k: unvoid(v) for k, v in np.load(os.path.join(art_dir, fin)).items()}
+        gout = {k: unvoid(v) for k, v in np.load(os.path.join(art_dir, fout)).items()}
+        import jax.numpy as jnp
+
+        from evflow.ops.lif import LIFState
+
+        mems = sorted((k for k in gin if k.startswith("mem_")),
+                      key=lambda k: int(k.split("_")[1]))
+        spks = {int(k.split("_")[1]): gin[k] for k in gin if k.startswith("spk_")}
+        states = tuple(
+            LIFState(jnp.asarray(gin[m]),
+                     jnp.asarray(spks[i]) if i in spks else None)
+            for i, m in enumerate(mems)
+        )
+        try:
+            flow, _ = E.load_and_run_stablehlo(
+                os.path.join(art_dir, art), jnp.asarray(gin["input"]), states
+            )
+        except Exception as e:
+            all_ok = False
+            print(f"{art}: FAIL ({type(e).__name__}: {str(e)[:160]})")
+            continue
+        d = float(np.max(np.abs(np.asarray(flow) - np.asarray(gout["flow"],
+                                                              np.float32))))
+        ok = d <= atol
+        all_ok &= ok
+        print(f"{art}: max|flow - golden| = {d:.2e} "
+              f"{'OK' if ok else f'FAIL (tol {atol})'}")
+    return all_ok
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("checkpoint", nargs="?", default=None,
@@ -19,6 +82,10 @@ def main():
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--what", default="model",
                         choices=["model", "deploy", "lif_layer", "conv_lif_layer"])
+    parser.add_argument("--verify", metavar="DIR", default=None,
+                        help="replay an exported artifact dir against its "
+                             "golden inputs/outputs and exit (deployment-"
+                             "host acceptance check)")
     parser.add_argument("--mem_dtype", default="bfloat16",
                         choices=["bfloat16", "int8", "mixed"],
                         help="deploy export: membrane carry dtype (mixed = "
@@ -29,6 +96,12 @@ def main():
     args = parser.parse_args()
 
     from evflow import export as E
+
+    if args.verify:
+        import sys
+
+        ok = verify_artifacts(args.verify)
+        sys.exit(0 if ok else 1)
 
     if args.what == "lif_layer":
         print(E.export_lif_layer(args.out))

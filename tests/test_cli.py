@@ -196,3 +196,16 @@ def test_analyze_voltage_cli(workspace):
     out = run_cli(["analyze_voltage_dynamics.py", "--config", workspace["eval_cfg"],
                    "--num_batches", "2"])
     assert "mem_min" in out.stdout and "head" in out.stdout
+
+
+def test_model_export_verify_cli(workspace, tmp_path):
+    """--verify replays exported artifacts against their goldens (the
+    deployment-host acceptance check) for both the f32 and int8 kinds."""
+    out_dir = str(tmp_path / "exported_verify")
+    run_cli(["model_export.py", "--config", workspace["eval_cfg"],
+             "--out", out_dir, "--height", "32", "--width", "32"])
+    run_cli(["model_export.py", "--config", workspace["eval_cfg"],
+             "--out", out_dir, "--height", "32", "--width", "32",
+             "--what", "deploy", "--mem_dtype", "mixed"])
+    out = run_cli(["model_export.py", "--verify", out_dir])
+    assert out.stdout.count("OK") == 2 and "FAIL" not in out.stdout
