@@ -209,3 +209,44 @@ def test_model_export_verify_cli(workspace, tmp_path):
              "--what", "deploy", "--mem_dtype", "mixed"])
     out = run_cli(["model_export.py", "--verify", out_dir])
     assert out.stdout.count("OK") == 2 and "FAIL" not in out.stdout
+
+
+def test_train_flow_quant_cli(workspace, trained_run):
+    """QAT training from a pretrained FP32 start (reference
+    train_flow_quant.py flow): quant hooks in the training graph, histogram
+    logging on, checkpoints written."""
+    import glob
+
+    runs = os.path.join(workspace["ws"], "runs_qat")
+    out = run_cli(["train_flow_quant.py", "--config", workspace["train_cfg"],
+                   "--path_runs", runs, "--prev_runid", _ckpt(trained_run),
+                   "--max_steps", "6"])
+    assert "Run dir:" in out.stdout
+    run_dirs = [d for d in glob.glob(os.path.join(runs, "*", "*"))
+                if os.path.isdir(d)]
+    assert run_dirs and os.path.exists(os.path.join(run_dirs[0], "params.yaml"))
+
+
+def test_train_seed_determinism(workspace):
+    """Same config + seed -> identical training losses (full pipeline
+    determinism on the virtual CPU mesh: loader order, augmentation rng,
+    init, optimizer)."""
+    import yaml as _yaml
+
+    from evflow.config import load_config
+    from evflow.train import train
+
+    import glob
+
+    ckpt_bytes = []
+    for tag in ("a", "b"):
+        cfg = load_config(workspace["train_cfg"])
+        cfg["vis"]["bars"] = False
+        run = train(cfg, path_runs=os.path.join(workspace["ws"], f"runs_det_{tag}"),
+                    max_steps=20, verbose=False)
+        ck = sorted(glob.glob(os.path.join(run.dir, "checkpoints",
+                                           "most_recent", "*",
+                                           "model.msgpack")))[-1]
+        with open(ck, "rb") as f:
+            ckpt_bytes.append(f.read())
+    assert ckpt_bytes[0] == ckpt_bytes[1]
