@@ -84,9 +84,14 @@ def evaluate(
     mode = config["data"]["mode"]
     window = config["data"]["window"]
 
+    if names and mode not in ("gtflow_dt1", "gtflow_dt4"):
+        # every validation metric compares against GT flow maps; fail with a
+        # clear error instead of a TypeError deep inside the jitted metric
+        raise ValueError(
+            f"metrics {names} need ground-truth flow — set data.mode to "
+            f"gtflow_dt1/gtflow_dt4 (got {mode!r})"
+        )
     if "AEE" in names:
-        if mode not in ("gtflow_dt1", "gtflow_dt4"):
-            raise ValueError("AEE computation not possible without ground truth mode")
         if window > 1:
             raise ValueError("AEE computation not compatible with window > 1")
         if not np.isclose((1.0 / window) % 1.0, 0.0):
@@ -129,11 +134,11 @@ def evaluate(
 
     keep_gt_full_res = bool(loader.get("keep_gt_full_res", False))
     if keep_gt_full_res and criteria:
-        std_res = tuple(loader.get("std_resolution", loader["resolution"]))
+        # metrics derive their resolution from array shapes; only the flow
+        # scaling needs adjusting (eval_flow.py:162-174)
         training_resolution = 128  # reference models trained at 128x128
         adjusted = flow_scaling * (loader["resolution"][0] / training_resolution) / 2
         for c in criteria:
-            c.res = std_res
             c.flow_scaling = adjusted
 
     if not debug:
@@ -339,7 +344,7 @@ def evaluate(
                 )
 
             windows_done += B
-            if verbose and windows_done % 100 == 0:
+            if verbose and windows_done % (100 * B) < B:
                 print(f"eval: {windows_done} windows, seq {data.seq_num}", end="\r")
             if max_windows is not None and windows_done >= max_windows:
                 break

@@ -106,7 +106,9 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
         for k in ("event_mask", "event_list_pol_mask", "event_valid"):
             w[k] = w[k].astype(np.uint8)
         if w.get("event_cnt") is not None:
-            w["event_cnt"] = w["event_cnt"].astype(np.float16)
+            # int16: exact for counts to +-32767 (f16 loses exactness past
+            # 2048 on hot pixels) and covers signed temporal_cnt channels
+            w["event_cnt"] = w["event_cnt"].astype(np.int16)
     return w
 
 
@@ -273,10 +275,9 @@ def train(
         batch_stats = restored["batch_stats"]
         opt_state = restored["opt_state"]
 
-    tebn_T = 4
-    tebn = model_cfg.get("tebn") or {}
-    if isinstance(tebn, dict):
-        tebn_T = int(tebn.get("num_timesteps", 4))
+    # the built model is the single source of truth for the TEBN cycle
+    # length (registry resolves the config schema)
+    tebn_T = int(getattr(model, "num_timesteps", 4))
     step_fn = make_train_step(model, tx, warp_cfg, tebn_T)
 
     ckpt_policy = CheckpointPolicy(os.path.join(run.dir, "checkpoints"))
@@ -297,88 +298,99 @@ def train(
     inflight_loss = None  # device scalar of the step in flight (fetch deferred
     # one iteration so host loading/upload overlaps device compute)
 
+    loss_steps = 0  # flushed loss windows this epoch (the avg denominator)
+
     def flush_loss():
-        nonlocal inflight_loss, train_loss
+        nonlocal inflight_loss, train_loss, loss_steps
         if inflight_loss is not None:
             lv = float(inflight_loss)
             train_loss += lv
+            loss_steps += 1
             recent_losses.append(lv)
             if len(recent_losses) > 50:
                 recent_losses.pop(0)
             inflight_loss = None
 
     fetch = Prefetcher(data, depth=2)
-    while True:
-        batch = next(fetch)
+    try:
+        while True:
+            batch = next(fetch)
 
-        if batch["new_seq"].any():
-            pending = []  # discard the partial loss window (global reset)
-            states = model.init_states(B, H, W)
+            if batch["new_seq"].any():
+                pending = []  # discard the partial loss window (global reset)
+                states = model.init_states(B, H, W)
 
-        if batch["epoch_done"]:
-            flush_loss()
-            avg = train_loss / (data.samples + 1)
-            var = float(np.var(recent_losses)) if len(recent_losses) > 1 else float("inf")
-            run.log_metric("loss", avg, step=data.epoch)
-            run.log_metric("loss_variance", var, step=data.epoch)
-            if verbose:
-                print(f"Epoch {data.epoch:04d} - loss {avg:.6f} var {var:.6f}")
-            state_dict = {
-                "params": jax.device_get(params),
-                "batch_stats": jax.device_get(batch_stats),
-                "opt_state": jax.device_get(opt_state),
-            }
-            wrote = ckpt_policy.update(
-                data.epoch, avg, var, len(recent_losses), state_dict, config
-            )
-            if wrote["lowest_loss"]:
-                epochs_without_improvement = 0
-            else:
-                epochs_without_improvement += 1
-            train_loss = 0.0
-            data.end_epoch()
-            if store_grads and grads_rows:
-                save_csv(grads_rows, os.path.join(run.dir, "grads_w.csv"))
-                grads_rows = []
-            if epoch_callback is not None:
-                epoch_callback(data.epoch - 1, params, batch_stats, run)
-            if data.epoch >= n_epochs or epochs_without_improvement >= patience:
+            if batch["epoch_done"]:
+                flush_loss()
+                # per-loss-window average: samples counts slot-windows, a
+                # step consumes P_*B of them — divide by flushed loss steps
+                avg = train_loss / max(loss_steps, 1)
+                var = float(np.var(recent_losses)) if len(recent_losses) > 1 else float("inf")
+                run.log_metric("loss", avg, step=data.epoch)
+                run.log_metric("loss_variance", var, step=data.epoch)
                 if verbose:
-                    print(f"Stopping at epoch {data.epoch}.")
+                    print(f"Epoch {data.epoch:04d} - loss {avg:.6f} var {var:.6f}")
+                state_dict = {
+                    "params": jax.device_get(params),
+                    "batch_stats": jax.device_get(batch_stats),
+                    "opt_state": jax.device_get(opt_state),
+                }
+                wrote = ckpt_policy.update(
+                    data.epoch, avg, var, len(recent_losses), state_dict, config
+                )
+                if wrote["lowest_loss"]:
+                    epochs_without_improvement = 0
+                else:
+                    epochs_without_improvement += 1
+                train_loss = 0.0
+                loss_steps = 0
+                data.end_epoch()
+                if store_grads and grads_rows:
+                    save_csv(grads_rows, os.path.join(run.dir, "grads_w.csv"))
+                    grads_rows = []
+                if epoch_callback is not None:
+                    epoch_callback(data.epoch - 1, params, batch_stats, run)
+                if data.epoch >= n_epochs or epochs_without_improvement >= patience:
+                    if verbose:
+                        print(f"Stopping at epoch {data.epoch}.")
+                    break
+
+            pending.append(batch)
+            if len(pending) < P_:
+                continue
+
+            window = _shard_window(
+                compact_window(stack_window(pending), encoding,
+                               exact_ints=not pooled),
+                mesh,
+            )
+            pending = []
+            flush_loss()  # previous step has long finished; fetch is cheap now
+            loss, params, batch_stats, opt_state, states, grads = step_fn(
+                params, batch_stats, opt_state, states, window
+            )
+            inflight_loss = loss
+            data.samples += P_ * B
+            if store_grads:
+                grads_rows.append(grad_stats(jax.device_get(grads)))
+            if store_hists and steps % hist_every == 0:
+                log_param_histograms(run, params, grads, steps)
+            steps += 1
+            if verbose and steps % 10 == 0:
+                rate = steps * P_ * B / (time.time() - t_start)
+                print(
+                    f"Epoch {data.epoch:04d} [{data.seq_num:03d}/{len(data.files):03d}] "
+                    f"loss {train_loss / max(loss_steps, 1):.6f} ({rate:.1f} win/s)",
+                    end="\r",
+                )
+            if max_steps is not None and steps >= max_steps:
                 break
 
-        pending.append(batch)
-        if len(pending) < P_:
-            continue
-
-        window = _shard_window(
-            compact_window(stack_window(pending), encoding,
-                           exact_ints=not pooled),
-            mesh,
-        )
-        pending = []
-        flush_loss()  # previous step has long finished; fetch is cheap now
-        loss, params, batch_stats, opt_state, states, grads = step_fn(
-            params, batch_stats, opt_state, states, window
-        )
-        inflight_loss = loss
-        data.samples += B
-        if store_grads:
-            grads_rows.append(grad_stats(jax.device_get(grads)))
-        if store_hists and steps % hist_every == 0:
-            log_param_histograms(run, params, grads, steps)
-        steps += 1
-        if verbose and steps % 10 == 0:
-            rate = steps * P_ * B / (time.time() - t_start)
-            print(
-                f"Epoch {data.epoch:04d} [{data.seq_num:03d}/{len(data.files):03d}] "
-                f"loss {train_loss / (data.samples + 1):.6f} ({rate:.1f} win/s)",
-                end="\r",
-            )
-        if max_steps is not None and steps >= max_steps:
-            break
-
-    flush_loss()
-    fetch.close()
-    data.close()
+        flush_loss()
+    finally:
+        # join the prefetch worker BEFORE closing the HDF5 files it reads
+        # (exceptions, epoch_callback failures, Ctrl-C): same guard eval.py
+        # uses — h5py is not safe against concurrent close
+        fetch.close()
+        data.close()
     return run

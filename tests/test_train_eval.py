@@ -96,7 +96,7 @@ def test_compact_window_wire_dtypes():
     }
     c = compact_window(w, "cnt")
     assert c["event_voxel"] is None
-    assert c["event_cnt"].dtype == np.float16
+    assert c["event_cnt"].dtype == np.int16  # exact to +-32767, signed
     assert c["event_mask"].dtype == np.uint8
     np.testing.assert_array_equal(c["event_cnt"].astype(np.float32), w["event_cnt"])
     np.testing.assert_array_equal(
