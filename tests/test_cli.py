@@ -192,6 +192,15 @@ def test_serve_stream_cli(workspace):
     assert "win/s end-to-end" in out.stdout and "issue latency" in out.stdout
 
 
+def test_serve_stream_chunked_cli(workspace):
+    """Micro-batched serving: K windows per device dispatch (one scan)."""
+    out = run_cli(["tools/serve_stream.py", "--config", workspace["eval_cfg"],
+                   "--synthetic", "--resolution", "32", "--windows", "12",
+                   "--chunk", "4"])
+    assert "(chunks of 4)" in out.stdout and "chunk latency" in out.stdout
+    assert "served 12 windows" in out.stdout
+
+
 def test_analyze_voltage_cli(workspace):
     out = run_cli(["analyze_voltage_dynamics.py", "--config", workspace["eval_cfg"],
                    "--num_batches", "2"])
