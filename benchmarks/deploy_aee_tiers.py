@@ -21,9 +21,12 @@ from evflow.utils.checkpoint import load_checkpoint
 RES = 64
 
 
+MODEL = "LIFFireNet" if "--full" in sys.argv else "LIFFireNet_short"
+
+
 def model_cfg(**over):
     cfg = {
-        "name": "LIFFireNet_short", "encoding": "cnt", "round_encoding": False,
+        "name": MODEL, "encoding": "cnt", "round_encoding": False,
         "norm_input": False, "num_bins": 2, "base_num_channels": 8,
         "kernel_size": 3, "mask_output": True,
         "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8],
