@@ -193,12 +193,18 @@ def test_serve_stream_cli(workspace):
 
 
 def test_serve_stream_chunked_cli(workspace):
-    """Micro-batched serving: K windows per device dispatch (one scan)."""
+    """Micro-batched serving: K windows per device dispatch (one scan);
+    --windows rounds down to whole chunks (no overshoot)."""
     out = run_cli(["tools/serve_stream.py", "--config", workspace["eval_cfg"],
                    "--synthetic", "--resolution", "32", "--windows", "12",
                    "--chunk", "4"])
     assert "(chunks of 4)" in out.stdout and "chunk latency" in out.stdout
     assert "served 12 windows" in out.stdout
+    # non-multiple request serves floor(10/4)*4 = 8, never 12
+    out = run_cli(["tools/serve_stream.py", "--config", workspace["eval_cfg"],
+                   "--synthetic", "--resolution", "32", "--windows", "10",
+                   "--chunk", "4"])
+    assert "served 8 windows" in out.stdout
 
 
 def test_analyze_voltage_cli(workspace):

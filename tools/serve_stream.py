@@ -133,27 +133,34 @@ def main():
         return jnp.asarray(cnt_np.astype(np.uint16) if compact else cnt_np)
 
     K = max(1, int(args.chunk))
+    # --windows rounds down to whole chunks in chunked mode
+    budget = (args.windows // K) * K if K > 1 else args.windows
 
-    # warm up (compile)
+    # warm up (compile) on an all-zeros window and DISCARD the state, so
+    # the served flow sequence is identical for every chunk setting
     first = next(fetch)
-    cnt = wire(first["event_cnt"])
+    zw = wire(np.zeros_like(first["event_cnt"]))
     if K == 1:
-        flow, states = step(engine.params, cnt, states)
+        flow, _ = step(engine.params, zw, states)
     else:
-        flows, states = chunk_step(
-            engine.params, jnp.broadcast_to(cnt, (K, *cnt.shape)), states
+        flows, _ = chunk_step(
+            engine.params, jnp.broadcast_to(zw, (K, *zw.shape)), states
         )
         flow = flows[-1]
     flow.block_until_ready(); float(jnp.sum(flow))
 
+    import itertools
+
+    stream = itertools.chain([first], fetch)
     lat = []
     t_start = time.perf_counter()
-    served = 0  # the (untimed) warm-up window is excluded from throughput
+    served = 0
+    dropped = 0  # trailing windows that didn't fill a chunk
     pending = None  # deferred fetch: overlap host wire with device compute
     try:
         chunk_buf = []
-        while served < args.windows:
-            batch = next(fetch)
+        while served < budget:
+            batch = next(stream)
             if batch["epoch_done"]:
                 break
             if K == 1:
@@ -178,6 +185,7 @@ def main():
             pending = jnp.sum(flows)
             lat.append(time.perf_counter() - t0)
             served += K
+        dropped = len(chunk_buf)
         if pending is not None:
             float(pending)
     finally:
@@ -186,8 +194,11 @@ def main():
     wall = time.perf_counter() - t_start
     lat_ms = np.sort(np.asarray(lat)) * 1e3
     tag = f" (chunks of {K})" if K > 1 else ""
+    if dropped:
+        tag += f"; {dropped} trailing windows did not fill a chunk"
+    rate = served * B / wall if served else 0.0
     print(f"served {served} windows x B={B} in {wall:.2f}s "
-          f"-> {served * B / wall:.1f} win/s end-to-end{tag}")
+          f"-> {rate:.1f} win/s end-to-end{tag}")
     if len(lat_ms):
         unit = "chunk" if K > 1 else "issue"
         print(f"{unit} latency ms: p50={np.percentile(lat_ms, 50):.2f} "
