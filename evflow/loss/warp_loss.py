@@ -51,7 +51,7 @@ def _timestamp_loss_one_direction(
         events, event_flow, tref, res, flow_scaling, round_idx=False, valid=valid
     )
     pol4 = jnp.tile(pol_mask, (1, 4, 1))
-    ts4 = jnp.tile(ts_img_weights[..., None], (1, 4, 1))[..., 0]
+    ts4 = jnp.tile(ts_img_weights, (1, 4))
 
     iwe_pos = interpolate(idx, weights, res, polarity_mask=pol4[..., 0])
     iwe_neg = interpolate(idx, weights, res, polarity_mask=pol4[..., 1])

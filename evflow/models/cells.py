@@ -431,6 +431,10 @@ class ConvLIF(nn.Module):
         if self.norm == "group":
             x = nn.GroupNorm(num_groups=1, name="norm")(x)
         w_scale = math.sqrt(1.0 / self.input_size)
+        # conv fake-quant hooks (the reference's brevitas QuantConv2d in the
+        # sigmoid family, spiking_submodules.py:69-84)
+        if self.conv_fake_quant is not None:
+            x = self.conv_fake_quant(x, "input")
         ff = make_conv(
             self.features,
             self.kernel_size,
@@ -440,6 +444,8 @@ class ConvLIF(nn.Module):
             "ff",
             self.conv_impl,
         )(x).astype(jnp.float32)
+        if self.conv_fake_quant is not None:
+            ff = self.conv_fake_quant(ff, "output")
 
         if state is None:
             v = jnp.zeros_like(ff)
@@ -497,6 +503,8 @@ class ConvLIFRecurrent(nn.Module):
             x = nn.GroupNorm(num_groups=1, name="norm_ff")(x)
         w_ff = math.sqrt(1.0 / self.input_size)
         w_rec = math.sqrt(1.0 / self.features)
+        if self.conv_fake_quant is not None:
+            x = self.conv_fake_quant(x, "input")
         ff = make_conv(
             self.features,
             self.kernel_size,
@@ -506,6 +514,8 @@ class ConvLIFRecurrent(nn.Module):
             "ff",
             self.conv_impl,
         )(x)
+        if self.conv_fake_quant is not None:
+            ff = self.conv_fake_quant(ff, "output")
 
         if state is None:
             v = jnp.zeros_like(ff)
@@ -525,6 +535,8 @@ class ConvLIFRecurrent(nn.Module):
             "rec",
             self.conv_impl,
         )(z_in)
+        if self.conv_fake_quant is not None:
+            rec = self.conv_fake_quant(rec, "output")
 
         leak = self.param("leak", normal_init(*self.leak), (self.features,))
         thresh = self.param("thresh", normal_init(*self.thresh), (self.features,))

@@ -65,6 +65,12 @@ def lookup_event_flow(
     B, H, W, _ = flow_map.shape
     if res is None:
         res = (H, W)
+    elif tuple(res) != (H, W):
+        # a mismatched stride would silently clamp gathers into the wrong
+        # rows of the flat map — event coords must live on the map's grid
+        raise ValueError(
+            f"event resolution {tuple(res)} != flow map resolution {(H, W)}"
+        )
     lin = _event_linear_idx(events, res)  # [B, N]
     flat = flow_map.reshape(B, H * W, 2)
     gathered = jnp.take_along_axis(flat, lin[..., None], axis=1)  # [B, N, 2] (x, y)
@@ -198,12 +204,18 @@ def compute_pol_iwe(
     Returns ``[B, H, W, 2]`` (pos, neg channels last — NHWC vs. the
     reference's NCHW).
     """
-    iwe_pos = deblur_events(
-        flow_map, events, res, flow_scaling, round_idx, pos_mask, valid
+    # one gather+warp, two masked splats (only the polarity mask differs —
+    # same structure as the loss's fw/bw reuse, warp_loss.py)
+    event_flow = lookup_event_flow(flow_map, events, res)
+    idx, weights = get_interpolation(
+        events, event_flow, 1.0, res, flow_scaling, round_idx=round_idx,
+        valid=valid,
     )
-    iwe_neg = deblur_events(
-        flow_map, events, res, flow_scaling, round_idx, neg_mask, valid
-    )
+    if not round_idx:
+        pos_mask = jnp.tile(pos_mask, (1, 4))
+        neg_mask = jnp.tile(neg_mask, (1, 4))
+    iwe_pos = interpolate(idx, weights, res, polarity_mask=pos_mask)
+    iwe_neg = interpolate(idx, weights, res, polarity_mask=neg_mask)
     return jnp.stack([iwe_pos, iwe_neg], axis=-1)
 
 

@@ -277,3 +277,28 @@ def test_calibration_batches_change_results(dataset):
 
     s1, s8 = collect(1), collect(8)
     assert any(abs(s1[k] - s8[k]) > 1e-12 for k in s1 if k in s8)
+
+
+def test_sigmoid_cells_apply_conv_fake_quant():
+    """The original (sigmoid-leak) cell family honors conv fake-quant hooks
+    like the snn family (the reference's brevitas QuantConv2d,
+    spiking_submodules.py:69-84)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evflow.models.cells import ConvLIF, ConvLIFRecurrent
+
+    def coarse(x, kind):
+        s = 0.5  # very coarse grid so quantization visibly changes outputs
+        return jnp.round(x / s) * s
+
+    for cls in (ConvLIF, ConvLIFRecurrent):
+        kw = dict(input_size=2, features=4)
+        plain = cls(**kw)
+        quant = cls(**kw, conv_fake_quant=coarse)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 2))
+        v = plain.init(jax.random.PRNGKey(1), x, None)
+        _, st_p = plain.apply(v, x, None)
+        _, st_q = quant.apply(v, x, None)
+        assert not np.allclose(np.asarray(st_p.mem), np.asarray(st_q.mem)), cls
