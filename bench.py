@@ -33,7 +33,7 @@ import time
 MEM_DTYPE = "mixed"  # the <=1%-AEE serving tier (see BENCH_NOTES.md)
 
 
-def bench(B=8, H=256, W=256, T=64, channels=32, iters=4, mem_dtype=MEM_DTYPE):
+def bench(B=8, H=256, W=256, T=64, channels=32, iters=8, mem_dtype=MEM_DTYPE):
     import jax
 
     jax.config.update(

@@ -126,6 +126,10 @@ class H5EventStream:
         self.samples = 0
         self.new_seq = False
         self.last_proc_timestamp = 0.0
+        # per-slot last event timestamp: at B>1 each slot streams a different
+        # file, so time-based consumers (vis store_interval throttling,
+        # visualization.py:226-231) need slot-correct provenance
+        self.slot_ts = np.zeros(self.batch_size, np.float64)
 
         # file inventory (recursive walk, h5.py:59-63)
         self.files: List[str] = []
@@ -478,6 +482,8 @@ class H5EventStream:
 
             # formatting (base.py:71-99): ps→±1, per-window min-max ts norm
             dt_input = float(ts[-1] - ts[0]) if ts.shape[0] > 0 else 0.0
+            if ts.shape[0] > 0:
+                self.slot_ts[b] = float(ts[-1])
             ps = ps * 2.0 - 1.0 if ps.size and ps.min() >= 0 else ps
             tsn = ts.astype(np.float64)
             if tsn.size and not np.isfinite(tsn).all():
@@ -701,7 +707,7 @@ class H5EventStream:
             os.path.basename(self.files[self.batch_idx[b] % len(self.files)])
             for b in range(self.batch_size)
         ]
-        batch["ts"] = self.last_proc_timestamp
+        batch["ts"] = self.slot_ts.copy()  # [B] per-slot last event timestamp
         if batch["epoch_done"]:
             # roll the sequence cursor producer-side so a Prefetcher worker can
             # keep streaming the next epoch before the consumer reacts to the

@@ -150,11 +150,18 @@ def evaluate(
     vis_cfg = config.get("vis", {})
     log_activity = bool(vis_cfg.get("activity", False))
     store_vis = bool(vis_cfg.get("store", False)) and not debug
+    live_vis = bool(vis_cfg.get("enabled", False))
     vis = None
-    if store_vis:
+    if store_vis or live_vis:
+        # live windows (vis.enabled, reference eval_flow.py:318-338 +
+        # visualization.py:43-220) and/or disk storage (vis.store)
         from evflow.utils.viz import Visualization
 
-        vis = Visualization(config, eval_id=eval_id, path_results=path_results)
+        vis = Visualization(
+            config,
+            eval_id=eval_id,
+            path_results=path_results if store_vis else None,
+        )
     activity_log = None
 
     data = H5EventStream(config, model_cfg.get("num_bins", 2),
@@ -209,9 +216,10 @@ def evaluate(
                 states = _reset_slot_states(
                     states, model, batch["new_seq"], B, H, W
                 )
+                # only the rolled-over slots lose their association state
+                # and restart their AEE cadence
                 for c in criteria:
-                    c.reset()
-                # only the rolled-over slots restart their AEE cadence
+                    c.reset(slots=batch["new_seq"])
                 idx_AEE[np.asarray(batch["new_seq"])] = 0
 
             # upload only the encoding the model reads (models/model.py:146-161
@@ -235,7 +243,8 @@ def evaluate(
                 from evflow.utils.viz import vis_activity
 
                 activity_log = vis_activity(
-                    {k: float(v) for k, v in activity.items()}, activity_log
+                    {k: float(v) for k, v in activity.items()}, activity_log,
+                    live=live_vis,
                 )
 
             iwe = None
@@ -332,13 +341,19 @@ def evaluate(
                         err_map = em_i
                         err_is_angle = mname in ("AAE", "NAAE")
                         break
+                iwe_np = np.asarray(iwe) if iwe is not None else None
+                # live window suite (reference eval_flow.py:318-323); no-op
+                # unless vis.enabled and a display is present
+                vis.update(batch, fl, iwe=iwe_np, masked_flow=masked)
                 vis.store(
                     batch,
                     fl,
-                    np.asarray(iwe) if iwe is not None else None,
+                    iwe_np,
                     sequence,
                     masked_flow=masked,
-                    ts=batch["ts"],
+                    # slot 0's timestamp: store() renders batch slot 0 and the
+                    # interval throttle must follow that slot's stream time
+                    ts=float(np.asarray(batch["ts"]).reshape(-1)[0]),
                     error_map=err_map,
                     error_is_angle=err_is_angle,
                 )

@@ -247,6 +247,13 @@ class _BaseMetric:
 
     def __init__(self, config, flow_scaling: float = 128):
         self.res = tuple(config["loader"]["resolution"])
+        # heatmaps aggregate at full (std) resolution regardless of the
+        # processing resolution (loss/flow.py:330: _std_resolution is the
+        # heatmap resolution) — error maps computed at a pooled resolution
+        # are nearest-upsampled before accumulation
+        self.std_res = tuple(
+            config["loader"].get("std_resolution", config["loader"]["resolution"])
+        )
         self.flow_scaling = float(flow_scaling)
         self._reset_window()
         self._agg_error = None
@@ -279,8 +286,21 @@ class _BaseMetric:
     def overwrite_intermediate_flow(self, flow_list):
         self._flow = flow_list[-1]
 
-    def reset(self):
-        self._reset_window()
+    def reset(self, slots=None):
+        """Full reset, or — given a boolean [B] slot array — clear only the
+        rolled-over slots' association so sequence rollover at B>1 never
+        touches live slots' windows (reference eval_flow.py:211-214 is B=1
+        global; generalized per batch slot)."""
+        if slots is None:
+            self._reset_window()
+            return
+        if self._event_mask is None:
+            return
+        # a zeroed event mask removes the slot from every metric's reduction
+        keep = ~np.asarray(slots, bool)
+        self._event_mask = self._event_mask * jnp.asarray(
+            keep, self._event_mask.dtype
+        ).reshape((-1,) + (1,) * (self._event_mask.ndim - 1))
 
     def get_error_map(self, consume: bool = True):
         """Error map of the most recent metric evaluation. With ``consume``
@@ -299,6 +319,15 @@ class _BaseMetric:
         e = np.asarray(error_map, np.float32) * np.asarray(mask_map, np.float32)
         c = np.asarray(mask_map, np.float32)
         e, c = e.sum(axis=0), c.sum(axis=0)
+        # accumulate at std_resolution: nearest-upsample pooled-resolution
+        # error maps so the stored artifact matches the reference's full-res
+        # heatmap (loss/flow.py:330 + eval_flow.py:164-173)
+        sh, sw = self.std_res
+        if e.shape != (sh, sw) and sh % e.shape[0] == 0 and sw % e.shape[1] == 0:
+            fy, fx = sh // e.shape[0], sw // e.shape[1]
+            if fy > 1 or fx > 1:
+                e = np.repeat(np.repeat(e, fy, axis=0), fx, axis=1)
+                c = np.repeat(np.repeat(c, fy, axis=0), fx, axis=1)
         if self._agg_error is None:
             self._agg_error, self._agg_count = e, c
         else:

@@ -28,7 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from evflow.ops.pallas.common import (
+from evflow.ops.pallas.archive.common import (
     dy_group_patches as _dy_group_patches, lif_update)
 import numpy as np
 from jax.experimental import pallas as pl
@@ -220,7 +220,7 @@ class BatchFusedFireNet:
     (padded stacked membranes + 3-slot spike array)."""
 
     def __init__(self, model, variables, tile_rows: int = 8):
-        from evflow.ops.pallas.fused_net_lgrid import LayerGridFusedFireNet
+        from evflow.ops.pallas.archive.fused_net_lgrid import LayerGridFusedFireNet
 
         base = LayerGridFusedFireNet(model, variables, tile_rows=tile_rows)
         self.tile_rows = tile_rows

@@ -22,7 +22,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from evflow.ops.pallas.common import (
+from evflow.ops.pallas.archive.common import (
     dy_group_patches as _dy_group_patches, lif_update)
 import numpy as np
 from jax.experimental import pallas as pl
@@ -191,7 +191,7 @@ class LoopFusedFireNet:
     recurrent-spike slot array."""
 
     def __init__(self, model, variables, tile_rows: int = 16):
-        from evflow.ops.pallas.fused_net_lgrid import LayerGridFusedFireNet
+        from evflow.ops.pallas.archive.fused_net_lgrid import LayerGridFusedFireNet
 
         base = LayerGridFusedFireNet(model, variables, tile_rows=tile_rows)
         self.tile_rows = tile_rows

@@ -80,38 +80,63 @@ def _firenet_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
     if q.get("enabled") and not q.get("PTQ"):
         from evflow.quant.fake_quant import dynamic_conv_quant, state_quant_fn
 
+        # dynamic absmax unless calibrated static scales are installed
+        # (_apply_static_qat swaps in per-layer static hooks post-build)
         kwargs["conv_fake_quant"] = dynamic_conv_quant()
         if not q.get("Conv_only"):
             kwargs["state_quant"] = state_quant_fn()
     return kwargs
 
 
+def _apply_static_qat(model, cfg: Dict[str, Any]):
+    """Swap the dynamic QAT conv-quant hook for calibrated static-scale
+    hooks when ``quantization.static_scales`` is present.
+
+    The reference's brevitas QAT runs with scales calibrated from the
+    pretrained FP32 start (train_flow_quant.py:153-155 +
+    SNNtorch_spiking_submodules.py:177-208), so train-time and deploy-time
+    quantization grids agree; ``train_flow_quant.py --calibration static``
+    collects the scales (evflow/quant/calibrate.py
+    collect_activation_scales) and stores them in the config for this hook.
+    """
+    q = cfg.get("quantization") or {}
+    scales = q.get("static_scales")
+    if not (q.get("enabled") and not q.get("PTQ") and scales):
+        return model
+    from evflow.quant.fake_quant import static_conv_quant
+
+    hooks = tuple(
+        static_conv_quant(scales, layer=u) for u in (*model.unit_names, "pred")
+    )
+    return model.clone(conv_fake_quant=None, conv_fake_quant_per_layer=hooks)
+
+
 @register_model("LIFFireNet")
 def _build_liffirenet(cfg):
     from evflow.models.firenet import FireNet
 
-    return FireNet(recurrent=True, short=False, **_firenet_kwargs(cfg))
+    return _apply_static_qat(FireNet(recurrent=True, short=False, **_firenet_kwargs(cfg)), cfg)
 
 
 @register_model("LIFFireNet_short")
 def _build_liffirenet_short(cfg):
     from evflow.models.firenet import FireNet
 
-    return FireNet(recurrent=True, short=True, **_firenet_kwargs(cfg))
+    return _apply_static_qat(FireNet(recurrent=True, short=True, **_firenet_kwargs(cfg)), cfg)
 
 
 @register_model("LIFFireFlowNet")
 def _build_liffireflownet(cfg):
     from evflow.models.firenet import FireNet
 
-    return FireNet(recurrent=False, short=False, **_firenet_kwargs(cfg))
+    return _apply_static_qat(FireNet(recurrent=False, short=False, **_firenet_kwargs(cfg)), cfg)
 
 
 @register_model("LIFFireFlowNet_short")
 def _build_liffireflownet_short(cfg):
     from evflow.models.firenet import FireNet
 
-    return FireNet(recurrent=False, short=True, **_firenet_kwargs(cfg))
+    return _apply_static_qat(FireNet(recurrent=False, short=True, **_firenet_kwargs(cfg)), cfg)
 
 
 @register_model("SpikingRecEVFlowNet")

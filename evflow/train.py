@@ -192,13 +192,31 @@ def log_param_histograms(run, params, grads, step: int):
         run.log_histograms(_flatten_named(jax.device_get(grads)), step, group="grads")
 
 
-def _shard_window(window, mesh):
+def _shard_window(window, mesh, use_process_local=None):
+    """Place one host window onto the mesh, batch axis sharded over ``data``.
+
+    On a real multi-process mesh (SURVEY §5.8 topology: one process per
+    host, each streaming its own file shard via loader.num_shards /
+    shard_index, h5_stream.py:144-169) most mesh devices are
+    NON-addressable and plain ``device_put`` raises — the window is this
+    process's slice of the global batch, assembled into a global array with
+    ``jax.make_array_from_process_local_data``. Single-process meshes (and
+    the virtual-CPU test mesh) keep the direct ``device_put`` path; both
+    produce identical global arrays when process_count == 1
+    (tests/test_parallel.py). See docs/DEPLOYMENT.md.
+    """
     if mesh is None:
         return window
     pb = NamedSharding(mesh, P(None, "data"))
+    if use_process_local is None:
+        use_process_local = jax.process_count() > 1
 
-    def put(x):
-        return jax.device_put(x, pb)
+    if use_process_local:
+        def put(x):
+            return jax.make_array_from_process_local_data(pb, np.asarray(x))
+    else:
+        def put(x):
+            return jax.device_put(x, pb)
 
     return jax.tree.map(put, window)
 
@@ -214,7 +232,8 @@ def train(
 ):
     """Train a FireNet-family model (train_flow.py ``train()`` equivalent).
 
-    ``epoch_callback(epoch, params, batch_stats, run)``, if given, fires at
+    ``epoch_callback(epoch, params, batch_stats, run, opt_state)``, if
+    given, fires at
     every epoch end *inside the training process* — the hook for periodic
     ground-truth validation (reference train_flow_validation.py:28-130;
     validation there saves/restores ``model._states``, which is unnecessary
@@ -349,7 +368,8 @@ def train(
                     save_csv(grads_rows, os.path.join(run.dir, "grads_w.csv"))
                     grads_rows = []
                 if epoch_callback is not None:
-                    epoch_callback(data.epoch - 1, params, batch_stats, run)
+                    epoch_callback(data.epoch - 1, params, batch_stats, run,
+                                   opt_state)
                 if data.epoch >= n_epochs or epochs_without_improvement >= patience:
                     if verbose:
                         print(f"Stopping at epoch {data.epoch}.")

@@ -325,16 +325,44 @@ class Visualization:
         self.writers = {}
 
 
+def _draw_activity_live(activity_log: Dict[str, list]):
+    """Redraw the interactive per-layer activity figure (one persistent
+    window, updated in place — visualization.py:1087-1126)."""
+    import matplotlib.pyplot as plt
+
+    fig = getattr(_draw_activity_live, "_fig", None)
+    if fig is None or not plt.fignum_exists(fig.number):
+        plt.ion()
+        fig, ax = plt.subplots(figsize=(10, 5))
+        _draw_activity_live._fig = fig
+        _draw_activity_live._ax = ax
+    ax = _draw_activity_live._ax
+    ax.clear()
+    for k, vals in activity_log.items():
+        ax.plot(vals, label=k)
+    ax.set_xlabel("window")
+    ax.set_ylabel("fraction nonzero")
+    ax.legend(fontsize=7, loc="upper right")
+    fig.canvas.draw_idle()
+    plt.pause(0.001)
+
+
 def vis_activity(activity: Dict[str, float], activity_log: Optional[Dict[str, list]],
-                 save_path: Optional[str] = None):
+                 save_path: Optional[str] = None, live: bool = False):
     """Accumulate + (optionally) plot per-layer nonzero-activity traces
-    (visualization.py:1087-1126). Returns the updated log."""
+    (visualization.py:1087-1126). Returns the updated log.
+
+    ``live`` redraws an interactive matplotlib window each call — the
+    reference's live activity plot during evaluation (eval_flow.py:338);
+    no-op without a display."""
     if activity is None:
         return activity_log
     if activity_log is None:
         activity_log = {k: [] for k in activity}
     for k, v in activity.items():
         activity_log.setdefault(k, []).append(float(v))
+    if live and os.environ.get("DISPLAY"):
+        _draw_activity_live(activity_log)
     if save_path is not None:
         import matplotlib
 

@@ -242,6 +242,19 @@ def test_train_flow_quant_cli(workspace, trained_run):
     assert run_dirs and os.path.exists(os.path.join(run_dirs[0], "params.yaml"))
 
 
+def test_train_flow_quant_static_calibration_cli(workspace, trained_run):
+    """--calibration static: conv-act scales calibrated from the FP32 start
+    checkpoint land in the QAT training graph (reference brevitas semantics,
+    train_flow_quant.py:153-155)."""
+    runs = os.path.join(workspace["ws"], "runs_qat_static")
+    out = run_cli(["train_flow_quant.py", "--config", workspace["train_cfg"],
+                   "--path_runs", runs, "--prev_runid", _ckpt(trained_run),
+                   "--calibration", "static", "--calibration_batches", "2",
+                   "--max_steps", "4"])
+    assert "calibrated" in out.stdout and "static conv-act scales" in out.stdout
+    assert "Run dir:" in out.stdout
+
+
 def test_train_seed_determinism(workspace):
     """Same config + seed -> identical training losses (full pipeline
     determinism on the virtual CPU mesh: loader order, augmentation rng,

@@ -331,3 +331,23 @@ def test_fetch_workers_identical_stream(dataset):
             np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]), err_msg=k)
     s1.close()
     s2.close()
+
+
+def test_per_slot_ts_provenance(dataset):
+    """batch["ts"] is a [B] array of per-slot last event timestamps: at B>1
+    each slot streams a different file, and time-based consumers (the vis
+    store_interval throttle) must follow the rendered slot's own stream time
+    (reference visualization.py:226-231 at B=1, generalized)."""
+    root, _ = dataset
+    s = H5EventStream(events_cfg(root, window=400, batch=2), num_bins=2)
+    b1 = s.next_batch()
+    ts1 = np.asarray(b1["ts"])
+    assert ts1.shape == (2,)
+    assert np.isfinite(ts1).all() and (ts1 > 0).all()
+    b2 = s.next_batch()
+    ts2 = np.asarray(b2["ts"])
+    # each slot's time advances independently with its own stream
+    assert (ts2 >= ts1).all() and (ts2 > ts1).any()
+    # independent random event times -> the slots are not at the same instant
+    assert ts2[0] != ts2[1]
+    s.close()

@@ -158,3 +158,56 @@ def test_window_events_counts():
     out = M.compute_window_events(jnp.array(events), jnp.array(pol), jnp.array(valid), (4, 4))
     assert out.shape == (B, 4, 4, 2)
     assert float(np.asarray(out).sum()) == 6.0
+
+
+def test_heatmap_accumulates_at_std_resolution():
+    """Heatmaps aggregate at std_resolution even when the metric runs at a
+    pooled processing resolution (loss/flow.py:330: _std_resolution is the
+    heatmap resolution)."""
+    cfg = {"loader": {"resolution": [2, 2], "std_resolution": [4, 4]}}
+    metric = M.AEE(cfg, flow_scaling=128)
+    B, H, W = 1, 2, 2
+    flow = np.zeros((B, H, W, 2), np.float32)
+    gt = np.ones((B, H, W, 2), np.float32)
+    inputs = {
+        "gtflow": jnp.array(gt),
+        "event_mask": jnp.ones((B, H, W, 1), np.float32),
+        "dt_gt": jnp.ones((B,), np.float32),
+        "dt_input": jnp.ones((B,), np.float32),
+    }
+    metric.event_flow_association([jnp.array(flow)], inputs)
+    metric()
+    avg, count = metric.get_final_error_heatmap()
+    assert avg.shape == (4, 4) and count.shape == (4, 4)
+    # nearest-upsampled: every pooled pixel covers a 2x2 block
+    np.testing.assert_allclose(count, 1.0)
+    np.testing.assert_allclose(avg, np.sqrt(2.0), rtol=1e-5)
+
+
+def test_per_slot_reset_keeps_live_slots():
+    """reset(slots=...) clears only rolled-over slots' association — live
+    slots keep contributing (B>1 sequence rollover, eval_flow.py:211-214
+    generalized)."""
+    cfg = {"loader": {"resolution": [2, 2]}}
+    metric = M.AEE(cfg, flow_scaling=128)
+    B, H, W = 2, 2, 2
+    flow = np.zeros((B, H, W, 2), np.float32)
+    gt = np.ones((B, H, W, 2), np.float32)
+    inputs = {
+        "gtflow": jnp.array(gt),
+        "event_mask": jnp.ones((B, H, W, 1), np.float32),
+        "dt_gt": jnp.ones((B,), np.float32),
+        "dt_input": jnp.ones((B,), np.float32),
+    }
+    metric.event_flow_association([jnp.array(flow)], inputs)
+    metric.reset(slots=np.array([True, False]))
+    val, pct = metric()
+    # slot 0 cleared (no valid pixels -> 0/eps), slot 1 intact
+    np.testing.assert_allclose(float(val[0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(val[1]), np.sqrt(2.0), rtol=1e-5)
+    # full reset still clears everything
+    metric.reset()
+    assert metric._flow is None
+    # reset(slots) before any association is a no-op
+    metric.reset(slots=np.array([True, True]))
+    assert metric._flow is None

@@ -268,3 +268,26 @@ def test_dryrun_multichip_entry(capsys):
     out = capsys.readouterr().out
     assert "dryrun_multichip(8):" in out and out.strip().endswith("OK")
     assert "dp x sp mesh (4x2)" in out
+
+
+def test_shard_window_process_local_matches_device_put():
+    """_shard_window's multi-process path (make_array_from_process_local_data,
+    the only construction valid when mesh devices are non-addressable,
+    SURVEY §5.8) builds the same global arrays as the single-process
+    device_put path when process_count == 1."""
+    from evflow.train import _shard_window
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    window = {
+        "event_cnt": rng.random((2, 8, 4, 4, 2)).astype(np.float32),
+        "event_voxel": None,  # compact wire drops the dead encoding
+        "event_mask": (rng.random((2, 8, 4, 4, 1)) > 0.5).astype(np.uint8),
+    }
+    a = _shard_window(dict(window), mesh, use_process_local=False)
+    b = _shard_window(dict(window), mesh, use_process_local=True)
+    assert b["event_voxel"] is None
+    for k in ("event_cnt", "event_mask"):
+        assert a[k].sharding.is_equivalent_to(b[k].sharding, a[k].ndim)
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].dtype == b[k].dtype

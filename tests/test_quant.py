@@ -302,3 +302,54 @@ def test_sigmoid_cells_apply_conv_fake_quant():
         _, st_p = plain.apply(v, x, None)
         _, st_q = quant.apply(v, x, None)
         assert not np.allclose(np.asarray(st_p.mem), np.asarray(st_q.mem)), cls
+
+
+def test_static_qat_grid_matches_deploy_calibration(dataset):
+    """quantization.static_scales installs the SAME calibrated grid in the
+    QAT training graph that calibrate_model_ptq installs for deployment —
+    the train/serve scale agreement of the reference's brevitas QAT
+    (train_flow_quant.py:153-155 + SNNtorch_spiking_submodules.py:177-208).
+    Dynamic-absmax QAT has no such guarantee (its scales follow each batch)."""
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.registry import build_model
+
+    cfg = quant_eval_cfg(dataset, "conv_only")
+    cfg["data"] = {"path": dataset, "mode": "events", "window": 300}
+    base_cfg = {k: v for k, v in cfg["model"].items() if k != "quantization"}
+    base = build_model(base_cfg)
+    B, H, W = 1, 32, 32
+    states = base.init_states(B, H, W)
+    v = base.init(jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states)
+
+    stream = H5EventStream(cfg, 2)
+    scales = C.collect_activation_scales(base, v, stream, num_batches=3)
+    stream.close()
+
+    qat_cfg = dict(base_cfg)
+    qat_cfg["quantization"] = {
+        "enabled": True, "PTQ": False, "Conv_only": True,
+        "static_scales": {k: float(s) for k, s in scales.items()},
+    }
+    qat_model = build_model(qat_cfg)
+    assert qat_model.conv_fake_quant_per_layer is not None
+    assert len(qat_model.conv_fake_quant_per_layer) == base.num_units + 1
+    assert qat_model.conv_fake_quant is None
+
+    # the deployment-side PTQ model calibrated on the same stream
+    q_deploy, _ = C.calibrate_model_ptq(cfg, v, mode="conv_only", num_batches=3)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, H, W, 2)) * 4.0
+    out_qat, _ = qat_model.apply(v, None, x, states)
+    out_dep, _ = q_deploy.apply(v, None, x, states)
+    np.testing.assert_allclose(
+        np.asarray(out_qat["flow"][0]), np.asarray(out_dep["flow"][0]), atol=1e-6
+    )
+
+    # dynamic-absmax QAT disagrees with the deployed static grid on the same
+    # input — the mismatch static calibration removes
+    dyn_cfg = dict(base_cfg)
+    dyn_cfg["quantization"] = {"enabled": True, "PTQ": False, "Conv_only": True}
+    dyn_model = build_model(dyn_cfg)
+    out_dyn, _ = dyn_model.apply(v, None, x, states)
+    assert np.max(np.abs(np.asarray(out_dyn["flow"][0])
+                         - np.asarray(out_dep["flow"][0]))) > 1e-6

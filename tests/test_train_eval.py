@@ -373,3 +373,81 @@ def test_evaluate_with_vis_store_writes_artifacts(dataset, tmp_path):
     assert hits, "no stored visualization frames"
     kinds = {os.path.basename(os.path.dirname(h)) for h in hits}
     assert any("flow" in k for k in kinds), f"no flow panels in {kinds}"
+
+
+def test_evaluate_live_vis_updates_windows(dataset, tmp_path, monkeypatch):
+    """vis.enabled: evaluate() drives the live cv2 window suite each window
+    (reference eval_flow.py:318-338 + visualization.py:43-220)."""
+    import evflow.utils.viz as V
+
+    if V.cv2 is None:
+        pytest.skip("cv2 not available")
+    shown = []
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(V.cv2, "imshow", lambda name, img: shown.append(name))
+    monkeypatch.setattr(V.cv2, "waitKey", lambda t: 0)
+    cfg = eval_cfg(dataset)
+    cfg["vis"] = {"enabled": True, "store": False, "px": 32, "bars": False}
+    evaluate(cfg, path_results=str(tmp_path / "r"), debug=True,
+             max_windows=3, verbose=False)
+    assert shown, "live vis enabled but no cv2 windows updated"
+    names = set(shown)
+    assert "flow" in names and "events" in names and "gtflow" in names
+
+
+def test_evaluate_live_vis_disabled_no_windows(dataset, tmp_path, monkeypatch):
+    """Without vis.enabled no live windows open even under a DISPLAY."""
+    import evflow.utils.viz as V
+
+    if V.cv2 is None:
+        pytest.skip("cv2 not available")
+    shown = []
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(V.cv2, "imshow", lambda name, img: shown.append(name))
+    monkeypatch.setattr(V.cv2, "waitKey", lambda t: 0)
+    cfg = eval_cfg(dataset)
+    cfg["vis"] = {"enabled": False, "store": False, "bars": False}
+    evaluate(cfg, path_results=str(tmp_path / "r"), debug=True,
+             max_windows=2, verbose=False)
+    assert not shown
+
+
+def test_best_val_checkpoint_keeps_opt_state(dataset, tmp_path):
+    """The epoch callback receives the live optimizer state and a
+    best-validation checkpoint saved with it restores the Adam moments on
+    resume (reference train_flow_validation.py:296-311 saves
+    optimizer_state_dict in every checkpoint variant)."""
+    from evflow.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = train_cfg(dataset, batch=1)
+    best_dir = str(tmp_path / "best")
+    seen = {}
+
+    def cb(epoch, params, batch_stats, run, opt_state):
+        state = {
+            "params": jax.device_get(params),
+            "batch_stats": jax.device_get(batch_stats),
+            "opt_state": jax.device_get(opt_state),
+            "epoch": epoch, "loss": 0.0, "loss_variance": 0.0,
+        }
+        seen["state"] = state
+        save_checkpoint(best_dir, state, cfg)
+
+    train(cfg, path_runs=str(tmp_path / "runs"), max_steps=55, verbose=False,
+          epoch_callback=cb)
+    assert "state" in seen, "epoch callback never fired"
+    # Adam moments are non-trivial after an epoch of updates
+    opt_leaves = [np.asarray(x) for x in jax.tree.leaves(seen["state"]["opt_state"])
+                  if hasattr(x, "shape")]
+    assert any(np.abs(l).sum() > 0 for l in opt_leaves if l.size > 1)
+    # the moments survive the checkpoint roundtrip bit-exactly
+    restored = load_checkpoint(
+        best_dir, jax.tree.map(np.zeros_like, seen["state"])
+    )
+    for a, b in zip(jax.tree.leaves(seen["state"]["opt_state"]),
+                    jax.tree.leaves(restored["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the training resume path consumes the checkpoint
+    run2 = train(cfg, path_runs=str(tmp_path / "r2"), prev_ckpt=best_dir,
+                 max_steps=2, verbose=False)
+    assert os.path.isdir(run2.dir)

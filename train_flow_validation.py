@@ -43,7 +43,7 @@ def main():
 
     best = {"val_aae": float("inf"), "val_aee": float("inf")}
 
-    def validate(epoch, params, batch_stats, run):
+    def validate(epoch, params, batch_stats, run, opt_state=None):
         if args.val_every <= 0 or (epoch + 1) % args.val_every != 0:
             return
         variables = {"params": params, "batch_stats": batch_stats}
@@ -64,10 +64,14 @@ def main():
         print(f"epoch {epoch}: validation {vals}")
         if val_aae < best["val_aae"]:
             best["val_aae"] = val_aae
+            # the optimizer state ships with the checkpoint so resuming from
+            # best_val_aae keeps the Adam moments (reference
+            # train_flow_validation.py:296-311 saves optimizer_state_dict)
             state = {
                 "params": jax.device_get(params),
                 "batch_stats": jax.device_get(batch_stats),
-                "opt_state": None,
+                "opt_state": jax.device_get(opt_state)
+                if opt_state is not None else None,
                 "epoch": epoch,
                 "loss": 0.0,
                 "loss_variance": 0.0,
