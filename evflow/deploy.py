@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from evflow.export import fold_batchnorm_params
-from evflow.ops.dypack import cols_dx, dy_epilogue, pack_kernel_dy
+from evflow.ops.dypack import cols_dx, cols_dx_dual, dy_epilogue, pack_kernel_dy
 from evflow.ops.lif import LIFState, THRESH_MIN, leaky_step
 
 __all__ = [
@@ -240,13 +240,15 @@ def prepare_int8_params(
             s = np.maximum(hi - lo, 1e-6) / 254.0
             zp = np.round(-127.0 - lo / s)  # integer zero point; mem=0 -> q=zp
             unit["mem_scale"] = jnp.asarray(s, jnp.float32)
+            unit["mem_inv_scale"] = jnp.asarray(1.0 / s, jnp.float32)
             unit["mem_zp"] = jnp.asarray(zp, jnp.float32)
         elif mem_scales is not None:
             # scalar or per-channel [C]; broadcasts over [..., C] membranes
-            unit["mem_scale"] = jnp.asarray(mem_scales[i], jnp.float32)
-            unit["mem_zp"] = jnp.asarray(
-                np.zeros_like(np.asarray(mem_scales[i], np.float32)), jnp.float32
-            )
+            s = np.asarray(mem_scales[i], np.float32)
+            unit["mem_scale"] = jnp.asarray(s, jnp.float32)
+            unit["mem_inv_scale"] = jnp.asarray(1.0 / np.maximum(s, 1e-12),
+                                                jnp.float32)
+            unit["mem_zp"] = jnp.asarray(np.zeros_like(s), jnp.float32)
         out["units"].append(unit)
 
     out["pred_kernel"] = jnp.asarray(
@@ -270,17 +272,27 @@ def _mem_dequant(mem: jax.Array, unit: Dict[str, Any]) -> jax.Array:
 
 
 def _mem_quant(mem_out: jax.Array, unit: Dict[str, Any]) -> jax.Array:
-    """bf16 membrane -> int8 affine storage."""
+    """bf16 membrane -> int8 affine storage.
+
+    Multiplies by the precomputed reciprocal scale: the profiled step spends
+    ~25% in these quant fusions and the f32 divide is the VPU term
+    (benchmarks/profile_bench.py round-5 trace); ``mem_inv_scale`` is
+    prepared host-side so the loop body carries no divides."""
+    inv = unit.get("mem_inv_scale")
+    if inv is None:  # pre-round-5 artifacts
+        inv = 1.0 / unit["mem_scale"]
     return jnp.clip(
-        jnp.round(mem_out.astype(jnp.float32) / unit["mem_scale"]) + unit["mem_zp"],
+        jnp.round(mem_out.astype(jnp.float32) * inv) + unit["mem_zp"],
         -127, 127,
     ).astype(jnp.int8)
 
 
 # the dy-pack indexing invariants live in ONE place — evflow/ops/dypack.py
-# (cols_dx builds the dx patch buffer, dy_epilogue the row shift-add); the
-# serving engine must stay bit-identical to the training-side formulation
+# (cols_dx builds the dx patch buffer, cols_dx_dual the fused ff+rec buffer,
+# dy_epilogue the row shift-add); the serving engine must stay bit-identical
+# to the training-side formulation
 _cols_dx_i8 = cols_dx
+_cols_dx_dual_i8 = cols_dx_dual
 _dy_shift_add = dy_epilogue
 
 
@@ -460,7 +472,7 @@ class Int8DeployEngine:
                 mem, prev_spk = states[i]
                 mem_f = _mem_dequant(mem, unit) if self.unit_mem_int8[i] else mem
                 cols = (
-                    jnp.concatenate([_cols_dx_i8(h), _cols_dx_i8(prev_spk)], axis=-1)
+                    _cols_dx_dual_i8(h, prev_spk)
                     if self.unit_recurrent[i] else _cols_dx_i8(h)
                 )
                 Zi = jax.lax.dot_general(
@@ -556,9 +568,7 @@ class Int8DeployEngine:
             else:
                 mem_f = mem
             if self.unit_recurrent[i]:
-                cols = jnp.concatenate(
-                    [_cols_dx_i8(h), _cols_dx_i8(prev_spk)], axis=-1
-                )
+                cols = _cols_dx_dual_i8(h, prev_spk)
             else:
                 cols = _cols_dx_i8(h)
             y = _gemm_epilogue(

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["conv3x3_dypack", "conv3x3_dypack_dual", "pack_kernel_dy",
-           "cols_dx", "dy_epilogue"]
+           "cols_dx", "cols_dx_dual", "dy_epilogue"]
 
 
 def pack_kernel_dy(kernel: jax.Array) -> jax.Array:
@@ -103,6 +103,25 @@ def cols_dx(x: jax.Array) -> jax.Array:
     return jnp.concatenate([xp[:, :, dx : dx + W, :] for dx in range(3)], axis=-1)
 
 
+def cols_dx_dual(a: jax.Array, b: jax.Array) -> jax.Array:
+    """``concat([cols_dx(a), cols_dx(b)], -1)`` as ONE flat 6-slice concat:
+    [B, H, W, 3*Ca + 3*Cb], ordering [a-dx0|a-dx1|a-dx2|b-dx0|b-dx1|b-dx2]
+    (matches the dual packed kernel [pack(k_ff); pack(k_rec)] row order).
+
+    The nested two-stage concat lowers to chains of full-buffer
+    dynamic-update-slice copies on TPU (~26% of the deploy step,
+    benchmarks/profile_bench.py); the flat form assembles the buffer in one
+    fusion pass."""
+    W = a.shape[2]
+    ap = jnp.pad(a, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    bp = jnp.pad(b, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [ap[:, :, dx : dx + W, :] for dx in range(3)]
+        + [bp[:, :, dx : dx + W, :] for dx in range(3)],
+        axis=-1,
+    )
+
+
 def conv3x3_dypack_dual(
     x1: jax.Array,
     x2: jax.Array,
@@ -124,12 +143,9 @@ def conv3x3_dypack_dual(
     if int8:
         s_w = jnp.maximum(jnp.max(jnp.abs(wp)), 1e-12) / 127.0
         w_i8 = jnp.clip(jnp.round(wp / s_w), -127, 127).astype(jnp.int8)
-        cols = jnp.concatenate(
-            [
-                cols_dx(jnp.clip(jnp.round(x1), -127, 127).astype(jnp.int8)),
-                cols_dx(jnp.clip(jnp.round(x2), -127, 127).astype(jnp.int8)),
-            ],
-            axis=-1,
+        cols = cols_dx_dual(
+            jnp.clip(jnp.round(x1), -127, 127).astype(jnp.int8),
+            jnp.clip(jnp.round(x2), -127, 127).astype(jnp.int8),
         )
         Z = jax.lax.dot_general(
             cols.reshape(-1, cols.shape[-1]),
@@ -140,9 +156,7 @@ def conv3x3_dypack_dual(
         Z = Z * s_w.astype(jnp.bfloat16)
     else:
         cdt = dtype or x1.dtype
-        cols = jnp.concatenate(
-            [cols_dx(x1.astype(cdt)), cols_dx(x2.astype(cdt))], axis=-1
-        )
+        cols = cols_dx_dual(x1.astype(cdt), x2.astype(cdt))
         Z = (cols.reshape(-1, cols.shape[-1]) @ wp.astype(cdt)).reshape(
             B, H, W, 3 * C
         )
