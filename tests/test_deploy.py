@@ -468,3 +468,28 @@ def test_engine_pooled_counts_input_scale():
     xi = jnp.clip(jnp.round(pooled), -127, 127)
     zero_frac = float((xi == 0).mean())
     assert zero_frac > float((jnp.round(pooled / 0.25) == 0).mean())
+
+
+def test_engine_pre_reciprocal_artifact_compat():
+    """Artifacts saved before mem_inv_scale existed still run: _mem_quant
+    falls back to dividing by mem_scale; with a power-of-two scale the two
+    forms are bit-identical."""
+    model = build_model(_model_cfg())
+    B, H, W = 1, 16, 16
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(2), None, jnp.zeros((B, H, W, 2)), states)
+    scales = [0.5] * model.num_units  # 1/s exact in binary
+    e_new = Int8DeployEngine(model, v, mem_dtype="int8", mem_scales=scales)
+    e_old = Int8DeployEngine(model, v, mem_dtype="int8", mem_scales=scales)
+    for u in e_old.params["units"]:
+        del u["mem_inv_scale"]  # simulate a pre-round-5 artifact
+
+    cnt = jax.random.poisson(jax.random.PRNGKey(3), 0.3, (B, H, W, 2)).astype(
+        jnp.float32)
+    s_new, s_old = e_new.init_states(B, H, W), e_old.init_states(B, H, W)
+    for _ in range(3):
+        o_new, s_new = e_new.apply(e_new.params, None, cnt, s_new)
+        o_old, s_old = e_old.apply(e_old.params, None, cnt, s_old)
+    np.testing.assert_array_equal(
+        np.asarray(o_new["flow"][0]), np.asarray(o_old["flow"][0])
+    )

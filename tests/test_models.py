@@ -387,3 +387,20 @@ def test_model_dypack_int8_runs_and_approximates():
     assert np.isfinite(f2).all()
     # int8 weight quant error only; flows are tanh-bounded
     assert np.abs(f1 - f2).max() < 0.05
+
+
+def test_cols_dx_dual_equals_nested_concat():
+    """cols_dx_dual (one flat 6-slice concat) is bit-identical to
+    concat([cols_dx(a), cols_dx(b)]) — the deploy engine's dual-GEMM lhs
+    ordering must match the packed [k_ff; k_rec] kernel rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from evflow.ops.dypack import cols_dx, cols_dx_dual
+
+    rng = jax.random.PRNGKey(5)
+    a = jax.random.normal(rng, (2, 6, 10, 4))
+    b = jax.random.normal(jax.random.fold_in(rng, 1), (2, 6, 10, 3))
+    ref = jnp.concatenate([cols_dx(a), cols_dx(b)], axis=-1)
+    out = cols_dx_dual(a, b)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
