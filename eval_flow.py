@@ -21,6 +21,10 @@ def main():
     parser.add_argument("--max_windows", type=int, default=None)
     parser.add_argument("--fused", action="store_true",
                         help="use the Pallas fused conv+LIF inference path")
+    parser.add_argument("--chunk", type=int, default=1,
+                        help="scan K windows per device dispatch (identical "
+                             "metrics; amortizes per-dispatch latency on "
+                             "remote/tunneled hosts)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler device trace to DIR "
                              "(TensorBoard/Perfetto format) for the run — the "
@@ -73,6 +77,7 @@ def main():
             debug=args.debug,
             max_windows=args.max_windows,
             fused=args.fused,
+            chunk=args.chunk,
         )
     print()
     for metric, per_file in results.items():

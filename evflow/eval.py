@@ -33,17 +33,44 @@ from evflow.utils.tracker import create_model_dir, log_config, log_results
 __all__ = ["evaluate", "make_eval_step"]
 
 
-def make_eval_step(model, log: bool = False):
-    """Jitted eval forward: (variables, voxel, cnt, states) ->
-    (flow list, states, activity)."""
+def _raw_eval_step(model, log: bool = False):
+    """Unjitted eval forward: (variables, voxel, cnt, states) ->
+    (flow tuple, states, activity)."""
 
-    @jax.jit
     def step(variables, voxel, cnt, states):
         # counts may arrive as compact uint16 over the host wire
         cnt = cnt.astype(jnp.float32) if cnt is not None else None
         out, new_states = model.apply(variables, voxel, cnt, states, train=False,
                                       log=log)
         return tuple(out["flow"]), new_states, out["activity"]
+
+    return step
+
+
+def make_eval_step(model, log: bool = False):
+    """Jitted eval forward: (variables, voxel, cnt, states) ->
+    (flow list, states, activity)."""
+    return jax.jit(_raw_eval_step(model, log))
+
+
+def make_chunk_eval_step(raw_step):
+    """Jitted K-window forward: one dispatch scans K consecutive windows
+    (stacked [K, B, ...] inputs), returning stacked flows/activity and the
+    final states. Per-window dispatch costs a full host<->device roundtrip
+    (~35 ms on a tunneled chip, BENCH_NOTES.md round 5) that dwarfs the
+    sub-ms device step; chunking amortizes it K-fold — the eval-protocol
+    analog of tools/serve_stream.py --chunk."""
+
+    @jax.jit
+    def step(variables, voxels, cnts, states):
+        def body(st, inp):
+            flows, st2, act = raw_step(variables, inp["v"], inp["c"], st)
+            return st2, (flows, act)
+
+        states, (flows, acts) = jax.lax.scan(
+            body, states, {"v": voxels, "c": cnts}
+        )
+        return flows, states, acts
 
     return step
 
@@ -73,11 +100,21 @@ def evaluate(
     max_windows: Optional[int] = None,
     collect_vis: bool = False,
     verbose: bool = True,
+    chunk: int = 1,
 ):
     """Run the full evaluation protocol; returns the per-file results dict.
 
     Provide either ``checkpoint`` (evflow msgpack dir/file, or a reference
     ``.pth`` which is imported via the torch shim) or ready ``variables``.
+
+    ``chunk`` scans K consecutive windows per device dispatch and fetches
+    the K flow maps in one transfer; the per-window protocol (association,
+    cadence, metrics, vis) then runs on the host CPU backend with no
+    further device roundtrips. Chunks flush early at sequence rollovers so
+    state resets stay exact; partial chunks reuse the per-window program.
+    Results match the per-window path to CPU-vs-TPU f32 rounding (<1e-6
+    relative — benchmarks/bench_eval_chunk.py: 14-20x wall speedup on a
+    tunneled chip). ``max_windows`` may overshoot by up to ``chunk - 1``.
     """
     metrics_cfg = config.get("metrics", {})
     names = metrics_cfg.get("name", [])
@@ -177,15 +214,15 @@ def evaluate(
         states = fused_net.init_states(B, H, W)
         fparams = fused_net.params
 
-        @jax.jit
-        def _fused_step(params, voxel, cnt, st):
+        def _raw_step(_variables, voxel, cnt, st):
             x = voxel if model.encoding == "voxel" else cnt.astype(jnp.float32)
-            flow, st2 = fused_net.step(params, x, st)
+            flow, st2 = fused_net.step(fparams, x, st)
             return (flow,), st2, None
-
-        step_fn = lambda variables, voxel, cnt, st: _fused_step(fparams, voxel, cnt, st)
     else:
-        step_fn = make_eval_step(model, log=log_activity)
+        _raw_step = _raw_eval_step(model, log=log_activity)
+    step_fn = jax.jit(_raw_step)
+    chunk = max(int(chunk), 1)
+    chunk_fn = make_chunk_eval_step(_raw_step) if chunk > 1 else None
 
     # per-slot AEE cadence counters (reference eval_flow.py:273-278 is B=1
     # global; generalized per batch slot so each streamed file keeps its own
@@ -205,13 +242,199 @@ def evaluate(
     vis_frames = []
     windows_done = 0
 
+    encoding = model_cfg.get("encoding", "cnt")
+
+    def encode_wire(batch):
+        """Host wire arrays for one window: only the encoding the model
+        reads (models/model.py:146-161 selects one; shipping the dead one
+        wastes host->device bandwidth), counts as uint16 when exact
+        (restored to f32 inside the jitted step)."""
+        if encoding == "voxel":
+            return batch["event_voxel"], None
+        if compact_wire:
+            # counts are small non-negative integers unless downsample
+            # pooling is active — ship uint16 (exact, half the f32 bytes)
+            return None, batch["event_cnt"].astype(np.uint16)
+        return None, batch["event_cnt"]
+
+    def process_window(batch, flows, activity, host=False):
+        """Host-side per-window protocol: activity log, IWE, full-res
+        upsample, metric association/cadence, vis. Identical for the
+        per-window and chunked dispatch paths. With ``host`` the metric /
+        IWE jits run on the CPU backend over already-fetched flows — on a
+        high-latency link each per-window device metric call costs a full
+        roundtrip, which would cancel the chunked forward's savings."""
+        nonlocal activity_log, windows_done
+        if host:
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                return process_window(batch, flows, activity, host=False)
+        flows = list(flows)
+        if log_activity and activity is not None:
+            from evflow.utils.viz import vis_activity
+
+            activity_log = vis_activity(
+                {k: float(v) for k, v in activity.items()}, activity_log,
+                live=live_vis,
+            )
+
+        iwe = None
+        if collect_vis or vis is not None:
+            iwe = compute_pol_iwe(
+                flows[-1],
+                jnp.asarray(batch["event_list"]),
+                tuple(loader["resolution"]),
+                jnp.asarray(batch["event_list_pol_mask"][..., 0]),
+                jnp.asarray(batch["event_list_pol_mask"][..., 1]),
+                flow_scaling=flow_scaling,
+                round_idx=True,
+                valid=jnp.asarray(batch["event_valid"]),
+            )
+
+        # upsample predictions when GT stays at full resolution
+        if keep_gt_full_res and "gtflow" in batch:
+            gh, gw = batch["gtflow"].shape[1:3]
+            ph, pw = flows[-1].shape[1:3]
+            if gh > ph or gw > pw:
+                up = upsample_flow(flows[-1], gh, gw)
+                scale = jnp.array([gw / pw, gh / ph], jnp.float32)  # (x, y)
+                flows[-1] = up * scale
+        if collect_vis:
+            vis_frames.append(
+                {
+                    "flow": np.asarray(flows[-1]),
+                    "iwe": np.asarray(iwe),
+                    "event_cnt": batch["event_cnt"],
+                    "gtflow": batch.get("gtflow"),
+                }
+            )
+        if names:
+            inputs = {
+                "gtflow": jnp.asarray(batch["gtflow"]) if "gtflow" in batch else None,
+                "event_mask": jnp.asarray(batch["event_mask"]),
+                "dt_gt": jnp.asarray(batch["dt_gt"]),
+                "dt_input": jnp.asarray(batch["dt_input"]),
+            }
+            overwrite = bool(
+                config.get("loss", {}).get("overwrite_intermediate", False)
+            )
+            dt_gt_np = np.asarray(batch["dt_gt"], np.float64).reshape(-1)
+            for c in criteria:
+                c.event_flow_association(flows, inputs)
+            for i, mname in enumerate(names):
+                # overwrite intermediate flows with the final estimate
+                # (eval_flow.py:271-272)
+                if overwrite:
+                    criteria[i].overwrite_intermediate_flow(flows)
+                if mname == "AEE":
+                    # per-slot protocol (eval_flow.py:273-278 generalized):
+                    # a slot only advances its cadence when it has valid GT
+                    # this window, and only due slots accumulate
+                    idx_AEE[dt_gt_np > 0.0] += 1
+                    due = (idx_AEE >= cadence) & (dt_gt_np > 0.0)
+                    if not due.any():
+                        continue
+                else:
+                    due = np.ones(B, np.bool_)
+                val = criteria[i]()
+                if mname == "AEE":
+                    idx_AEE[due] = 0
+                for b in range(B):
+                    if not due[b]:
+                        continue
+                    fname = batch["file_names"][b]
+                    slot = val_results.setdefault(fname, {})
+                    entry = slot.setdefault(
+                        mname, {"metric": 0.0, "it": 0, "percent": 0.0}
+                    )
+                    entry["it"] += 1
+                    if criteria[i].has_percent:
+                        entry["metric"] += float(np.asarray(val[0][b]))
+                        entry["percent"] += float(np.asarray(val[1][b]))
+                    else:
+                        entry["metric"] += float(np.asarray(val)[b])
+                criteria[i].reset()
+
+        if vis is not None:
+            sequence = os.path.splitext(batch["file_names"][0])[0]
+            # event-masked window flow (loss/flow.py:465-474; single-pass
+            # window -> flow at event pixels, zero elsewhere)
+            fl = np.asarray(flows[-1])
+            em = np.asarray(batch["event_mask"])
+            if em.shape[1:3] != fl.shape[1:3]:
+                masked = None  # resolution mismatch (keep_gt_full_res)
+            else:
+                masked = fl * (em > 0)
+            err_map, err_is_angle = None, False
+            for i, mname in enumerate(names):
+                em_i = criteria[i].get_error_map()
+                if em_i is not None:
+                    err_map = em_i
+                    err_is_angle = mname in ("AAE", "NAAE")
+                    break
+            iwe_np = np.asarray(iwe) if iwe is not None else None
+            # live window suite (reference eval_flow.py:318-323); no-op
+            # unless vis.enabled and a display is present
+            vis.update(batch, fl, iwe=iwe_np, masked_flow=masked)
+            vis.store(
+                batch,
+                fl,
+                iwe_np,
+                sequence,
+                masked_flow=masked,
+                # slot 0's timestamp: store() renders batch slot 0 and the
+                # interval throttle must follow that slot's stream time
+                ts=float(np.asarray(batch["ts"]).reshape(-1)[0]),
+                error_map=err_map,
+                error_is_angle=err_is_angle,
+            )
+
+        windows_done += B
+        if verbose and windows_done % (100 * B) < B:
+            print(f"eval: {windows_done} windows, seq {data.seq_num}", end="\r")
+
+    pending: list = []
+
+    def run_pending():
+        """Dispatch buffered windows: one scanned device call for a full
+        chunk, the per-window jit otherwise (partial chunks at sequence /
+        epoch / stream boundaries reuse the per-window program so only two
+        compiled programs exist)."""
+        nonlocal states
+        if not pending:
+            return
+        if chunk_fn is not None and len(pending) == chunk:
+            vs, cs = zip(*(encode_wire(p) for p in pending))
+            voxels = jnp.asarray(np.stack(vs)) if vs[0] is not None else None
+            cnts = jnp.asarray(np.stack(cs)) if cs[0] is not None else None
+            flows_st, states, acts = chunk_fn(variables, voxels, cnts, states)
+            # ONE fetch per chunk; the per-window protocol then runs on the
+            # host CPU backend with no further device roundtrips
+            flows_np = [np.asarray(f) for f in flows_st]
+            acts_np = jax.device_get(acts) if acts is not None else None
+            for k, b in enumerate(pending):
+                flows_k = [f[k] for f in flows_np]
+                act_k = (
+                    {kk: vv[k] for kk, vv in acts_np.items()}
+                    if acts_np is not None else None
+                )
+                process_window(b, flows_k, act_k, host=True)
+        else:
+            for b in pending:
+                voxel, cnt = encode_wire(b)
+                flows, states, activity = step_fn(variables, voxel, cnt, states)
+                process_window(b, list(flows), activity)
+        pending.clear()
+
     fetch = Prefetcher(data, depth=2)
     try:
         while True:
             batch = next(fetch)
             if batch["epoch_done"]:
+                run_pending()
                 break
             if batch["new_seq"].any():
+                # flush so carries reset BEFORE this window runs
+                run_pending()
                 activity_log = None
                 states = _reset_slot_states(
                     states, model, batch["new_seq"], B, H, W
@@ -222,146 +445,11 @@ def evaluate(
                     c.reset(slots=batch["new_seq"])
                 idx_AEE[np.asarray(batch["new_seq"])] = 0
 
-            # upload only the encoding the model reads (models/model.py:146-161
-            # selects one; shipping the dead one wastes host->device bandwidth)
-            encoding = model_cfg.get("encoding", "cnt")
-            voxel = (
-                jnp.asarray(batch["event_voxel"]) if encoding == "voxel" else None
-            )
-            if encoding == "voxel":
-                cnt = None  # the model never reads it; don't ship it
-            elif compact_wire:
-                # counts are small non-negative integers unless downsample
-                # pooling is active — ship uint16 (exact, half the f32 bytes;
-                # restored to f32 inside the jitted step)
-                cnt = jnp.asarray(batch["event_cnt"].astype(np.uint16))
-            else:
-                cnt = jnp.asarray(batch["event_cnt"])
-            flows, states, activity = step_fn(variables, voxel, cnt, states)
-            flows = list(flows)
-            if log_activity and activity is not None:
-                from evflow.utils.viz import vis_activity
-
-                activity_log = vis_activity(
-                    {k: float(v) for k, v in activity.items()}, activity_log,
-                    live=live_vis,
-                )
-
-            iwe = None
-            if collect_vis or vis is not None:
-                iwe = compute_pol_iwe(
-                    flows[-1],
-                    jnp.asarray(batch["event_list"]),
-                    tuple(loader["resolution"]),
-                    jnp.asarray(batch["event_list_pol_mask"][..., 0]),
-                    jnp.asarray(batch["event_list_pol_mask"][..., 1]),
-                    flow_scaling=flow_scaling,
-                    round_idx=True,
-                    valid=jnp.asarray(batch["event_valid"]),
-                )
-
-            # upsample predictions when GT stays at full resolution
-            if keep_gt_full_res and "gtflow" in batch:
-                gh, gw = batch["gtflow"].shape[1:3]
-                ph, pw = flows[-1].shape[1:3]
-                if gh > ph or gw > pw:
-                    up = upsample_flow(flows[-1], gh, gw)
-                    scale = jnp.array([gw / pw, gh / ph], jnp.float32)  # (x, y)
-                    flows[-1] = up * scale
-            if collect_vis:
-                vis_frames.append(
-                    {
-                        "flow": np.asarray(flows[-1]),
-                        "iwe": np.asarray(iwe),
-                        "event_cnt": batch["event_cnt"],
-                        "gtflow": batch.get("gtflow"),
-                    }
-                )
-            if names:
-                inputs = {
-                    "gtflow": jnp.asarray(batch["gtflow"]) if "gtflow" in batch else None,
-                    "event_mask": jnp.asarray(batch["event_mask"]),
-                    "dt_gt": jnp.asarray(batch["dt_gt"]),
-                    "dt_input": jnp.asarray(batch["dt_input"]),
-                }
-                overwrite = bool(
-                    config.get("loss", {}).get("overwrite_intermediate", False)
-                )
-                dt_gt_np = np.asarray(batch["dt_gt"], np.float64).reshape(-1)
-                for c in criteria:
-                    c.event_flow_association(flows, inputs)
-                for i, mname in enumerate(names):
-                    # overwrite intermediate flows with the final estimate
-                    # (eval_flow.py:271-272)
-                    if overwrite:
-                        criteria[i].overwrite_intermediate_flow(flows)
-                    if mname == "AEE":
-                        # per-slot protocol (eval_flow.py:273-278 generalized):
-                        # a slot only advances its cadence when it has valid GT
-                        # this window, and only due slots accumulate
-                        idx_AEE[dt_gt_np > 0.0] += 1
-                        due = (idx_AEE >= cadence) & (dt_gt_np > 0.0)
-                        if not due.any():
-                            continue
-                    else:
-                        due = np.ones(B, np.bool_)
-                    val = criteria[i]()
-                    if mname == "AEE":
-                        idx_AEE[due] = 0
-                    for b in range(B):
-                        if not due[b]:
-                            continue
-                        fname = batch["file_names"][b]
-                        slot = val_results.setdefault(fname, {})
-                        entry = slot.setdefault(
-                            mname, {"metric": 0.0, "it": 0, "percent": 0.0}
-                        )
-                        entry["it"] += 1
-                        if criteria[i].has_percent:
-                            entry["metric"] += float(np.asarray(val[0][b]))
-                            entry["percent"] += float(np.asarray(val[1][b]))
-                        else:
-                            entry["metric"] += float(np.asarray(val)[b])
-                    criteria[i].reset()
-
-            if vis is not None:
-                sequence = os.path.splitext(batch["file_names"][0])[0]
-                # event-masked window flow (loss/flow.py:465-474; single-pass
-                # window -> flow at event pixels, zero elsewhere)
-                fl = np.asarray(flows[-1])
-                em = np.asarray(batch["event_mask"])
-                if em.shape[1:3] != fl.shape[1:3]:
-                    masked = None  # resolution mismatch (keep_gt_full_res)
-                else:
-                    masked = fl * (em > 0)
-                err_map, err_is_angle = None, False
-                for i, mname in enumerate(names):
-                    em_i = criteria[i].get_error_map()
-                    if em_i is not None:
-                        err_map = em_i
-                        err_is_angle = mname in ("AAE", "NAAE")
-                        break
-                iwe_np = np.asarray(iwe) if iwe is not None else None
-                # live window suite (reference eval_flow.py:318-323); no-op
-                # unless vis.enabled and a display is present
-                vis.update(batch, fl, iwe=iwe_np, masked_flow=masked)
-                vis.store(
-                    batch,
-                    fl,
-                    iwe_np,
-                    sequence,
-                    masked_flow=masked,
-                    # slot 0's timestamp: store() renders batch slot 0 and the
-                    # interval throttle must follow that slot's stream time
-                    ts=float(np.asarray(batch["ts"]).reshape(-1)[0]),
-                    error_map=err_map,
-                    error_is_angle=err_is_angle,
-                )
-
-            windows_done += B
-            if verbose and windows_done % (100 * B) < B:
-                print(f"eval: {windows_done} windows, seq {data.seq_num}", end="\r")
+            pending.append(batch)
+            if len(pending) >= chunk:
+                run_pending()
             if max_windows is not None and windows_done >= max_windows:
+                run_pending()
                 break
 
     except KeyboardInterrupt:

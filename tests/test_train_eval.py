@@ -451,3 +451,28 @@ def test_best_val_checkpoint_keeps_opt_state(dataset, tmp_path):
     run2 = train(cfg, path_runs=str(tmp_path / "r2"), prev_ckpt=best_dir,
                  max_steps=2, verbose=False)
     assert os.path.isdir(run2.dir)
+
+
+@pytest.mark.parametrize("chunk", [3, 8])
+def test_evaluate_chunked_matches_unchunked(dataset, tmp_path, chunk):
+    """chunk=K scans K windows per device dispatch; the metric protocol is
+    host-side per window either way, so per-file AEE/AAE must match the
+    per-window path exactly (chunks flush at sequence rollovers, partial
+    chunks fall back to the per-window program)."""
+    from evflow.registry import build_model
+
+    cfg = eval_cfg(dataset)
+    cfg["metrics"]["name"] = ["AEE", "AAE"]
+    model = build_model(cfg["model"])
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(7), None, jnp.zeros((1, 32, 32, 2)), states)
+
+    r1 = evaluate(cfg, path_results=str(tmp_path / "c1"), debug=True,
+                  model=model, variables=v, verbose=False)
+    rk = evaluate(cfg, path_results=str(tmp_path / f"c{chunk}"), debug=True,
+                  model=model, variables=v, verbose=False, chunk=chunk)
+    assert set(r1["AEE"]) == set(rk["AEE"])
+    for mname in ("AEE", "AAE"):
+        for fname in r1[mname]:
+            assert float(r1[mname][fname]) == pytest.approx(
+                float(rk[mname][fname]), rel=1e-5), (mname, fname)
