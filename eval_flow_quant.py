@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--path_results", default="results_inference/")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--max_windows", type=int, default=None)
+    parser.add_argument("--chunk", type=int, default=1,
+                        help="scan K windows per device dispatch (identical "
+                             "metrics; amortizes per-dispatch latency on "
+                             "remote/tunneled hosts)")
     args = parser.parse_args()
 
     import jax
@@ -124,7 +128,7 @@ def main():
             config, variables=engine.params, model=engine,
             path_results=args.path_results,
             runid="quant_deploy", debug=args.debug,
-            max_windows=args.max_windows,
+            max_windows=args.max_windows, chunk=args.chunk,
         )
         for metric, per_file in results.items():
             for fname, val in per_file.items():
@@ -170,7 +174,7 @@ def main():
         config, variables=variables, model=qmodel,
         path_results=args.path_results,
         runid=f"quant_{args.mode}", debug=args.debug,
-        max_windows=args.max_windows,
+        max_windows=args.max_windows, chunk=args.chunk,
     )
 
     print()

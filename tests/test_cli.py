@@ -278,3 +278,13 @@ def test_train_seed_determinism(workspace):
         with open(ck, "rb") as f:
             ckpt_bytes.append(f.read())
     assert ckpt_bytes[0] == ckpt_bytes[1]
+
+
+def test_eval_flow_quant_deploy_chunked_cli(workspace, trained_run):
+    """--mode deploy with --chunk: the int8 engine under the chunked
+    dispatch path (scan over engine.apply) through the CLI."""
+    out = run_cli(["eval_flow_quant.py", _ckpt(trained_run),
+                   "--config", workspace["eval_cfg"], "--mode", "deploy",
+                   "--mem_dtype", "mixed", "--calibration_batches", "2",
+                   "--max_windows", "6", "--chunk", "3", "--debug"])
+    assert "AEE" in out.stdout
