@@ -125,7 +125,6 @@ class H5EventStream:
         self.seq_num = 0
         self.samples = 0
         self.new_seq = False
-        self.last_proc_timestamp = 0.0
         # per-slot last event timestamp: at B>1 each slot streams a different
         # file, so time-based consumers (vis store_interval throttling,
         # visualization.py:226-231) need slot-correct provenance
@@ -341,8 +340,6 @@ class H5EventStream:
         ys = dys[i0:i1].astype(np.float32)
         ts = dts[i0:i1].astype(np.float64) - t0
         ps = dps[i0:i1].astype(np.float32)
-        if ts.shape[0] > 0:
-            self.last_proc_timestamp = float(ts[-1])
         return xs, ys, ts, ps
 
     def _event_index(self, b: int) -> Tuple[int, int]:
@@ -421,8 +418,6 @@ class H5EventStream:
         ps = ps.astype(np.float32)
         m = (ys >= 0) & (ys < th) & (xs >= 0) & (xs < tw)
         xs, ys, ts, ps = xs[m], ys[m], ts[m], ps[m]
-        if ts.size:
-            self.last_proc_timestamp = float(ts[-1])
         self.batch_row[b] = float(cur)
         return xs, ys, ts, ps
 

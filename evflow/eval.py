@@ -203,6 +203,7 @@ def evaluate(
 
     data = H5EventStream(config, model_cfg.get("num_bins", 2),
                          model_cfg.get("round_encoding", False))
+    step_variables = variables  # what the jitted step receives as its pytree
     if fused:
         # Pallas fused inference path (evflow/models/fused.py); one flow
         # scale, no activity logging
@@ -212,9 +213,13 @@ def evaluate(
             raise ValueError("fused backend does not support activity logging")
         fused_net = FusedFireNet.from_firenet(model, variables)
         states = fused_net.init_states(B, H, W)
-        fparams = fused_net.params
+        # params flow through the jit ARGUMENT, not the closure: closed-over
+        # weights bake into the compiled program as literals, so every new
+        # checkpoint would miss the persistent compile cache (minutes per
+        # remote compile on this backend)
+        step_variables = fused_net.params
 
-        def _raw_step(_variables, voxel, cnt, st):
+        def _raw_step(fparams, voxel, cnt, st):
             x = voxel if model.encoding == "voxel" else cnt.astype(jnp.float32)
             flow, st2 = fused_net.step(fparams, x, st)
             return (flow,), st2, None
@@ -406,7 +411,7 @@ def evaluate(
             vs, cs = zip(*(encode_wire(p) for p in pending))
             voxels = jnp.asarray(np.stack(vs)) if vs[0] is not None else None
             cnts = jnp.asarray(np.stack(cs)) if cs[0] is not None else None
-            flows_st, states, acts = chunk_fn(variables, voxels, cnts, states)
+            flows_st, states, acts = chunk_fn(step_variables, voxels, cnts, states)
             # ONE fetch per chunk; the per-window protocol then runs on the
             # host CPU backend with no further device roundtrips
             flows_np = [np.asarray(f) for f in flows_st]
@@ -421,7 +426,7 @@ def evaluate(
         else:
             for b in pending:
                 voxel, cnt = encode_wire(b)
-                flows, states, activity = step_fn(variables, voxel, cnt, states)
+                flows, states, activity = step_fn(step_variables, voxel, cnt, states)
                 process_window(b, list(flows), activity)
         pending.clear()
 
@@ -439,8 +444,11 @@ def evaluate(
                 states = _reset_slot_states(
                     states, model, batch["new_seq"], B, H, W
                 )
-                # only the rolled-over slots lose their association state
-                # and restart their AEE cadence
+                # clear rolled-over slots' association state and restart
+                # their AEE cadence. NB: association currently REPLACES the
+                # whole window before every metric call, so the slot-masked
+                # reset is future-proofing for accumulating association, not
+                # load-bearing today (VERDICT r2 weak #5)
                 for c in criteria:
                     c.reset(slots=batch["new_seq"])
                 idx_AEE[np.asarray(batch["new_seq"])] = 0

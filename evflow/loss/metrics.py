@@ -290,7 +290,10 @@ class _BaseMetric:
         """Full reset, or — given a boolean [B] slot array — clear only the
         rolled-over slots' association so sequence rollover at B>1 never
         touches live slots' windows (reference eval_flow.py:211-214 is B=1
-        global; generalized per batch slot)."""
+        global; generalized per batch slot). Since association currently
+        replaces the whole window each call, the slot form only matters if
+        association ever accumulates across windows — it exists so that
+        change cannot silently contaminate live slots."""
         if slots is None:
             self._reset_window()
             return

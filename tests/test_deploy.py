@@ -493,3 +493,32 @@ def test_engine_pre_reciprocal_artifact_compat():
     np.testing.assert_array_equal(
         np.asarray(o_new["flow"][0]), np.asarray(o_old["flow"][0])
     )
+
+
+def test_engine_reciprocal_quant_within_one_code():
+    """For non-power-of-two membrane scales, round(x*inv) vs the divide
+    fallback round(x/s) may differ by at most one int8 code at .5 rounding
+    boundaries — bound the divergence and the resulting flow gap."""
+    model = build_model(_model_cfg())
+    B, H, W = 1, 16, 16
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(2), None, jnp.zeros((B, H, W, 2)), states)
+    scales = [0.3] * model.num_units  # 1/0.3 inexact in binary
+    e_new = Int8DeployEngine(model, v, mem_dtype="int8", mem_scales=scales)
+    e_old = Int8DeployEngine(model, v, mem_dtype="int8", mem_scales=scales)
+    for u in e_old.params["units"]:
+        del u["mem_inv_scale"]
+
+    cnt = jax.random.poisson(jax.random.PRNGKey(5), 0.3, (B, H, W, 2)).astype(
+        jnp.float32)
+    s_new, s_old = e_new.init_states(B, H, W), e_old.init_states(B, H, W)
+    for _ in range(3):
+        o_new, s_new = e_new.apply(e_new.params, None, cnt, s_new)
+        o_old, s_old = e_old.apply(e_old.params, None, cnt, s_old)
+    for a, b in zip(s_new, s_old):
+        d = np.abs(np.asarray(a.mem, np.int32) - np.asarray(b.mem, np.int32))
+        assert d.max() <= 1, f"membrane codes diverged by {d.max()}"
+    # flows agree except where a boundary code flipped a spike (rare)
+    fn = np.asarray(o_new["flow"][0])
+    fo = np.asarray(o_old["flow"][0])
+    assert np.mean(np.abs(fn - fo) < 0.02) > 0.99
