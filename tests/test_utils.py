@@ -101,3 +101,31 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
 
     report = inspect_quantized_checkpoint(d, verbose=False)
     assert report["num_bits"] == 8
+
+
+def test_vis_activity_live_plot(monkeypatch):
+    """vis_activity(live=True) under a DISPLAY drives the persistent
+    interactive figure (reference visualization.py:1087-1126 live plot);
+    headless (no DISPLAY) it only accumulates."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from evflow.utils import viz
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    log = viz.vis_activity({"head": 0.1}, None, live=True)
+    assert log == {"head": [0.1]}
+    assert getattr(viz._draw_activity_live, "_fig", None) is None
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    log = viz.vis_activity({"head": 0.2}, log, live=True)
+    log = viz.vis_activity({"head": 0.3}, log, live=True)
+    assert log["head"] == [0.1, 0.2, 0.3]
+    fig = getattr(viz._draw_activity_live, "_fig", None)
+    assert fig is not None
+    ax = viz._draw_activity_live._ax
+    assert len(ax.lines) == 1 and list(ax.lines[0].get_ydata()) == log["head"]
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    viz._draw_activity_live._fig = None

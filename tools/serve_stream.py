@@ -14,6 +14,7 @@ generated so the demo runs without MVSEC data.
 """
 
 import argparse
+from functools import partial
 import os
 import sys
 import time
@@ -101,12 +102,14 @@ def main():
                               input_scale=input_scale)
     states = engine.init_states(B, H, W)
 
-    @jax.jit
+    # donate the state carry: membranes/spikes update in place instead of
+    # double-buffering (same knob as bench.py round 5)
+    @partial(jax.jit, donate_argnums=(2,))
     def step(params, cnt, st):
         out, st2 = engine.apply(params, None, cnt.astype(jnp.float32), st)
         return out["flow"][0], st2
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(2,))
     def chunk_step(params, cnts, st):
         """[K, B, H, W, 2] -> scan K engine steps in ONE dispatch."""
 
@@ -136,15 +139,17 @@ def main():
     # --windows rounds down to whole chunks in chunked mode
     budget = (args.windows // K) * K if K > 1 else args.windows
 
-    # warm up (compile) on an all-zeros window and DISCARD the state, so
-    # the served flow sequence is identical for every chunk setting
+    # warm up (compile) on an all-zeros window with a THROWAWAY state (the
+    # jitted steps donate their state argument, and the served flow
+    # sequence must be identical for every chunk setting)
     first = next(fetch)
     zw = wire(np.zeros_like(first["event_cnt"]))
+    warm_states = engine.init_states(B, H, W)
     if K == 1:
-        flow, _ = step(engine.params, zw, states)
+        flow, _ = step(engine.params, zw, warm_states)
     else:
         flows, _ = chunk_step(
-            engine.params, jnp.broadcast_to(zw, (K, *zw.shape)), states
+            engine.params, jnp.broadcast_to(zw, (K, *zw.shape)), warm_states
         )
         flow = flows[-1]
     flow.block_until_ready(); float(jnp.sum(flow))
