@@ -67,6 +67,30 @@ def apply_variant(params, x, states, split_dual=False, bf16_quant=False):
     for i, unit in enumerate(params["units"]):
         mem, prev_spk = states[i]
         mem_f = _mem_dequant(mem, unit) if engine.unit_mem_int8[i] else mem
+        if engine.unit_recurrent[i] and split_dual == "bf16":
+            # two K=3C dots, each converted+scaled at its own output fusion;
+            # the add fuses elementwise (no int32 accumulator materializes)
+            K = unit["w"].shape[0] // 2
+            Za = jax.lax.dot_general(
+                cols_dx(h).reshape(-1, K), unit["w"][:K],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+            ).astype(jnp.bfloat16) * unit["col_scale"]
+            Zb = jax.lax.dot_general(
+                cols_dx(prev_spk).reshape(-1, K), unit["w"][K:],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+            ).astype(jnp.bfloat16) * unit["col_scale"]
+            Z = (Za + Zb).reshape(B, H, W, 3 * C)
+            y = dy_epilogue(Z, H, C) + unit["bias"]
+            spk, mem_out = leaky_step(
+                y, mem_f, unit["beta"], unit["theta"],
+                reset="zero" if engine.hard_reset else "subtract",
+                alpha=engine.alpha,
+            )
+            h = spk.astype(jnp.int8)
+            if engine.unit_mem_int8[i]:
+                mem_out = mq(mem_out, unit)
+            new_states.append(LIFState(mem_out, h))
+            continue
         if engine.unit_recurrent[i] and split_dual:
             K = unit["w"].shape[0] // 2
             Zi = jax.lax.dot_general(
@@ -140,3 +164,5 @@ if __name__ == "__main__":
         bench("var2 bf16 mem quant ", False, True)
     if "var3" in which:
         bench("var3 split + bf16   ", True, True)
+    if "var4" in which:
+        bench("var4 split dual bf16", "bf16", False)
