@@ -21,6 +21,10 @@ def main():
     parser.add_argument("--max_windows", type=int, default=None)
     parser.add_argument("--fused", action="store_true",
                         help="use the Pallas fused conv+LIF inference path")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="fan batch slots out over a 1-D data mesh of N "
+                             "devices (each chip evaluates different "
+                             "sequences; batch_size must be divisible by N)")
     parser.add_argument("--chunk", type=int, default=1,
                         help="scan K windows per device dispatch (identical "
                              "metrics; amortizes per-dispatch latency on "
@@ -60,6 +64,12 @@ def main():
             runid = args.checkpoint
             break
 
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from evflow.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+
     import contextlib
 
     if args.profile:
@@ -78,6 +88,7 @@ def main():
             max_windows=args.max_windows,
             fused=args.fused,
             chunk=args.chunk,
+            mesh=mesh,
         )
     print()
     for metric, per_file in results.items():

@@ -101,6 +101,7 @@ def evaluate(
     collect_vis: bool = False,
     verbose: bool = True,
     chunk: int = 1,
+    mesh=None,
 ):
     """Run the full evaluation protocol; returns the per-file results dict.
 
@@ -115,6 +116,12 @@ def evaluate(
     Results match the per-window path to CPU-vs-TPU f32 rounding (<1e-6
     relative — benchmarks/bench_eval_chunk.py: 14-20x wall speedup on a
     tunneled chip). ``max_windows`` may overshoot by up to ``chunk - 1``.
+
+    ``mesh`` fans the batch slots out over a 1-D ``data`` device mesh
+    (SURVEY §5.8: each chip evaluates different streamed sequences —
+    states and window uploads are sharded on the batch axis; GSPMD keeps
+    all compute local because every op is batch-parallel). Metric results
+    are identical to single-device evaluation.
     """
     metrics_cfg = config.get("metrics", {})
     names = metrics_cfg.get("name", [])
@@ -228,6 +235,23 @@ def evaluate(
     step_fn = jax.jit(_raw_step)
     chunk = max(int(chunk), 1)
     chunk_fn = make_chunk_eval_step(_raw_step) if chunk > 1 else None
+
+    batch_shd = chunk_shd = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        if B % n_dev != 0:
+            raise ValueError(
+                f"batch_size {B} must be divisible by the mesh size {n_dev}"
+            )
+        batch_shd = NamedSharding(mesh, P("data"))
+        chunk_shd = NamedSharding(mesh, P(None, "data"))
+
+        def _shard_states(st):
+            return jax.tree.map(lambda x: jax.device_put(x, batch_shd), st)
+
+        states = _shard_states(states)
 
     # per-slot AEE cadence counters (reference eval_flow.py:273-278 is B=1
     # global; generalized per batch slot so each streamed file keeps its own
@@ -409,8 +433,14 @@ def evaluate(
             return
         if chunk_fn is not None and len(pending) == chunk:
             vs, cs = zip(*(encode_wire(p) for p in pending))
-            voxels = jnp.asarray(np.stack(vs)) if vs[0] is not None else None
-            cnts = jnp.asarray(np.stack(cs)) if cs[0] is not None else None
+
+            def up(stack):  # [K, B, ...] upload, batch axis over the mesh
+                a = np.stack(stack)
+                return (jax.device_put(a, chunk_shd) if chunk_shd is not None
+                        else jnp.asarray(a))
+
+            voxels = up(vs) if vs[0] is not None else None
+            cnts = up(cs) if cs[0] is not None else None
             flows_st, states, acts = chunk_fn(step_variables, voxels, cnts, states)
             # ONE fetch per chunk; the per-window protocol then runs on the
             # host CPU backend with no further device roundtrips
@@ -426,6 +456,11 @@ def evaluate(
         else:
             for b in pending:
                 voxel, cnt = encode_wire(b)
+                if batch_shd is not None:
+                    voxel = (jax.device_put(voxel, batch_shd)
+                             if voxel is not None else None)
+                    cnt = (jax.device_put(cnt, batch_shd)
+                           if cnt is not None else None)
                 flows, states, activity = step_fn(step_variables, voxel, cnt, states)
                 process_window(b, list(flows), activity)
         pending.clear()
@@ -444,6 +479,8 @@ def evaluate(
                 states = _reset_slot_states(
                     states, model, batch["new_seq"], B, H, W
                 )
+                if batch_shd is not None:
+                    states = _shard_states(states)
                 # clear rolled-over slots' association state and restart
                 # their AEE cadence. NB: association currently REPLACES the
                 # whole window before every metric call, so the slot-masked

@@ -291,3 +291,42 @@ def test_shard_window_process_local_matches_device_put():
         assert a[k].sharding.is_equivalent_to(b[k].sharding, a[k].ndim)
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
         assert a[k].dtype == b[k].dtype
+
+
+def test_evaluate_mesh_fanout_matches_single_device(tmp_path, dataset):
+    """evaluate(mesh=...) shards batch slots over the data mesh (SURVEY
+    §5.8 eval fan-out: each chip streams different sequences); per-file
+    metrics match single-device evaluation."""
+    from evflow.eval import evaluate
+    from evflow.registry import build_model
+
+    cfg = {
+        "data": {"path": dataset, "mode": "gtflow_dt1", "window": 1},
+        "model": {"name": "LIFFireNet_short", "encoding": "cnt", "num_bins": 2,
+                  "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+                  "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}},
+        "loader": {"resolution": [32, 32], "std_resolution": [32, 32],
+                   "batch_size": 2, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False},
+        "vis": {"bars": False},
+        "metrics": {"name": ["AEE", "AAE"], "flow_scaling": 32},
+        "loss": {},
+    }
+    model = build_model(cfg["model"])
+    states = model.init_states(2, 32, 32)
+    v = model.init(jax.random.PRNGKey(3), None, jnp.zeros((2, 32, 32, 2)), states)
+
+    r1 = evaluate(cfg, model=model, variables=v, debug=True, verbose=False)
+    rm = evaluate(cfg, model=model, variables=v, debug=True, verbose=False,
+                  mesh=make_mesh(2))
+    assert set(r1["AEE"]) == set(rm["AEE"]) and len(r1["AEE"]) == 2
+    for mname in ("AEE", "AAE"):
+        for fname in r1[mname]:
+            assert float(r1[mname][fname]) == pytest.approx(
+                float(rm[mname][fname]), rel=1e-5), (mname, fname)
+    # chunked + mesh compose
+    rc = evaluate(cfg, model=model, variables=v, debug=True, verbose=False,
+                  mesh=make_mesh(2), chunk=4)
+    for fname in r1["AEE"]:
+        assert float(r1["AEE"][fname]) == pytest.approx(
+            float(rc["AEE"][fname]), rel=1e-5), fname
