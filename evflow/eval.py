@@ -220,6 +220,7 @@ def evaluate(
             raise ValueError("fused backend does not support activity logging")
         fused_net = FusedFireNet.from_firenet(model, variables)
         states = fused_net.init_states(B, H, W)
+        state_model = fused_net  # rollover resets must match ITS state layout
         # params flow through the jit ARGUMENT, not the closure: closed-over
         # weights bake into the compiled program as literals, so every new
         # checkpoint would miss the persistent compile cache (minutes per
@@ -232,6 +233,7 @@ def evaluate(
             return (flow,), st2, None
     else:
         _raw_step = _raw_eval_step(model, log=log_activity)
+        state_model = model
     step_fn = jax.jit(_raw_step)
     chunk = max(int(chunk), 1)
     chunk_fn = make_chunk_eval_step(_raw_step) if chunk > 1 else None
@@ -477,7 +479,7 @@ def evaluate(
                 run_pending()
                 activity_log = None
                 states = _reset_slot_states(
-                    states, model, batch["new_seq"], B, H, W
+                    states, state_model, batch["new_seq"], B, H, W
                 )
                 if batch_shd is not None:
                     states = _shard_states(states)

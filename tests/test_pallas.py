@@ -219,3 +219,34 @@ def test_wholenet_kernels_match_layer_grid():
                 flows.append(np.asarray(f))
             np.testing.assert_array_equal(flows[0], flows[1])
             np.testing.assert_array_equal(flows[0], flows[2])
+
+
+def test_fused_evaluate_sequence_rollover(tmp_path):
+    """Sequence rollover inside evaluate(fused=True): carry resets must use
+    the FUSED net's state layout (regression: _reset_slot_states built
+    FireNet-layout states, which breaks the channel-major fused layout)."""
+    from evflow.data.synthetic import make_dataset
+    from evflow.eval import evaluate
+
+    root = str(tmp_path / "d")
+    make_dataset(root, num_sequences=2, resolution=(32, 32), events_per_sec=20000,
+                 duration=0.25, flows=[(10.0, -5.0), (-6.0, 3.0)], gt_hz=10.0)
+    cfg = {
+        "data": {"path": root, "mode": "gtflow_dt1", "window": 1},
+        "model": {"name": "LIFFireNet_short", "encoding": "cnt", "num_bins": 2,
+                  "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+                  "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}},
+        "loader": {"resolution": [32, 32], "std_resolution": [32, 32],
+                   "batch_size": 1, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False},
+        "vis": {"bars": False},
+        "metrics": {"name": ["AEE"], "flow_scaling": 32},
+        "loss": {},
+    }
+    with pltpu.force_tpu_interpret_mode():
+        # run past the first (0.25 s) sequence so a rollover reset fires
+        results = evaluate(cfg, debug=True, max_windows=8, verbose=False,
+                           fused=True)
+    assert len(results["AEE"]) == 2  # both sequences evaluated
+    for v in results["AEE"].values():
+        assert np.isfinite(float(v))
