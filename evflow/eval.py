@@ -117,11 +117,12 @@ def evaluate(
     relative — benchmarks/bench_eval_chunk.py: 14-20x wall speedup on a
     tunneled chip). ``max_windows`` may overshoot by up to ``chunk - 1``.
 
-    ``mesh`` fans the batch slots out over a 1-D ``data`` device mesh
-    (SURVEY §5.8: each chip evaluates different streamed sequences —
-    states and window uploads are sharded on the batch axis; GSPMD keeps
-    all compute local because every op is batch-parallel). Metric results
-    are identical to single-device evaluation.
+    ``mesh`` fans the batch slots out over a 1-D device mesh (SURVEY
+    §5.8: each chip evaluates different streamed sequences — states and
+    window uploads are sharded on the batch axis; GSPMD keeps the
+    non-fused compute local because every op is batch-parallel; the
+    Pallas ``fused`` backend cannot be partitioned and is rejected).
+    Metric results are identical to single-device evaluation.
     """
     metrics_cfg = config.get("metrics", {})
     names = metrics_cfg.get("name", [])
@@ -242,13 +243,20 @@ def evaluate(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from evflow.parallel.mesh import batch_sharding
+
+        if fused:
+            # the Pallas kernels are Mosaic custom calls with no
+            # shard_map/custom_partitioning — GSPMD cannot partition them
+            raise ValueError("fused backend does not support mesh fan-out")
         n_dev = int(mesh.devices.size)
         if B % n_dev != 0:
             raise ValueError(
                 f"batch_size {B} must be divisible by the mesh size {n_dev}"
             )
-        batch_shd = NamedSharding(mesh, P("data"))
-        chunk_shd = NamedSharding(mesh, P(None, "data"))
+        axis = mesh.axis_names[0]
+        batch_shd = batch_sharding(mesh, axis)
+        chunk_shd = NamedSharding(mesh, P(None, axis))
 
         def _shard_states(st):
             return jax.tree.map(lambda x: jax.device_put(x, batch_shd), st)

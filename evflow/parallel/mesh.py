@@ -30,9 +30,18 @@ __all__ = [
 
 
 def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D mesh over the first ``num_devices`` local devices."""
+    """1-D mesh over the first ``num_devices`` local devices.
+
+    Raises when fewer devices exist than requested — silently degrading
+    to a smaller mesh would let e.g. ``--num_devices 4`` run single-device
+    while the user believes they measured 4-way fan-out."""
     devs = jax.devices()
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but jax reports "
+                f"{len(devs)} ({devs[0].platform if devs else 'none'})"
+            )
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis_name,))
 

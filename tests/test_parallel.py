@@ -330,3 +330,27 @@ def test_evaluate_mesh_fanout_matches_single_device(tmp_path, dataset):
     for fname in r1["AEE"]:
         assert float(r1["AEE"][fname]) == pytest.approx(
             float(rc["AEE"][fname]), rel=1e-5), fname
+
+
+def test_make_mesh_rejects_too_few_devices():
+    with pytest.raises(ValueError, match="reports"):
+        make_mesh(1000)
+
+
+def test_evaluate_rejects_fused_with_mesh(dataset):
+    """The Pallas fused backend has no GSPMD partitioning — evaluate must
+    reject the combination instead of failing opaquely inside Mosaic."""
+    from evflow.eval import evaluate
+
+    cfg = {
+        "data": {"path": dataset, "mode": "gtflow_dt1", "window": 1},
+        "model": {"name": "LIFFireNet_short", "encoding": "cnt", "num_bins": 2,
+                  "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+                  "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]}},
+        "loader": {"resolution": [32, 32], "std_resolution": [32, 32],
+                   "batch_size": 2, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False}, "vis": {"bars": False},
+        "metrics": {"name": ["AEE"], "flow_scaling": 32}, "loss": {},
+    }
+    with pytest.raises(ValueError, match="fused.*mesh|mesh.*fused"):
+        evaluate(cfg, debug=True, verbose=False, fused=True, mesh=make_mesh(2))
