@@ -23,9 +23,18 @@ Timing note: on the tunneled axon backend ``block_until_ready`` does not
 synchronize — a scalar fetch does, so we reduce the flows inside the scan
 and fetch the result. Each dispatch+fetch roundtrip carries ~35 ms of
 fixed wire/relay overhead on this rig (fit from the T=64 vs T=256 scaling,
-BENCH_NOTES.md round 5) — T=256 amortizes it to ~0.14 ms/window so the
-scored number tracks the device step, which is what a normally-attached
+BENCH_NOTES.md round 5) — the long scan amortizes it to <0.01 ms/window so
+the scored number tracks the device step, which is what a normally-attached
 host observes; state buffers are donated (the carry updates in place).
+
+Shape note (round-6 sweep, BENCH_NOTES.md): B=8 was optimal only while the
+per-dispatch wire tax dominated (T=64). With the tax amortized, smaller
+batches run FASTER per window — the B=8 working set (two s8[8,256,256,192]
+cols buffers per dual unit) thrashes what the HBM scheduler streams
+cleanly, while B=2 stays resident: measured 3621 (B=2) vs 3546 (B=4) vs
+~2740 (B=8) device-equivalent win/s at T=4096. Serving more streams than
+fits one engine is the multi-chip fan-out's job (evaluate(mesh=...)), not
+a bigger B.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -37,7 +46,7 @@ import time
 MEM_DTYPE = "mixed"  # the <=1%-AEE serving tier (see BENCH_NOTES.md)
 
 
-def bench(B=8, H=256, W=256, T=256, channels=32, iters=8, mem_dtype=MEM_DTYPE):
+def bench(B=2, H=256, W=256, T=4096, channels=32, iters=8, mem_dtype=MEM_DTYPE):
     import jax
 
     jax.config.update(

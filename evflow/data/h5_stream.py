@@ -172,6 +172,15 @@ class H5EventStream:
         self._ds_cache: Dict[int, tuple] = {}
         self._ts_cache: Dict[int, np.ndarray] = {}
         self.ts_cache_bytes = int(loader.get("ts_cache_bytes", 256 << 20))
+        # whole-file event-array cache (loader.event_cache_bytes, default
+        # 1 GiB; 0 disables): files under the budget are read once into RAM
+        # pre-cast (xs/ys/ps f32, ts f64 minus t0) so per-window reads are
+        # O(1) slices instead of h5py dataset reads + casts. Keyed by PATH —
+        # shared when several slots stream the same file and survives slot
+        # rollovers. FIFO-evicted against the total budget.
+        self._ev_cache: Dict[str, tuple] = {}
+        self._ev_cache_used = 0
+        self.event_cache_bytes = int(loader.get("event_cache_bytes", 1 << 30))
 
         # optional per-slot fetch fan-out (loader.fetch_workers > 1): each
         # batch slot's read+encode runs on a pool thread. Deterministic
@@ -226,8 +235,12 @@ class H5EventStream:
             self._open_slot(b, self.files[b % len(self.files)])
             self._resample_aug(b)
 
-        # native C++ encoder (native/evflow_host.cpp) with numpy fallback
+        # native C++ encoder (native/evflow_host.cpp) with numpy fallback;
+        # loader.fused_assembly: False keeps the native kernels but disables
+        # the single-call ev_window_assemble fast path (ablation knob,
+        # benchmarks/bench_loader.py)
         self._native = None
+        self._fused_assembly = bool(loader.get("fused_assembly", True))
         if bool(loader.get("native_encoder", True)):
             try:
                 from evflow.data.native import NativeEncoder
@@ -334,7 +347,43 @@ class H5EventStream:
                 hi = mid
         return lo
 
+    def _cached_events(self, f):
+        """Whole-file pre-cast event arrays when the file fits the
+        event-cache budget; None otherwise (falls back to dataset reads)."""
+        path = f.filename
+        c = self._ev_cache.get(path)
+        if c is not None or self.event_cache_bytes <= 0:
+            return c
+        dxs, dys, dts, dps, t0 = self._events_ds(f)
+        n = dxs.shape[0]
+        nbytes = n * (4 + 4 + 8 + 4)
+        if nbytes > self.event_cache_bytes:
+            return None
+        with self._slot_lock:
+            c = self._ev_cache.get(path)
+            if c is not None:
+                return c
+            while self._ev_cache and self._ev_cache_used + nbytes > self.event_cache_bytes:
+                oldest = next(iter(self._ev_cache))  # dicts preserve insertion order
+                self._ev_cache_used -= self._ev_cache.pop(oldest)[0]
+            c = (
+                nbytes,
+                dxs[...].astype(np.float32),
+                dys[...].astype(np.float32),
+                dts[...].astype(np.float64) - t0,
+                dps[...].astype(np.float32),
+            )
+            self._ev_cache[path] = c
+            self._ev_cache_used += nbytes
+        return c
+
     def _get_events(self, f, i0: int, i1: int):
+        c = self._cached_events(f)
+        if c is not None:
+            _, cxs, cys, cts, cps = c
+            # contiguous read-only views — every consumer (fused native
+            # assembly, numpy formatting) copies before mutating
+            return cxs[i0:i1], cys[i0:i1], cts[i0:i1], cps[i0:i1]
         dxs, dys, dts, dps, t0 = self._events_ds(f)
         xs = dxs[i0:i1].astype(np.float32)
         ys = dys[i0:i1].astype(np.float32)
@@ -475,6 +524,45 @@ class H5EventStream:
                 self._reset_sequence(b)
                 continue
 
+            H, W = self.resolution
+            aug = self.slot_aug[b]
+            if (self._native is not None and self._fused_assembly
+                    and self._native.has_window_assemble()):
+                # fused native path: formatting (base.py:71-99), flip
+                # augmentation (:101-127) and every encoding in ONE pass
+                # over the events — bit-identical to the split path below
+                # (tests/test_native.py, test_h5_stream.py), ~2× host
+                # throughput at 256² (benchmarks/bench_loader.py)
+                try:
+                    (event_cnt, event_mask, event_voxel, event_list,
+                     pol_mask, dt_input, last_ts) = self._native.window_assemble(
+                        xs, ys, ts, ps, (H, W), self.num_bins,
+                        flip_h=bool(aug.get("Horizontal")),
+                        flip_v=bool(aug.get("Vertical")),
+                        flip_p=bool(aug.get("Polarity")),
+                        build_voxel=self.build_voxel,
+                        round_ts=self.round_encoding,
+                    )
+                except ValueError:
+                    # corrupted-recording guard (base.py:90-98)
+                    raise ValueError(
+                        f"NaN/Inf event timestamps in "
+                        f"{self.files[self.batch_idx[b] % len(self.files)]}"
+                    )
+                if ts.shape[0] > 0:
+                    self.slot_ts[b] = last_ts
+                if self.temporal_cnt:
+                    curr = (event_cnt[..., 0] - event_cnt[..., 1])[..., None]
+                    prev = self.prev_cnt[b]
+                    if prev is None:
+                        prev = np.zeros_like(curr)
+                    event_cnt = np.concatenate([curr, prev], axis=-1)
+                    self.prev_cnt[b] = curr.copy()
+                return self._slot_finish(
+                    b, event_cnt, event_voxel, event_mask, event_list,
+                    pol_mask, dt_input, aug, new_seq,
+                )
+
             # formatting (base.py:71-99): ps→±1, per-window min-max ts norm
             dt_input = float(ts[-1] - ts[0]) if ts.shape[0] > 0 else 0.0
             if ts.shape[0] > 0:
@@ -493,8 +581,6 @@ class H5EventStream:
             tsn = tsn.astype(np.float32)
 
             # augmentation (base.py:101-127)
-            H, W = self.resolution
-            aug = self.slot_aug[b]
             if aug.get("Horizontal"):
                 xs = W - 1 - xs
             if aug.get("Vertical"):
@@ -535,67 +621,76 @@ class H5EventStream:
                 event_cnt = np.concatenate([curr, prev], axis=-1)
                 self.prev_cnt[b] = curr.copy()
 
-            # hot pixel removal (h5.py:327-333)
-            if self.hot_enabled:
-                hot_update = (event_cnt.sum(-1) > 0).astype(np.float32)
-                self.hot_events[b] += hot_update
-                self.hot_idx[b] += 1
-                rate = self.hot_events[b] / self.hot_idx[b]
-                hot_mask = enc.np_hot_event_mask(
-                    rate.copy(),
-                    self.hot_idx[b],
-                    max_px=int(self.hot_cfg.get("max_px", 100)),
-                    min_obvs=int(self.hot_cfg.get("min_obvs", 5)),
-                    max_rate=float(self.hot_cfg.get("max_rate", 0.8)),
-                )
-                event_cnt *= hot_mask[..., None]
-                if event_voxel is not None:
-                    event_voxel *= hot_mask[..., None]
-                event_mask *= hot_mask[..., None]
+            return self._slot_finish(
+                b, event_cnt, event_voxel, event_mask, event_list,
+                pol_mask, dt_input, aug, new_seq,
+            )
 
-            # frames (h5.py:336-347)
-            frames = None
-            if self.mode == "frames":
-                timed = self.slot_frames[b]
-                c = int(np.floor(self.batch_row[b]))
-                n = int(np.ceil(self.batch_row[b] + self.window))
-                img0 = self.open_files[b]["images"][timed.names[c]][:]
-                img1 = self.open_files[b]["images"][timed.names[n]][:]
-                def aug_frame(img):
-                    if aug.get("Horizontal"):
-                        img = np.flip(img, 1)
-                    if aug.get("Vertical"):
-                        img = np.flip(img, 0)
-                    return img
-                frames = np.stack([aug_frame(img0), aug_frame(img1)], axis=-1)
+    def _slot_finish(self, b, event_cnt, event_voxel, event_mask, event_list,
+                     pol_mask, dt_input, aug, new_seq):
+        """Per-window tail shared by the fused-native and split encode paths:
+        hot-pixel filtering, frames/GT-flow reads, cursor advance, dict
+        assembly and the downsampling path (h5.py:327-430)."""
+        # hot pixel removal (h5.py:327-333)
+        if self.hot_enabled:
+            hot_update = (event_cnt.sum(-1) > 0).astype(np.float32)
+            self.hot_events[b] += hot_update
+            self.hot_idx[b] += 1
+            rate = self.hot_events[b] / self.hot_idx[b]
+            hot_mask = enc.np_hot_event_mask(
+                rate.copy(),
+                self.hot_idx[b],
+                max_px=int(self.hot_cfg.get("max_px", 100)),
+                min_obvs=int(self.hot_cfg.get("min_obvs", 5)),
+                max_rate=float(self.hot_cfg.get("max_rate", 0.8)),
+            )
+            event_cnt *= hot_mask[..., None]
+            if event_voxel is not None:
+                event_voxel *= hot_mask[..., None]
+            event_mask *= hot_mask[..., None]
 
-            # GT flow (h5.py:350-362); stored [2, H, W] → NHWC
-            gtflow = None
-            dt_gt = 0.0
-            if self.mode in ("gtflow_dt1", "gtflow_dt4"):
-                timed = self.slot_gt[b]
-                idx = int(np.ceil(self.batch_row[b] + self.window))
-                f = self.open_files[b]
-                grp = self._ds_cache.get((id(f), "gt"))
-                if grp is None:
-                    grp = f[self.mode.replace("gtflow_", "flow_")]
-                    self._ds_cache[(id(f), "gt")] = grp
-                fm = grp[timed.names[idx]][:]
-                if fm.ndim == 3 and fm.shape[0] == 2:
-                    fm = np.moveaxis(fm, 0, -1)  # [H, W, 2] (x, y)
-                # flow augmentation (base.py:144-159)
+        # frames (h5.py:336-347)
+        frames = None
+        if self.mode == "frames":
+            timed = self.slot_frames[b]
+            c = int(np.floor(self.batch_row[b]))
+            n = int(np.ceil(self.batch_row[b] + self.window))
+            img0 = self.open_files[b]["images"][timed.names[c]][:]
+            img1 = self.open_files[b]["images"][timed.names[n]][:]
+            def aug_frame(img):
                 if aug.get("Horizontal"):
-                    fm = np.flip(fm, 1).copy()
-                    fm[..., 0] *= -1.0
+                    img = np.flip(img, 1)
                 if aug.get("Vertical"):
-                    fm = np.flip(fm, 0).copy()
-                    fm[..., 1] *= -1.0
-                gtflow = fm.astype(np.float32)
-                if idx > 0:
-                    dt_gt = float(timed.ts[idx] - timed.ts[idx - 1])
+                    img = np.flip(img, 0)
+                return img
+            frames = np.stack([aug_frame(img0), aug_frame(img1)], axis=-1)
 
-            self.batch_row[b] += self.window
-            break
+        # GT flow (h5.py:350-362); stored [2, H, W] → NHWC
+        gtflow = None
+        dt_gt = 0.0
+        if self.mode in ("gtflow_dt1", "gtflow_dt4"):
+            timed = self.slot_gt[b]
+            idx = int(np.ceil(self.batch_row[b] + self.window))
+            f = self.open_files[b]
+            grp = self._ds_cache.get((id(f), "gt"))
+            if grp is None:
+                grp = f[self.mode.replace("gtflow_", "flow_")]
+                self._ds_cache[(id(f), "gt")] = grp
+            fm = grp[timed.names[idx]][:]
+            if fm.ndim == 3 and fm.shape[0] == 2:
+                fm = np.moveaxis(fm, 0, -1)  # [H, W, 2] (x, y)
+            # flow augmentation (base.py:144-159)
+            if aug.get("Horizontal"):
+                fm = np.flip(fm, 1).copy()
+                fm[..., 0] *= -1.0
+            if aug.get("Vertical"):
+                fm = np.flip(fm, 0).copy()
+                fm[..., 1] *= -1.0
+            gtflow = fm.astype(np.float32)
+            if idx > 0:
+                dt_gt = float(timed.ts[idx] - timed.ts[idx - 1])
+
+        self.batch_row[b] += self.window
 
         out = {
             "event_cnt": event_cnt,

@@ -26,6 +26,7 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "libevflow_host.so")
 
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_EMPTY_F32 = np.empty(0, np.float32)
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -40,6 +41,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lif_forward.argtypes = [_f32p, _f32p, _f32p, _f32p, i64, i64, _f32p, _f32p]
     lib.ev_normalize_ts.argtypes = [_f64p, i64]
     lib.ev_normalize_ts.restype = ctypes.c_double
+    if hasattr(lib, "ev_window_assemble"):  # stale prebuilt .so without it
+        c_int = ctypes.c_int
+        dbl_p = ctypes.POINTER(ctypes.c_double)
+        lib.ev_window_assemble.argtypes = [
+            _f32p, _f32p, _f64p, _f32p, i64, i64, i64, i64,
+            c_int, c_int, c_int, c_int, c_int,
+            _f32p, _f32p, _f32p, _f32p, _f32p, dbl_p, dbl_p,
+        ]
+        lib.ev_window_assemble.restype = c_int
     return lib
 
 
@@ -117,6 +127,46 @@ class NativeEncoder:
         ts = np.ascontiguousarray(ts, np.float64)
         rng = self.lib.ev_normalize_ts(ts, len(ts))
         return ts, float(rng)
+
+    def has_window_assemble(self) -> bool:
+        return hasattr(self.lib, "ev_window_assemble")
+
+    def window_assemble(self, xs, ys, ts, ps, sensor_size, num_bins,
+                        flip_h=False, flip_v=False, flip_p=False,
+                        build_voxel=True, round_ts=False):
+        """Fused per-window host path: formatting (±1 polarity, min-max ts
+        norm), flip augmentation, and all encodings in one native pass.
+        Bit-identical to the separate kernels / numpy path (see
+        ev_window_assemble in native/evflow_host.cpp and
+        tests/test_native.py).
+
+        Returns (cnt[H,W,2], mask[H,W,1], voxel[H,W,bins]|None,
+        event_list[n,4], pol_mask[n,2], dt_input, last_ts); raises
+        ValueError on non-finite timestamps (base.py:90-98 guard).
+        """
+        H, W = int(sensor_size[0]), int(sensor_size[1])
+        n = len(xs)
+        cnt = np.empty((H, W, 2), np.float32)
+        mask = np.empty((H, W, 1), np.float32)
+        voxel = np.empty((H, W, num_bins), np.float32) if build_voxel else _EMPTY_F32
+        event_list = np.empty((n, 4), np.float32)
+        pol_mask = np.empty((n, 2), np.float32)
+        dt = ctypes.c_double()
+        last_ts = ctypes.c_double()
+        rc = self.lib.ev_window_assemble(
+            _c(xs), _c(ys), np.ascontiguousarray(ts, np.float64), _c(ps),
+            n, H, W, num_bins,
+            int(flip_h), int(flip_v), int(flip_p),
+            int(build_voxel), int(round_ts),
+            cnt, mask, voxel if build_voxel else _EMPTY_F32,
+            event_list if n else _EMPTY_F32,
+            pol_mask if n else _EMPTY_F32,
+            ctypes.byref(dt), ctypes.byref(last_ts),
+        )
+        if rc != 0:
+            raise ValueError("NaN/Inf event timestamps")
+        return (cnt, mask, voxel if build_voxel else None, event_list,
+                pol_mask, float(dt.value), float(last_ts.value))
 
 
 def lif_forward(x, mem, beta, theta):

@@ -351,3 +351,43 @@ def test_per_slot_ts_provenance(dataset):
     # independent random event times -> the slots are not at the same instant
     assert ts2[0] != ts2[1]
     s.close()
+
+
+def test_event_cache_identical_stream(dataset):
+    """loader.event_cache_bytes caches whole files' pre-cast event arrays;
+    batches are identical to the uncached stream across rollovers."""
+    root, _ = dataset
+    cfg = events_cfg(root, window=700, batch=2)
+    cfg["loader"]["event_cache_bytes"] = 1 << 30
+    s_cached = H5EventStream(cfg, num_bins=2)
+    cfg0 = events_cfg(root, window=700, batch=2)
+    cfg0["loader"]["event_cache_bytes"] = 0
+    s_plain = H5EventStream(cfg0, num_bins=2)
+    for _ in range(12):
+        b1, b2 = s_cached.next_batch(), s_plain.next_batch()
+        for k in ("event_cnt", "event_voxel", "event_list", "event_valid",
+                  "dt_input", "new_seq"):
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+    assert s_cached._ev_cache and s_cached._ev_cache_used > 0
+    assert not s_plain._ev_cache
+    s_cached.close(); s_plain.close()
+
+
+def test_event_cache_eviction_budget(dataset):
+    """A budget that fits one file but not two evicts FIFO and never
+    exceeds the budget."""
+    root, _ = dataset
+    cfg = events_cfg(root, window=700, batch=1)
+    s_probe = H5EventStream(cfg, num_bins=2)
+    s_probe.next_batch()
+    one_file = next(iter(s_probe._ev_cache.values()))[0]
+    s_probe.close()
+
+    cfg2 = events_cfg(root, window=700, batch=2)  # two slots, two files
+    cfg2["loader"]["event_cache_bytes"] = int(one_file * 1.5)
+    s = H5EventStream(cfg2, num_bins=2)
+    for _ in range(6):
+        s.next_batch()
+        assert s._ev_cache_used <= s.event_cache_bytes
+        assert len(s._ev_cache) == 1  # second insert evicted the first
+    s.close()

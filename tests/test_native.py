@@ -120,3 +120,94 @@ def test_stream_uses_native_encoder(tmp_path):
     np.testing.assert_allclose(b1["event_cnt"], b2["event_cnt"], atol=1e-5)
     np.testing.assert_allclose(b1["event_voxel"], b2["event_voxel"], atol=1e-5)
     s_native.close(); s_np.close()
+
+
+def test_window_assemble_matches_split_path(rng):
+    """Fused ev_window_assemble == formatting + augment + split kernels,
+    bit-exact, across polarity conventions / flips / OOB events / voxel."""
+    ne = native.NativeEncoder()
+    if not ne.has_window_assemble():
+        pytest.skip("stale libevflow_host.so without ev_window_assemble")
+    for trial in range(40):
+        n = int(rng.integers(0, 300)) if trial else 0
+        H, W = int(rng.integers(4, 32)), int(rng.integers(4, 32))
+        bins = int(rng.integers(2, 5))
+        xs = rng.uniform(-2, W + 2, n).astype(np.float32)  # incl. OOB
+        ys = rng.uniform(-2, H + 2, n).astype(np.float32)
+        ts = np.sort(rng.uniform(100.0, 101.0, n)).astype(np.float64)
+        ps = (rng.integers(0, 2, n).astype(np.float32) if rng.integers(0, 2)
+              else (rng.integers(0, 2, n) * 2 - 1).astype(np.float32))
+        fh, fv, fp = (bool(rng.integers(0, 2)) for _ in range(3))
+        bv, rt = bool(rng.integers(0, 2)), bool(rng.integers(0, 2))
+
+        cnt, mask, vox, el, pm, dt, lts = ne.window_assemble(
+            xs, ys, ts, ps, (H, W), bins, fh, fv, fp,
+            build_voxel=bv, round_ts=rt)
+
+        # the split path of H5EventStream._slot_item, verbatim
+        ps2 = ps * 2.0 - 1.0 if ps.size and ps.min() >= 0 else ps.copy()
+        tsn = ts.astype(np.float64)
+        if tsn.size:
+            r = tsn.max() - tsn.min()
+            tsn = (tsn - tsn.min()) / r if r > 0 else np.zeros_like(tsn)
+        tsn = tsn.astype(np.float32)
+        xs2, ys2 = xs.copy(), ys.copy()
+        if fh:
+            xs2 = W - 1 - xs2
+        if fv:
+            ys2 = H - 1 - ys2
+        if fp:
+            ps2 = -ps2
+        np.testing.assert_array_equal(cnt, ne.count_encoding(xs2, ys2, ps2, (H, W)))
+        np.testing.assert_array_equal(mask, ne.mask_encoding(xs2, ys2, ps2, (H, W)))
+        if bv:
+            np.testing.assert_array_equal(
+                vox, ne.voxel_encoding(xs2, ys2, tsn, ps2, bins, (H, W), rt))
+        else:
+            assert vox is None
+        el2 = np.stack([tsn, ys2, xs2, ps2], -1) if n else np.zeros((0, 4), np.float32)
+        np.testing.assert_array_equal(el, el2)
+        pm2 = ne.polarity_mask(ps2) if n else np.zeros((0, 2), np.float32)
+        np.testing.assert_array_equal(pm, pm2)
+        assert dt == (float(ts[-1] - ts[0]) if n else 0.0)
+        if n:
+            assert lts == float(ts[-1])
+
+
+def test_window_assemble_nan_guard():
+    ne = native.NativeEncoder()
+    if not ne.has_window_assemble():
+        pytest.skip("stale libevflow_host.so without ev_window_assemble")
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        ne.window_assemble(
+            np.zeros(2, np.float32), np.zeros(2, np.float32),
+            np.array([0.0, np.nan]), np.ones(2, np.float32), (4, 4), 2)
+
+
+def test_stream_fused_path_matches_numpy_stream(tmp_path):
+    """Full-loader equality: native fused assembly vs pure-numpy backend,
+    with augmentation enabled, across sequence rollovers (same seed → same
+    per-slot augment draws on both backends)."""
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.data.synthetic import make_dataset
+
+    root = str(tmp_path / "d")
+    make_dataset(root, num_sequences=2, resolution=(24, 24),
+                 events_per_sec=20000, duration=0.3)
+    cfg = {
+        "data": {"path": root, "mode": "events", "window": 500},
+        "loader": {"resolution": [24, 24], "std_resolution": [24, 24],
+                   "batch_size": 2, "augment": ["Horizontal", "Vertical", "Polarity"],
+                   "augment_prob": [0.5, 0.5, 0.5], "seed": 7},
+        "hot_filter": {"enabled": False}, "vis": {"bars": False},
+    }
+    s_nat = H5EventStream(cfg, 2)
+    assert s_nat._native is not None and s_nat._native.has_window_assemble()
+    cfg2 = dict(cfg, loader=dict(cfg["loader"], native_encoder=False))
+    s_np = H5EventStream(cfg2, 2)
+    for _ in range(16):
+        b1, b2 = s_nat.next_batch(), s_np.next_batch()
+        for k in ("event_cnt", "event_voxel", "event_mask", "event_list",
+                  "event_valid", "event_list_pol_mask", "dt_input", "new_seq"):
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+    s_nat.close(); s_np.close()
