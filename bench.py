@@ -32,7 +32,8 @@ per-dispatch wire tax dominated (T=64). With the tax amortized, smaller
 batches run FASTER per window — the B=8 working set (two s8[8,256,256,192]
 cols buffers per dual unit) thrashes what the HBM scheduler streams
 cleanly, while B=2 stays resident: measured 3621 (B=2) vs 3546 (B=4) vs
-~2740 (B=8) device-equivalent win/s at T=4096. Serving more streams than
+~2740 (B=8) device-equivalent win/s at T=4096; B=1 loses latency hiding
+(3515) and T=8192 adds +0.7% (3650, shipped). Serving more streams than
 fits one engine is the multi-chip fan-out's job (evaluate(mesh=...)), not
 a bigger B.
 
@@ -46,7 +47,7 @@ import time
 MEM_DTYPE = "mixed"  # the <=1%-AEE serving tier (see BENCH_NOTES.md)
 
 
-def bench(B=2, H=256, W=256, T=4096, channels=32, iters=8, mem_dtype=MEM_DTYPE):
+def bench(B=2, H=256, W=256, T=8192, channels=32, iters=8, mem_dtype=MEM_DTYPE):
     import jax
 
     jax.config.update(

@@ -17,7 +17,10 @@ import jax.numpy as jnp
 from evflow.deploy import Int8DeployEngine
 from evflow.registry import build_model
 
+import os
 B, H, W, T = 8, 256, 256, 64
+B = int(os.environ.get("EVB", B))  # round-6: retest at B=2 (new optimum)
+T = int(os.environ.get("EVT", T))
 
 cfg = {
     "name": "LIFFireNet",

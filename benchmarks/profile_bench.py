@@ -21,6 +21,10 @@ from evflow.registry import build_model
 
 B, H, W, T = 8, 256, 256, 64
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_trace"
+if len(sys.argv) > 2:
+    B = int(sys.argv[2])
+if len(sys.argv) > 3:
+    T = int(sys.argv[3])
 
 cfg = {
     "name": "LIFFireNet", "num_bins": 2, "base_num_channels": 32,

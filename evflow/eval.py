@@ -209,8 +209,10 @@ def evaluate(
         )
     activity_log = None
 
-    data = H5EventStream(config, model_cfg.get("num_bins", 2),
-                         model_cfg.get("round_encoding", False))
+    from evflow.data.mp_loader import build_stream
+
+    data = build_stream(config, model_cfg.get("num_bins", 2),
+                        model_cfg.get("round_encoding", False))
     step_variables = variables  # what the jitted step receives as its pytree
     if fused:
         # Pallas fused inference path (evflow/models/fused.py); one flow

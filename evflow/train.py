@@ -247,7 +247,12 @@ def train(
 
     model_cfg = config["model"]
     model = registry.build_model(model_cfg)
-    data = H5EventStream(config, model_cfg.get("num_bins", 2), model_cfg.get("round_encoding", False))
+    # loader.num_workers > 1 -> multi-process slot-sharded stream
+    # (evflow/data/mp_loader.py), else the in-process H5EventStream
+    from evflow.data.mp_loader import build_stream
+
+    data = build_stream(config, model_cfg.get("num_bins", 2),
+                        model_cfg.get("round_encoding", False))
     data.shuffle()
 
     run = Run(path_runs, config.get("experiment", "Default"))
