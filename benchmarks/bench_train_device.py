@@ -19,7 +19,9 @@ from evflow.loss.warp_loss import EventWarpingConfig
 from evflow.registry import build_model, build_optimizer
 from evflow.train import make_train_step, stack_window
 
+import os
 B, H, W = 8, 128, 128
+B = int(os.environ.get("EVB", B))  # round-6: batch-residency sweep
 P, N = 10, 1000  # passes per loss window, events per window
 
 

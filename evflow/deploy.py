@@ -17,11 +17,16 @@ every cross-layer tensor int8 at rest:
   * membranes are carried bf16, int8 on a per-channel asymmetric affine
     grid with an exact zero point (the PTQ states configuration; ranges
     from :func:`profile_mem_ranges`, mirroring the reference's membrane
-    auto-tune, eval_flow_quant.py:186-581), or per-unit mixed — the
-    default fast tier is ``mem_dtype="mixed"`` (bf16 head membrane, int8
-    elsewhere): the sensitivity sweep shows the head unit, which
-    integrates raw event counts, is the sole source of the int8-membrane
-    AEE penalty (benchmarks/deploy_aee_tiers.py --sweep).
+    auto-tune, eval_flow_quant.py:186-581), or per-unit mixed
+    (``"mixed"`` = bf16 head membrane, int8 elsewhere: the sensitivity
+    sweep shows the head unit, which integrates raw event counts, is the
+    sole source of the int8-membrane AEE penalty,
+    benchmarks/deploy_aee_tiers.py --sweep). The default serving tier is
+    ``mem_dtype="bfloat16"`` — best accuracy (+0.03% AEE) and, at the
+    residency-optimal B=2, also the fastest (the int8-membrane
+    quant/dequant arithmetic costs more than the state bytes it saves;
+    BENCH_NOTES.md round 6). Prefer int8/mixed membranes when serving
+    many streams per chip (B≥8), where state traffic binds again.
 
 Accuracy: with integer event-count inputs and binary spikes, every GEMM is
 EXACT in int32 — the only approximations are the per-channel weight

@@ -26,7 +26,7 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--config", default="configs/eval_MVSEC.yml")
-    p.add_argument("--mem_dtype", default="mixed",
+    p.add_argument("--mem_dtype", default="bfloat16",
                    choices=["bfloat16", "int8", "mixed"])
     p.add_argument("--windows", type=int, default=200)
     p.add_argument("--chunk", type=int, default=1,
