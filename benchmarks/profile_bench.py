@@ -35,7 +35,8 @@ model = build_model(cfg)
 states = model.init_states(B, H, W)
 key = jax.random.PRNGKey(0)
 variables = model.init(key, None, jnp.zeros((B, H, W, 2), jnp.float32), states)
-engine = Int8DeployEngine(model, variables, mem_dtype="mixed")
+engine = Int8DeployEngine(
+    model, variables, mem_dtype=os.environ.get("EVMEM", "mixed"))
 est = engine.init_states(B, H, W)
 window = jax.random.poisson(key, 0.05, (B, H, W, 2)).astype(jnp.float32)
 
