@@ -228,8 +228,23 @@ def exactness(steps=5):
                  jnp.zeros((2, B, H, W, C), jnp.bfloat16),
                  jnp.zeros((B, H, W, C), jnp.bfloat16))
         outs = []
-        for _ in range(n):
+        for s in range(n):
+            # fill gating: unit i first sees window 0 at step i — before
+            # that its input is the zero fill, and integrating y=bias into
+            # the membrane would diverge from the sequential engine's zero
+            # start state. s is static, so the selects fold at trace time.
+            old = carry
             carry, _ = wave_step(carry, xi)
+            hs = tuple(
+                carry[0][i] if s >= i else old[0][i] for i in range(7)
+            )
+            mem_ff = jnp.stack([
+                carry[1][k] if s >= FF_IDX[k] else old[1][k] for k in range(4)
+            ])
+            mem_d = jnp.stack([
+                carry[2][k] if s >= DUAL_IDX[k] else old[2][k] for k in range(2)
+            ])
+            carry = (hs, mem_ff, mem_d, carry[3])
             outs.append(_flow_of(carry))
         return jnp.stack(outs)
 
