@@ -112,5 +112,9 @@ def bench(conv_impl, compute_dtype=None, iters=4):
 
 
 if __name__ == "__main__":
+    only = os.environ.get("EVIMPL")  # e.g. "dypack+bfloat16" for B sweeps
     for impl, dt in [("im2col", None), ("dypack", None), ("dypack", "bfloat16")]:
+        tag = f"{impl}{'+' + dt if dt else ''}"
+        if only and tag != only:
+            continue
         bench(impl, dt)
