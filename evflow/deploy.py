@@ -63,12 +63,17 @@ __all__ = [
 ]
 
 
-def save_engine(engine: "Int8DeployEngine", path: str) -> str:
+def save_engine(engine: "Int8DeployEngine", path: str, serving=None) -> str:
     """Write the engine's prepared int8 parameters + config to one ``.npz``
     deployment artifact (loaded by :meth:`Int8DeployEngine.from_artifact`).
     bf16 tensors are stored as f32 (npz has no bfloat16) and restored to
     their recorded dtypes on load. The real-int8 analog of the reference's
-    save_quantized_model state-dict artifact (utils/utils.py:125-184)."""
+    save_quantized_model state-dict artifact (utils/utils.py:125-184).
+
+    ``serving`` optionally embeds a measured
+    :class:`evflow.autotune.ServingConfig` (or its ``to_meta()`` dict) so
+    serving hosts load the chip-tuned operating point with the weights;
+    it defaults to the engine's own ``serving`` attribute when set."""
     import json
 
     arrays: Dict[str, np.ndarray] = {}
@@ -96,6 +101,10 @@ def save_engine(engine: "Int8DeployEngine", path: str) -> str:
         "input_scale": engine.input_scale,
         "model": engine.model.__class__.__name__,
     }
+    if serving is None:
+        serving = getattr(engine, "serving", None)
+    if serving is not None:
+        meta["serving"] = serving if isinstance(serving, dict) else serving.to_meta()
     if not path.endswith(".npz"):
         path = path + ".npz"  # np.savez appends it anyway; return the truth
     np.savez(path, __meta__=np.asarray(json.dumps(meta)), **arrays)
@@ -414,6 +423,9 @@ class Int8DeployEngine:
                 input_scale=input_scale,
             )
         self.input_scale = float(input_scale)
+        # chip-measured serving operating point (evflow.autotune); carried
+        # through save_engine/from_artifact so hosts serve the tuned config
+        self.serving: Optional[Dict[str, Any]] = None
         self.z_int8 = all(
             "z_requant" in u for u in self.params["units"]
         ) if _prepared is not None else False  # enabled by calibrate_z()
@@ -448,8 +460,10 @@ class Int8DeployEngine:
                 f"artifact has {meta['num_units']} units, model has "
                 f"{model.num_units}"
             )
-        return cls(model, variables=None, mem_dtype=meta["mem_dtype"],
-                   input_scale=meta["input_scale"], _prepared=params)
+        engine = cls(model, variables=None, mem_dtype=meta["mem_dtype"],
+                     input_scale=meta["input_scale"], _prepared=params)
+        engine.serving = meta.get("serving")
+        return engine
 
     def calibrate_z(self, windows: Sequence[Any], margin: float = 1.05):
         """Enable int8 requantization of the GEMM intermediate Z using
