@@ -39,15 +39,23 @@ make_dataset(root, num_sequences=6, resolution=(64, 64),
 
 cfg = {
     "experiment": "validate3",
-    "data": {"path": root, "mode": "events", "window": 1000, "window_loss": 8000},
+    # training recipe = the reference's train_SNN.yml (lr 2e-4, window_loss
+    # 10000, flip augmentation): the first run of this harness at lr 5e-4
+    # without augmentation collapsed to the zero-flow solution after two
+    # epochs (loss 0.83 -> 0.78 -> climbing back to the ~1.10 zero-flow
+    # plateau; spiking-activity death), exactly the failure mode the
+    # reference's gentler recipe avoids
+    "data": {"path": root, "mode": "events", "window": 1000, "window_loss": 10000},
     "model": {"name": "LIFFireNet_short", "encoding": "cnt", "round_encoding": False,
               "num_bins": 2, "base_num_channels": 16, "kernel_size": 3,
               "mask_output": True},
     "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
     "loss": {"flow_regul_weight": 0.001, "clip_grad": 1.0},
-    "optimizer": {"name": "Adam", "lr": 0.0005},
-    "loader": {"n_epochs": 10000, "batch_size": 2, "resolution": [64, 64],
-               "std_resolution": [64, 64], "augment": [], "seed": 0},
+    "optimizer": {"name": "Adam", "lr": 0.0002},
+    "loader": {"n_epochs": 10000, "batch_size": 4, "resolution": [64, 64],
+               "std_resolution": [64, 64],
+               "augment": ["Horizontal", "Vertical", "Polarity"],
+               "augment_prob": [0.5, 0.5, 0.5], "seed": 0},
     "vis": {"verbose": True, "store_grads": False, "bars": False},
     "hot_filter": {"enabled": False},
 }

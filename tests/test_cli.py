@@ -207,6 +207,22 @@ def test_serve_stream_chunked_cli(workspace):
     assert "served 8 windows" in out.stdout
 
 
+def test_serve_stream_artifact_cli(workspace):
+    """autotune -> artifact -> serve: the tuned tier/chunk ride the .npz."""
+    art = os.path.join(workspace["ws"], "tuned_engine.npz")
+    out = run_cli(["tools/autotune_serving.py", "--config", workspace["eval_cfg"],
+                   "--tiers", "bfloat16", "--batches", "1", "--chunk", "2",
+                   "--iters", "1", "--save", art])
+    assert '"best"' in out.stdout and os.path.exists(art)
+    out = run_cli(["tools/serve_stream.py", "--config", workspace["eval_cfg"],
+                   "--synthetic", "--resolution", "32", "--windows", "6",
+                   "--artifact", art])
+    # serving defaults come from the artifact's tuned config
+    assert "serving config from artifact: tier bfloat16, chunk 2" in out.stdout
+    assert "(chunks of 2)" in out.stdout and "served 6 windows" in out.stdout
+    assert "membranes bfloat16" in out.stdout
+
+
 def test_analyze_voltage_cli(workspace):
     out = run_cli(["analyze_voltage_dynamics.py", "--config", workspace["eval_cfg"],
                    "--num_batches", "2"])

@@ -26,13 +26,23 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--config", default="configs/eval_MVSEC.yml")
-    p.add_argument("--mem_dtype", default="bfloat16",
-                   choices=["bfloat16", "int8", "mixed"])
+    p.add_argument("--artifact", default=None,
+                   help="serve from a save_engine .npz deploy artifact "
+                        "instead of a checkpoint; if the artifact carries an "
+                        "autotuned serving config (tools/autotune_serving.py "
+                        "--save), its tier and chunk become the defaults")
+    p.add_argument("--mem_dtype", default=None,
+                   choices=["bfloat16", "int8", "mixed"],
+                   help="membrane tier (default: the artifact's tier, else "
+                        "bfloat16); incompatible with --artifact, whose "
+                        "quantized parameters fix the tier")
     p.add_argument("--windows", type=int, default=200)
-    p.add_argument("--chunk", type=int, default=1,
+    p.add_argument("--chunk", type=int, default=None,
                    help="micro-batch K windows per device dispatch (one "
                         "lax.scan step); trades K windows of latency for "
-                        "near-device-rate throughput on slow host links")
+                        "near-device-rate throughput on slow host links "
+                        "(default: the artifact's tuned chunk capped at "
+                        "--windows, else 1)")
     p.add_argument("--synthetic", action="store_true",
                    help="serve a generated synthetic sequence (no MVSEC needed)")
     p.add_argument("--resolution", type=int, default=128,
@@ -90,16 +100,35 @@ def main():
             variables = {"params": restored["params"],
                          "batch_stats": restored["batch_stats"]}
 
-    # downsample pooling makes counts fractional in multiples of
-    # 1/(ph*pw) — an input_scale of exactly that keeps the int8 input
-    # grid EXACT (jnp.round(x/scale) recovers the integer pool sums)
-    std_h, std_w = config["loader"].get("std_resolution",
-                                        config["loader"]["resolution"])
-    input_scale = 1.0
-    if (std_h, std_w) != (H, W):
-        input_scale = 1.0 / ((std_h // H) * (std_w // W))
-    engine = Int8DeployEngine(model, variables, mem_dtype=args.mem_dtype,
-                              input_scale=input_scale)
+    if args.artifact:
+        if args.mem_dtype:
+            p.error("--mem_dtype cannot override an artifact: its quantized "
+                    "parameters fix the tier (re-save with autotune_serving)")
+        engine = Int8DeployEngine.from_artifact(model, args.artifact)
+        tuned = engine.serving or {}
+    else:
+        # downsample pooling makes counts fractional in multiples of
+        # 1/(ph*pw) — an input_scale of exactly that keeps the int8 input
+        # grid EXACT (jnp.round(x/scale) recovers the integer pool sums)
+        std_h, std_w = config["loader"].get("std_resolution",
+                                            config["loader"]["resolution"])
+        input_scale = 1.0
+        if (std_h, std_w) != (H, W):
+            input_scale = 1.0 / ((std_h // H) * (std_w // W))
+        engine = Int8DeployEngine(model, variables,
+                                  mem_dtype=args.mem_dtype or "bfloat16",
+                                  input_scale=input_scale)
+        tuned = {}
+    if args.chunk is None:
+        # the tuned chunk is the throughput-optimal dispatch; cap it at the
+        # demo budget so at least one chunk fills
+        args.chunk = min(int(tuned["chunk"]), max(1, args.windows)) \
+            if tuned.get("chunk") else 1
+        if tuned:
+            print(f"serving config from artifact: tier {engine.mem_dtype}, "
+                  f"chunk {args.chunk}"
+                  + (f" (tuned {tuned['chunk']}, capped)" if
+                     args.chunk != int(tuned["chunk"]) else ""), flush=True)
     states = engine.init_states(B, H, W)
 
     # donate the state carry: membranes/spikes update in place instead of
@@ -209,7 +238,7 @@ def main():
         print(f"{unit} latency ms: p50={np.percentile(lat_ms, 50):.2f} "
               f"p90={np.percentile(lat_ms, 90):.2f} "
               f"p99={np.percentile(lat_ms, 99):.2f} max={lat_ms[-1]:.2f}")
-    print(f"engine: int8 weights (folded BN), membranes {args.mem_dtype}, "
+    print(f"engine: int8 weights (folded BN), membranes {engine.mem_dtype}, "
           f"model {model_cfg.get('name')} @ {H}x{W}")
 
 
