@@ -18,10 +18,17 @@ import argparse
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("checkpoint", help="checkpoint path / reference .pth")
+    parser.add_argument("checkpoint", nargs="?", default=None,
+                        help="checkpoint path / reference .pth (not needed "
+                             "with --mode deploy --artifact)")
     parser.add_argument("--config", default="configs/eval_MVSEC.yml")
     parser.add_argument("--mode", default="ptq",
                         choices=["ptq", "hybrid", "mixed", "full_qat", "deploy"])
+    parser.add_argument("--artifact", default=None,
+                        help="deploy mode: acceptance-evaluate a save_engine "
+                             ".npz artifact under the full AEE protocol "
+                             "(the artifact fixes tier/input_scale/z-config; "
+                             "--mem_dtype/--z_int8 are rejected)")
     parser.add_argument("--mem_dtype", default="bfloat16",
                         choices=["bfloat16", "int8", "mixed"],
                         help="deploy mode: membrane carry dtype (mixed = "
@@ -40,6 +47,14 @@ def main():
                              "metrics; amortizes per-dispatch latency on "
                              "remote/tunneled hosts)")
     args = parser.parse_args()
+    if args.artifact:
+        if args.mode != "deploy":
+            parser.error("--artifact requires --mode deploy")
+        if args.mem_dtype != "bfloat16" or args.z_int8:
+            parser.error("--mem_dtype/--z_int8 cannot override an artifact: "
+                         "its prepared parameters fix the tier and z-config")
+    elif args.checkpoint is None:
+        parser.error("a checkpoint is required (or --mode deploy --artifact)")
 
     import jax
     import jax.numpy as jnp
@@ -58,7 +73,9 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states
     )
-    if args.checkpoint.endswith((".pth", ".pt")):
+    if args.artifact:
+        pass  # the artifact carries the prepared parameters
+    elif args.checkpoint.endswith((".pth", ".pt")):
         from evflow.utils.checkpoint import import_torch_checkpoint
 
         variables, _ = import_torch_checkpoint(args.checkpoint, variables)
@@ -76,6 +93,24 @@ def main():
     if args.mode == "deploy":
         from evflow.data.h5_stream import H5EventStream
         from evflow.deploy import Int8DeployEngine
+
+        if args.artifact:
+            engine = Int8DeployEngine.from_artifact(model, args.artifact)
+            print("=== quantized evaluation: mode=deploy (artifact "
+                  "acceptance) ===")
+            print(f"artifact: {args.artifact}")
+            print(f"membranes: {engine.mem_dtype}; GEMM intermediates: "
+                  f"{'calibrated int8' if engine.z_int8 else 'bf16'}")
+            results = evaluate(
+                config, variables=engine.params, model=engine,
+                path_results=args.path_results,
+                runid="quant_deploy", debug=args.debug,
+                max_windows=args.max_windows, chunk=args.chunk,
+            )
+            for metric, per_file in results.items():
+                for fname, val in per_file.items():
+                    print(f"{metric:16s} {fname:32s} {val}")
+            return
 
         encoding = model_cfg.get("encoding", "cnt")
         wkey = "event_voxel" if encoding == "voxel" else "event_cnt"

@@ -207,13 +207,20 @@ def test_serve_stream_chunked_cli(workspace):
     assert "served 8 windows" in out.stdout
 
 
-def test_serve_stream_artifact_cli(workspace):
-    """autotune -> artifact -> serve: the tuned tier/chunk ride the .npz."""
+@pytest.fixture(scope="module")
+def tuned_artifact(workspace):
+    """Autotuned deploy artifact (tools/autotune_serving.py --save)."""
     art = os.path.join(workspace["ws"], "tuned_engine.npz")
     out = run_cli(["tools/autotune_serving.py", "--config", workspace["eval_cfg"],
                    "--tiers", "bfloat16", "--batches", "1", "--chunk", "2",
                    "--iters", "1", "--save", art])
     assert '"best"' in out.stdout and os.path.exists(art)
+    return art
+
+
+def test_serve_stream_artifact_cli(workspace, tuned_artifact):
+    """autotune -> artifact -> serve: the tuned tier/chunk ride the .npz."""
+    art = tuned_artifact
     out = run_cli(["tools/serve_stream.py", "--config", workspace["eval_cfg"],
                    "--synthetic", "--resolution", "32", "--windows", "6",
                    "--artifact", art])
@@ -221,6 +228,16 @@ def test_serve_stream_artifact_cli(workspace):
     assert "serving config from artifact: tier bfloat16, chunk 2" in out.stdout
     assert "(chunks of 2)" in out.stdout and "served 6 windows" in out.stdout
     assert "membranes bfloat16" in out.stdout
+
+
+def test_eval_flow_quant_artifact_cli(workspace, tuned_artifact):
+    """Acceptance-evaluate a deploy artifact under the full AEE protocol
+    without the f32 checkpoint (the serving-host acceptance gate)."""
+    out = run_cli(["eval_flow_quant.py", "--config", workspace["eval_cfg"],
+                   "--mode", "deploy", "--artifact", tuned_artifact,
+                   "--max_windows", "4", "--chunk", "2"])
+    assert "artifact acceptance" in out.stdout
+    assert "AEE" in out.stdout
 
 
 def test_analyze_voltage_cli(workspace):
