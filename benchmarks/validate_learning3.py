@@ -64,8 +64,18 @@ steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 run = train(cfg, path_runs=os.path.join(root, "runs"), max_steps=steps,
             verbose=True)
 
+# Evaluate at TWO window spans. The protocol rescales predictions by
+# dt_gt/dt_input (loss/metrics.py _convert_flow, mirroring the reference
+# eval_flow.py:263-317), so fractional GT-frame windows are a legitimate
+# operating point (the reference's own dt4 protocol evaluates at
+# window=0.25). window=0.04 matches the TRAINING input density (1000-event
+# ~4 ms windows); window=1 feeds full 0.1 s frames — 25x the training
+# event density, far outside the input distribution for this fixed-rate
+# synthetic data (real event cameras produce rate ∝ motion, so real eval
+# windows stay near the trained density; the constant-rate generator makes
+# the full-frame point a pure extrapolation stress test).
 eval_cfg = dict(cfg)
-eval_cfg["data"] = {"path": root, "mode": "gtflow_dt1", "window": 1}
+eval_cfg["data"] = {"path": root, "mode": "gtflow_dt1", "window": 0.04}
 eval_cfg["metrics"] = {"name": ["AEE", "AAE"], "flow_scaling": 64}
 eval_cfg["loader"] = dict(cfg["loader"], batch_size=1)
 
@@ -75,23 +85,26 @@ if os.path.isdir(ck):
 else:
     ck = None
 print("\ncheckpoint:", ck, flush=True)
-res_trained = evaluate(eval_cfg, checkpoint=ck, debug=True, verbose=False,
-                       chunk=16)
-res_random = evaluate(eval_cfg, checkpoint=None, debug=True, verbose=False,
-                      chunk=16)
 gt_mag = {f"seq_{i:03d}.h5": np.hypot(fx * 0.1, fy * 0.1)
           for i, (fx, fy) in enumerate(flows)}
-print("\nper-sequence AEE (px; zero-flow baseline = GT magnitude):",
-      flush=True)
-trained_vals, zero_vals = [], []
-for f in sorted(res_trained["AEE"]):
-    t = float(res_trained["AEE"][f])
-    r = float(res_random["AEE"][f])
-    z = float(gt_mag.get(f, np.nan))
-    trained_vals.append(t)
-    zero_vals.append(z)
-    print(f"  {f}: trained {t:.3f}  random {r:.3f}  zero-flow {z:.3f}",
-          flush=True)
-mt, mz = np.mean(trained_vals), np.mean(zero_vals)
-print(f"\nmean AEE: trained {mt:.3f} vs zero-flow {mz:.3f} "
-      f"({100 * (1 - mt / mz):.1f}% below baseline)", flush=True)
+
+for win in (0.04, 1):
+    eval_cfg["data"] = dict(eval_cfg["data"], window=win)
+    res_trained = evaluate(eval_cfg, checkpoint=ck, debug=True, verbose=False,
+                           chunk=16)
+    res_random = evaluate(eval_cfg, checkpoint=None, debug=True, verbose=False,
+                          chunk=16)
+    print(f"\nwindow={win} (input span ~{win * 100:.0f} ms) — per-sequence "
+          f"AEE (px; zero-flow baseline = GT magnitude):", flush=True)
+    trained_vals, zero_vals = [], []
+    for f in sorted(res_trained["AEE"]):
+        t = float(res_trained["AEE"][f])
+        r = float(res_random["AEE"][f])
+        z = float(gt_mag.get(f, np.nan))
+        trained_vals.append(t)
+        zero_vals.append(z)
+        print(f"  {f}: trained {t:.3f}  random {r:.3f}  zero-flow {z:.3f}",
+              flush=True)
+    mt, mz = np.mean(trained_vals), np.mean(zero_vals)
+    print(f"mean AEE @ window={win}: trained {mt:.3f} vs zero-flow {mz:.3f} "
+          f"({100 * (1 - mt / mz):.1f}% below baseline)", flush=True)
