@@ -34,8 +34,15 @@ root = tempfile.mkdtemp(prefix="evflow_learn3")
 # 3.5x speed range, all quadrants, off-axis angles (px/s at 64x64)
 flows = [(30.0, -20.0), (-25.0, 15.0), (45.0, 10.0),
          (-12.0, -38.0), (18.0, 32.0), (-40.0, -8.0)]
+# --motion: physically-consistent event rate (∝ |flow|, like a real event
+# camera / the reference's UZH-FPV data) so event density encodes speed;
+# rate_ref=36 ≈ the mean speed keeps the average rate at events_per_sec
+RATE_MODE = "motion" if "--motion" in sys.argv else "fixed"
+sys.argv = [a for a in sys.argv if a != "--motion"]
 make_dataset(root, num_sequences=6, resolution=(64, 64),
-             events_per_sec=250_000, duration=1.0, flows=flows, gt_hz=10.0)
+             events_per_sec=250_000, duration=1.0, flows=flows, gt_hz=10.0,
+             rate_mode=RATE_MODE, rate_ref=36.0)
+print(f"synthetic rate_mode={RATE_MODE}", flush=True)
 
 cfg = {
     "experiment": "validate3",

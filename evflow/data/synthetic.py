@@ -29,15 +29,34 @@ def generate_sequence(
     resolution: Tuple[int, int] = (64, 64),
     events_per_sec: int = 50_000,
     flow_px_per_sec: Tuple[float, float] = (12.0, -8.0),
+    rate_mode: str = "fixed",
+    rate_ref: float = 16.0,
 ):
     """Events from a translating random-dot texture.
 
     Returns (xs, ys, ts, ps[0/1], flow) with ``flow = (vx, vy)`` px/s, events
     sorted by timestamp; dots wrap around the sensor.
+
+    ``rate_mode="fixed"`` emits ``events_per_sec`` regardless of motion (the
+    original behavior — useful for controlled loader/throughput tests but
+    physically wrong across speeds). ``rate_mode="motion"`` scales the rate
+    by ``|flow| / rate_ref``: a real event camera fires on brightness
+    changes, so a translating scene's event rate is proportional to its
+    speed — this is the property that makes event *density* encode speed
+    and lets event-count windows carry a uniform displacement per window
+    across sequences of different speeds (the reference's UZH-FPV training
+    data has it naturally; fixed-rate synthetic data does not, see
+    benchmarks/VALIDATION.md round 7).
     """
     H, W = resolution
     vx, vy = flow_px_per_sec
-    n = int(duration * events_per_sec)
+    if rate_mode == "motion":
+        speed = float(np.hypot(vx, vy))
+        n = int(duration * events_per_sec * max(speed, 1e-3) / rate_ref)
+    elif rate_mode == "fixed":
+        n = int(duration * events_per_sec)
+    else:
+        raise ValueError(f"rate_mode must be 'fixed' or 'motion', got {rate_mode!r}")
     ts = np.sort(rng.uniform(0.0, duration, n))
     n_dots = max(16, (H * W) // 64)
     dot_x = rng.uniform(0, W, n_dots)
@@ -69,13 +88,16 @@ def write_h5_sequence(
     gt_hz: float = 10.0,
     t0: float = 100.0,
     with_frames: bool = False,
+    rate_mode: str = "fixed",
+    rate_ref: float = 16.0,
 ):
     """Write one reference-schema sequence file; returns the GT flow (vx, vy)."""
     if h5py is None:
         raise ImportError("h5py required")
     H, W = resolution
     xs, ys, ts, ps, (vx, vy) = generate_sequence(
-        rng, duration, resolution, events_per_sec, flow_px_per_sec
+        rng, duration, resolution, events_per_sec, flow_px_per_sec,
+        rate_mode=rate_mode, rate_ref=rate_ref,
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with h5py.File(path, "w") as f:
@@ -118,6 +140,8 @@ def make_dataset(
     flows: Optional[Sequence[Tuple[float, float]]] = None,
     gt_hz: float = 10.0,
     with_frames: bool = False,
+    rate_mode: str = "fixed",
+    rate_ref: float = 16.0,
 ):
     """Write a directory of synthetic sequences; returns list of GT flows."""
     rng = np.random.default_rng(seed)
@@ -138,6 +162,8 @@ def make_dataset(
                 flow_px_per_sec=flow,
                 gt_hz=gt_hz,
                 with_frames=with_frames,
+                rate_mode=rate_mode,
+                rate_ref=rate_ref,
             )
         )
     return out

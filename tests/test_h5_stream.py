@@ -391,3 +391,31 @@ def test_event_cache_eviction_budget(dataset):
         assert s._ev_cache_used <= s.event_cache_bytes
         assert len(s._ev_cache) == 1  # second insert evicted the first
     s.close()
+
+
+def test_synthetic_motion_rate_mode(tmp_path):
+    """rate_mode='motion' emits events proportionally to |flow| (the real
+    event-camera property that makes density encode speed); 'fixed' keeps
+    the original constant rate."""
+    import h5py
+
+    from evflow.data.synthetic import make_dataset
+
+    flows = [(30.0, 0.0), (0.0, 10.0)]  # 3x speed ratio
+    fixed = str(tmp_path / "fixed")
+    motion = str(tmp_path / "motion")
+    make_dataset(fixed, num_sequences=2, flows=flows, events_per_sec=10_000)
+    make_dataset(motion, num_sequences=2, flows=flows, events_per_sec=10_000,
+                 rate_mode="motion", rate_ref=10.0)
+
+    def counts(root):
+        out = []
+        for i in range(2):
+            with h5py.File(f"{root}/seq_{i:03d}.h5", "r") as f:
+                out.append(f["events/ts"].shape[0])
+        return out
+
+    cf = counts(fixed)
+    assert cf[0] == cf[1] == 10_000
+    cm = counts(motion)
+    assert cm[0] == 30_000 and cm[1] == 10_000  # rate scales with |v|/ref
