@@ -11,6 +11,10 @@ def main():
     parser.add_argument("checkpoint", nargs="?", default=None)
     parser.add_argument("--config", default="configs/eval_MVSEC.yml")
     parser.add_argument("--num_batches", type=int, default=100)
+    parser.add_argument("--ops", action="store_true",
+                        help="also report dense-vs-event-driven synaptic "
+                             "operations per window from the measured "
+                             "spike rates (the SNN sparsity accounting)")
     args = parser.parse_args()
 
     import jax
@@ -45,7 +49,8 @@ def main():
                          "batch_stats": restored["batch_stats"]}
 
     stream = H5EventStream(config, config["model"].get("num_bins", 2))
-    analyze_model(model, variables, stream, num_batches=args.num_batches)
+    analyze_model(model, variables, stream, num_batches=args.num_batches,
+                  ops=args.ops)
     stream.close()
 
 

@@ -20,7 +20,8 @@ import numpy as np
 
 from evflow.ops.iwe import deblur_events
 
-__all__ = ["VoltageProfiler", "analyze_model", "contrast_heatmap", "activity_vs_window"]
+__all__ = ["VoltageProfiler", "analyze_model", "contrast_heatmap",
+           "activity_vs_window", "ops_report"]
 
 
 @jax.jit
@@ -125,20 +126,104 @@ class VoltageProfiler:
             )
 
 
+def ops_report(model, height: int, width: int,
+               activity: Optional[Dict[str, Dict[str, object]]] = None,
+               input_density: Optional[float] = None,
+               verbose: bool = True) -> Dict[str, object]:
+    """Synaptic-operation accounting per event window: dense vs event-driven.
+
+    The SNN efficiency argument (the reference's activity analysis,
+    analyze_voltage_dynamics.py:364-678, exists to support it) is that
+    spikes are sparse, so event-driven hardware performs only
+    ``presynaptic_activity x fan-out`` synaptic ops while dense hardware
+    (the TPU MXU) always performs the full conv MACs. This report computes
+    both for the FireNet topology at ``height x width``:
+
+      * dense MACs/window per unit: ``H*W*k^2*Cin*Cout`` (+ the recurrent
+        conv for G1/G2; + the 1x1 pred head);
+      * effective synaptic ops/window: the same fan-out gated by the
+        measured presynaptic activity — ``input_density`` (fraction of
+        active input pixels) for the head, unit i-1's mean spike rate for
+        unit i, the unit's own rate for its recurrent conv.
+
+    ``activity`` is a :meth:`VoltageProfiler.report` dict (from
+    :func:`analyze_model`); without it only dense counts are reported.
+    Returns per-unit and total counts; prints a table when ``verbose``.
+    """
+    C = model.base_num_channels
+    k2 = model.kernel_size ** 2
+    hw = height * width
+    rec_units = {"G1", "G2"} if getattr(model, "recurrent", False) else set()
+    names = list(model.unit_names)
+    rates = {n: float(activity[n]["spike_rate"]) for n in activity} if activity else {}
+
+    units: Dict[str, Dict[str, float]] = {}
+    total_dense = total_eff = 0.0
+    for i, name in enumerate(names):
+        cin = model.num_bins if i == 0 else C
+        dense = hw * k2 * cin * C
+        pre = input_density if i == 0 else rates.get(names[i - 1])
+        eff = dense * pre if pre is not None else None
+        if name in rec_units:
+            dense_rec = hw * k2 * C * C
+            dense += dense_rec
+            own = rates.get(name)
+            if eff is not None and own is not None:
+                eff += dense_rec * own
+            elif eff is not None:
+                eff = None
+        units[name] = {"dense_macs": dense, "effective_ops": eff}
+        total_dense += dense
+        total_eff = total_eff + eff if (eff is not None and total_eff is not None) else None
+    pred_dense = hw * C * 2
+    pred_pre = rates.get(names[-1])
+    pred_eff = pred_dense * pred_pre if pred_pre is not None else None
+    units["pred"] = {"dense_macs": pred_dense, "effective_ops": pred_eff}
+    total_dense += pred_dense
+    if total_eff is not None and pred_eff is not None:
+        total_eff += pred_eff
+    else:
+        total_eff = None
+
+    out = {
+        "units": units,
+        "dense_macs_per_window": total_dense,
+        "effective_ops_per_window": total_eff,
+        "sparsity_speedup": (total_dense / total_eff)
+        if total_eff else None,
+    }
+    if verbose:
+        print(f"{'unit':8s} {'dense MMAC':>11s} {'eff MOP':>9s} {'gate':>6s}")
+        for name, u in units.items():
+            eff = u["effective_ops"]
+            gate = (eff / u["dense_macs"]) if eff is not None else float("nan")
+            print(f"{name:8s} {u['dense_macs'] / 1e6:11.2f} "
+                  f"{(eff / 1e6) if eff is not None else float('nan'):9.3f} "
+                  f"{gate:6.3f}")
+        if total_eff:
+            print(f"total    {total_dense / 1e6:11.2f} {total_eff / 1e6:9.3f}"
+                  f"   event-driven sparsity: {total_dense / total_eff:.1f}x")
+    return out
+
+
 def analyze_model(model, variables, stream, num_batches: int = 100,
-                  verbose: bool = True):
+                  verbose: bool = True, ops: bool = False):
     """Stream batches and profile voltage dynamics
-    (analyze_voltage_dynamics.py:244-361)."""
+    (analyze_voltage_dynamics.py:244-361). With ``ops=True`` also print the
+    dense-vs-event-driven synaptic-operation report (:func:`ops_report`)
+    using the measured spike rates and input occupancy."""
     loader = stream.config["loader"]
     B = int(loader.get("batch_size", 1))
     H, W = loader["resolution"]
     states = model.init_states(B, H, W)
     profiler = VoltageProfiler(model.unit_names)
+    occ_sum, occ_n = 0.0, 0
 
     @jax.jit
     def step(variables, voxel, cnt, states):
         out, new_states = model.apply(variables, voxel, cnt, states, train=False)
-        return new_states
+        occupancy = (jnp.abs(cnt).sum(-1) > 0).mean()
+        return new_states, occupancy
 
     for _ in range(num_batches):
         batch = stream.next_batch()
@@ -147,16 +232,21 @@ def analyze_model(model, variables, stream, num_batches: int = 100,
         if batch["new_seq"].any():
             stream.new_seq = False
             states = model.init_states(B, H, W)
-        states = step(
+        states, occupancy = step(
             variables,
             jnp.asarray(batch["event_voxel"]),
             jnp.asarray(batch["event_cnt"]),
             states,
         )
+        occ_sum += float(occupancy)
+        occ_n += 1
         profiler.update(states)
 
     if verbose:
         profiler.print_table()
+    if ops:
+        ops_report(model, H, W, activity=profiler.report(),
+                   input_density=occ_sum / max(1, occ_n), verbose=verbose)
     return profiler
 
 

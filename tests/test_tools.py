@@ -73,6 +73,35 @@ def test_analyze_model(tmp_path):
     stream.close()
     assert prof.steps == 3
 
+    # synaptic-operation accounting from the measured activity
+    from evflow.analysis import ops_report
+
+    rep = ops_report(model, 32, 32, activity=prof.report(),
+                     input_density=0.1, verbose=False)
+    C, hw, k2 = 8, 32 * 32, 9
+    names = list(model.unit_names)
+    # head: 2->C conv; G1 (recurrent): C->C ff + C->C rec; pred: 1x1 C->2
+    assert rep["units"]["head"]["dense_macs"] == hw * k2 * 2 * C
+    assert rep["units"]["G1"]["dense_macs"] == 2 * hw * k2 * C * C
+    assert rep["units"]["pred"]["dense_macs"] == hw * C * 2
+    assert rep["dense_macs_per_window"] == sum(
+        u["dense_macs"] for u in rep["units"].values()
+    )
+    # head effective ops gate on the given input density exactly
+    assert rep["units"]["head"]["effective_ops"] == (
+        rep["units"]["head"]["dense_macs"] * 0.1
+    )
+    # every gate is a valid activity fraction and the speedup is consistent
+    for name, u in rep["units"].items():
+        assert 0.0 <= u["effective_ops"] <= u["dense_macs"]
+    assert rep["sparsity_speedup"] == (
+        rep["dense_macs_per_window"] / rep["effective_ops_per_window"]
+    )
+    # without activity, only dense counts
+    rep2 = ops_report(model, 32, 32, verbose=False)
+    assert rep2["effective_ops_per_window"] is None
+    assert rep2["dense_macs_per_window"] == rep["dense_macs_per_window"]
+
 
 def test_flow_to_image():
     flow = np.zeros((16, 16, 2), np.float32)
