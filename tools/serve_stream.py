@@ -81,10 +81,14 @@ def main():
     model = build_model(model_cfg)
     H, W = config["loader"]["resolution"]
     B = int(config["loader"].get("batch_size", 1))
-    states0 = model.init_states(B, H, W)
-    variables = model.init(
-        jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states0
-    )
+    if args.artifact and args.checkpoint:
+        p.error("pass a checkpoint OR --artifact, not both (the artifact "
+                "already contains the prepared parameters)")
+    if not args.artifact:
+        states0 = model.init_states(B, H, W)
+        variables = model.init(
+            jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states0
+        )
     if args.checkpoint:
         from evflow.utils.checkpoint import import_torch_checkpoint, load_checkpoint
 
