@@ -125,27 +125,34 @@ def autotune_serving(
     tiers: Sequence[str] = ("bfloat16", "mixed", "int8"),
     batches: Sequence[int] = (1, 2, 4),
     chunk: int = 256,
+    chunks: Optional[Sequence[int]] = None,
     iters: int = 3,
     input_scale: float = 1.0,
     mem_ranges: Optional[Sequence[Tuple[Any, Any]]] = None,
     verbose: bool = False,
 ) -> ServingConfig:
-    """Measure the (tier x B) grid on the current default device and return
-    the fastest :class:`ServingConfig` (ties broken toward the earlier —
-    more accurate — tier in ``tiers`` and the smaller B).
+    """Measure the (tier x B x chunk) grid on the current default device
+    and return the fastest :class:`ServingConfig` (ties broken toward the
+    earlier — more accurate — tier in ``tiers``, the smaller B, and the
+    smaller — lower-latency — chunk).
 
-    ``chunk`` doubles as the measured scan length and the recommended
-    serving chunk; larger values amortize per-dispatch overhead further
-    but add latency (``chunk`` windows per stream per dispatch). ``tiers``
-    should already reflect the deployment's accuracy budget — the
-    measured tier AEE deltas live in benchmarks/VALIDATION.md, and
-    int8-membrane tiers use ``mem_ranges`` (or the reference-default
+    The chunk is the measured scan length AND the recommended serving
+    dispatch size: larger values amortize per-dispatch overhead but cost
+    ``chunk`` windows of latency per stream. Pass ``chunks`` to sweep the
+    latency/throughput trade-off (each cell is keyed ``tier/B/Tchunk`` in
+    the table, so the caller can pick a latency-constrained point from the
+    same measurement run); the scalar ``chunk`` remains the single-point
+    shorthand. ``tiers`` should already reflect the deployment's accuracy
+    budget — the measured tier AEE deltas live in benchmarks/VALIDATION.md,
+    and int8-membrane tiers use ``mem_ranges`` (or the reference-default
     [-250, 1] grid) exactly as in :class:`evflow.deploy.Int8DeployEngine`.
     """
     from evflow.deploy import Int8DeployEngine
 
+    if chunks is None:
+        chunks = (chunk,)
     table: Dict[str, float] = {}
-    best_key: Optional[Tuple[str, int]] = None
+    best_key: Optional[Tuple[str, int, int]] = None
     best_rate = 0.0
     for tier in tiers:
         engine = Int8DeployEngine(
@@ -153,23 +160,24 @@ def autotune_serving(
             mem_ranges=mem_ranges, input_scale=input_scale,
         )
         for b in batches:
-            rate_meas = measure_serving(
-                engine, b, height, width, chunk=chunk, iters=iters
-            )
-            table[f"{tier}/B{b}/T{chunk}"] = rate_meas
-            if verbose:
-                print(
-                    f"autotune {tier:9s} B={b:<2d} T={chunk}: "
-                    f"{rate_meas:.0f} win/s", flush=True,
+            for k in chunks:
+                rate_meas = measure_serving(
+                    engine, b, height, width, chunk=k, iters=iters
                 )
-            if rate_meas > best_rate:
-                best_rate = rate_meas
-                best_key = (tier, b)
+                table[f"{tier}/B{b}/T{k}"] = rate_meas
+                if verbose:
+                    print(
+                        f"autotune {tier:9s} B={b:<2d} T={k}: "
+                        f"{rate_meas:.0f} win/s", flush=True,
+                    )
+                if rate_meas > best_rate:
+                    best_rate = rate_meas
+                    best_key = (tier, b, k)
     assert best_key is not None, "empty autotune grid"
     return ServingConfig(
         mem_dtype=best_key[0],
         batch=best_key[1],
-        chunk=chunk,
+        chunk=best_key[2],
         windows_per_s=best_rate,
         table=table,
     )

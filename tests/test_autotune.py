@@ -77,3 +77,14 @@ def test_serving_config_artifact_roundtrip(tmp_path):
     # artifacts without a tuned config stay None (backwards compatible)
     path2 = save_engine(engine, str(tmp_path / "eng2"))
     assert Int8DeployEngine.from_artifact(model, path2).serving is None
+
+
+def test_autotune_chunk_sweep():
+    model, variables = _model()
+    cfg = autotune_serving(
+        model, variables, RES, RES,
+        tiers=("bfloat16",), batches=(1,), chunks=(2, 4), iters=1,
+    )
+    assert set(cfg.table) == {"bfloat16/B1/T2", "bfloat16/B1/T4"}
+    assert cfg.chunk in (2, 4)
+    assert cfg.table[f"bfloat16/B1/T{cfg.chunk}"] == cfg.windows_per_s

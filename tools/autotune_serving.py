@@ -33,9 +33,10 @@ def main():
     p.add_argument("--tiers", nargs="+", default=["bfloat16", "mixed", "int8"],
                    choices=["bfloat16", "mixed", "int8"])
     p.add_argument("--batches", nargs="+", type=int, default=[1, 2, 4])
-    p.add_argument("--chunk", type=int, default=256,
-                   help="scan length per dispatch (also the recommended "
-                        "serving chunk)")
+    p.add_argument("--chunk", nargs="+", type=int, default=[256],
+                   help="scan length(s) per dispatch (also the recommended "
+                        "serving chunk); pass several to sweep the "
+                        "latency/throughput trade-off in one run")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--save", default=None,
                    help="write a deploy artifact (.npz) carrying the tuned "
@@ -85,8 +86,8 @@ def main():
 
     cfgk = autotune_serving(
         model, variables, H, W, tiers=tuple(args.tiers),
-        batches=tuple(args.batches), chunk=args.chunk, iters=args.iters,
-        verbose=True,
+        batches=tuple(args.batches), chunks=tuple(args.chunk),
+        iters=args.iters, verbose=True,
     )
     print(json.dumps({"best": cfgk.to_meta()}))
     if args.save:
