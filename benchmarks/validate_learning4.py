@@ -88,7 +88,14 @@ for window, window_loss, steps in PHASES:
                 path_runs=os.path.join(root, "runs"), prev_ckpt=ck,
                 max_steps=steps, verbose=True)
     ckdir = os.path.join(run.dir, "checkpoints", "most_recent")
-    ck = os.path.join(ckdir, sorted(os.listdir(ckdir), key=int)[-1])
+    if os.path.isdir(ckdir) and os.listdir(ckdir):
+        ck = os.path.join(ckdir, sorted(os.listdir(ckdir), key=int)[-1])
+    else:
+        # phase ended before its first epoch boundary (tiny steps budget):
+        # checkpoints are written at epoch end, so keep resuming from the
+        # previous phase's checkpoint rather than crashing the whole run
+        print(f"phase wrote no checkpoint (steps={steps} < one epoch); "
+              f"keeping {ck}", flush=True)
 
 print("\nfinal checkpoint:", ck, flush=True)
 gt_mag = {f"seq_{i:03d}.h5": np.hypot(fx * 0.1, fy * 0.1)

@@ -50,6 +50,9 @@ def main():
     if args.artifact:
         if args.mode != "deploy":
             parser.error("--artifact requires --mode deploy")
+        if args.checkpoint is not None:
+            parser.error("pass a checkpoint OR --artifact, not both (the "
+                         "artifact already contains the prepared parameters)")
         if args.mem_dtype != "bfloat16" or args.z_int8:
             parser.error("--mem_dtype/--z_int8 cannot override an artifact: "
                          "its prepared parameters fix the tier and z-config")

@@ -142,9 +142,12 @@ def ops_report(model, height: int, width: int,
       * dense MACs/window per unit: ``H*W*k^2*Cin*Cout`` (+ the recurrent
         conv for G1/G2; + the 1x1 pred head);
       * effective synaptic ops/window: the same fan-out gated by the
-        measured presynaptic activity — ``input_density`` (fraction of
-        active input pixels) for the head, unit i-1's mean spike rate for
-        unit i, the unit's own rate for its recurrent conv.
+        measured presynaptic activity — ``input_density`` (mean activations
+        per input element: each event drives one fan-out, so multi-event
+        pixels count multiply and the gate can exceed 1) for the head,
+        unit i-1's mean spike rate for unit i, the unit's own rate for its
+        recurrent conv. All gates share the per-element convention of
+        ``spk.mean()`` over {0,1} spikes.
 
     ``activity`` is a :meth:`VoltageProfiler.report` dict (from
     :func:`analyze_model`); without it only dense counts are reported.
@@ -222,7 +225,11 @@ def analyze_model(model, variables, stream, num_batches: int = 100,
     @jax.jit
     def step(variables, voxel, cnt, states):
         out, new_states = model.apply(variables, voxel, cnt, states, train=False)
-        occupancy = (jnp.abs(cnt).sum(-1) > 0).mean()
+        # mean activations per input element — the same convention as the
+        # downstream gates (spk.mean() over {0,1} spikes): each input EVENT
+        # drives one fan-out of synaptic work, so multi-event pixels count
+        # multiply and single-polarity pixels count once, not per-channel
+        occupancy = jnp.abs(cnt).mean()
         return new_states, occupancy
 
     for _ in range(num_batches):

@@ -208,10 +208,12 @@ def test_serve_stream_chunked_cli(workspace):
 
 
 @pytest.fixture(scope="module")
-def tuned_artifact(workspace):
-    """Autotuned deploy artifact (tools/autotune_serving.py --save)."""
+def tuned_artifact(workspace, trained_run):
+    """Autotuned deploy artifact (tools/autotune_serving.py --save) built
+    from a trained checkpoint (--save rejects random-init weights)."""
     art = os.path.join(workspace["ws"], "tuned_engine.npz")
-    out = run_cli(["tools/autotune_serving.py", "--config", workspace["eval_cfg"],
+    out = run_cli(["tools/autotune_serving.py", _ckpt(trained_run),
+                   "--config", workspace["eval_cfg"],
                    "--tiers", "bfloat16", "--batches", "1", "--chunk", "2",
                    "--iters", "1", "--save", art])
     assert '"best"' in out.stdout and os.path.exists(art)
@@ -235,7 +237,8 @@ def test_eval_flow_quant_artifact_cli(workspace, tuned_artifact):
     without the f32 checkpoint (the serving-host acceptance gate)."""
     out = run_cli(["eval_flow_quant.py", "--config", workspace["eval_cfg"],
                    "--mode", "deploy", "--artifact", tuned_artifact,
-                   "--max_windows", "4", "--chunk", "2"])
+                   "--max_windows", "4", "--chunk", "2",
+                   "--path_results", os.path.join(workspace["ws"], "res_art")])
     assert "artifact acceptance" in out.stdout
     assert "AEE" in out.stdout
 

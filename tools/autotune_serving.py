@@ -1,6 +1,6 @@
 """Autotune the serving configuration of a deployment on the local chip.
 
-Measures the (membrane tier x streams-per-chip) grid of the int8
+Measures the (membrane tier x streams-per-chip x chunk) grid of the int8
 deployment engine on whatever accelerator JAX sees, prints the table and
 the winner as JSON, and optionally writes a deploy artifact carrying the
 tuned config (loaded back by ``Int8DeployEngine.from_artifact`` —
@@ -13,6 +13,11 @@ the same philosophy as the reference's per-layer membrane-range auto-tune
     python tools/autotune_serving.py --config configs/eval_MVSEC.yml \
         [checkpoint] [--resolution 256] [--batches 1 2 4] \
         [--tiers bfloat16 mixed int8] [--chunk 256] [--save artifact.npz]
+
+``--save`` builds the artifact the same way the validated deploy path
+does (eval_flow_quant.py --mode deploy): the config's pooling-derived
+``input_scale`` and, for int8/mixed membrane tiers, per-channel membrane
+ranges profiled from the config's data stream.
 """
 
 import argparse
@@ -29,7 +34,8 @@ def main():
     p.add_argument("--config", default="configs/eval_MVSEC.yml")
     p.add_argument("--resolution", type=int, default=None,
                    help="override square serving resolution (default: "
-                        "loader.resolution from the config)")
+                        "loader.resolution from the config); implies "
+                        "input_scale=1 (no pooling at the measured size)")
     p.add_argument("--tiers", nargs="+", default=["bfloat16", "mixed", "int8"],
                    choices=["bfloat16", "mixed", "int8"])
     p.add_argument("--batches", nargs="+", type=int, default=[1, 2, 4])
@@ -38,10 +44,17 @@ def main():
                         "serving chunk); pass several to sweep the "
                         "latency/throughput trade-off in one run")
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--profile_batches", type=int, default=100,
+                   help="windows streamed to profile int8/mixed membrane "
+                        "ranges when saving those tiers")
     p.add_argument("--save", default=None,
                    help="write a deploy artifact (.npz) carrying the tuned "
-                        "serving config (built at the winning tier)")
+                        "serving config (built at the winning tier); "
+                        "requires a trained checkpoint")
     args = p.parse_args()
+    if args.save and not args.checkpoint:
+        p.error("--save requires a trained checkpoint — a randomly-"
+                "initialized artifact would serve garbage flow silently")
 
     import jax
 
@@ -59,11 +72,21 @@ def main():
     from evflow.registry import build_model
 
     config = load_config(args.config)
+    if config["model"].get("encoding", "cnt") != "cnt":
+        p.error("voxel-encoding models need a window-calibrated input_scale "
+                "— autotune/deploy them via eval_flow_quant.py --mode deploy")
     model = build_model(config["model"])
     if args.resolution:
+        # an explicit square override measures at that size with no pooling
         H = W = args.resolution
+        input_scale = 1.0
     else:
         H, W = config["loader"]["resolution"]
+        # downsample pooling makes counts fractional in multiples of
+        # 1/(ph*pw); that exact input_scale keeps the int8 input grid
+        # lossless (same rule as serve_stream / eval_flow_quant deploy)
+        sh, sw = config["loader"].get("std_resolution", [H, W])
+        input_scale = 1.0 if (sh, sw) == (H, W) else 1.0 / ((sh // H) * (sw // W))
     states0 = model.init_states(1, H, W)
     variables = model.init(
         jax.random.PRNGKey(0), None, jnp.zeros((1, H, W, 2)), states0
@@ -87,11 +110,29 @@ def main():
     cfgk = autotune_serving(
         model, variables, H, W, tiers=tuple(args.tiers),
         batches=tuple(args.batches), chunks=tuple(args.chunk),
-        iters=args.iters, verbose=True,
+        iters=args.iters, input_scale=input_scale, verbose=True,
     )
     print(json.dumps({"best": cfgk.to_meta()}))
     if args.save:
-        engine = Int8DeployEngine(model, variables, mem_dtype=cfgk.mem_dtype)
+        mem_ranges = None
+        if cfgk.mem_dtype in ("int8", "mixed"):
+            # build the artifact exactly like the validated deploy path:
+            # profile per-channel membrane ranges over the config's data
+            # (eval_flow_quant.py --mode deploy), not the [-250, 1] default
+            from evflow.data.h5_stream import H5EventStream
+            from evflow.deploy import profile_mem_ranges
+
+            stream = H5EventStream(config, config["model"].get("num_bins", 2),
+                                   config["model"].get("round_encoding", False))
+            windows = [stream.next_batch()["event_cnt"]
+                       for _ in range(args.profile_batches)]
+            stream.close()
+            mem_ranges = profile_mem_ranges(model, variables, windows,
+                                            input_scale=input_scale)
+            print(f"profiled membrane ranges over {len(windows)} windows")
+        engine = Int8DeployEngine(model, variables, mem_dtype=cfgk.mem_dtype,
+                                  mem_ranges=mem_ranges,
+                                  input_scale=input_scale)
         engine.serving = cfgk.to_meta()
         path = save_engine(engine, args.save)
         print(f"artifact with tuned serving config: {path}")

@@ -133,6 +133,14 @@ def main():
                   f"chunk {args.chunk}"
                   + (f" (tuned {tuned['chunk']}, capped)" if
                      args.chunk != int(tuned["chunk"]) else ""), flush=True)
+    # the tuned batch = streams packed per chip; B here is how many streams
+    # the config actually feeds, so it is a recommendation, not an override
+    # — but never let the mismatch pass silently
+    if tuned.get("batch") and int(tuned["batch"]) != B:
+        print(f"note: artifact's tuned throughput point is B={tuned['batch']} "
+              f"streams/chip ({tuned.get('windows_per_s', '?')} win/s); this "
+              f"config feeds B={B} — pack {tuned['batch']} sequences per chip "
+              f"(loader.batch_size) to hit the measured optimum", flush=True)
     states = engine.init_states(B, H, W)
 
     # donate the state carry: membranes/spikes update in place instead of
