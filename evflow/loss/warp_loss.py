@@ -26,7 +26,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from evflow.ops.iwe import get_interpolation, interpolate, lookup_event_flow
+from evflow.ops.iwe import get_interpolation, interpolate_multi, lookup_event_flow
 
 __all__ = ["event_warping_loss", "EventWarpingConfig"]
 
@@ -53,10 +53,25 @@ def _timestamp_loss_one_direction(
     pol4 = jnp.tile(pol_mask, (1, 4, 1))
     ts4 = jnp.tile(ts_img_weights, (1, 4))
 
-    iwe_pos = interpolate(idx, weights, res, polarity_mask=pol4[..., 0])
-    iwe_neg = interpolate(idx, weights, res, polarity_mask=pol4[..., 1])
-    iwe_pos_ts = interpolate(idx, weights * ts4, res, polarity_mask=pol4[..., 0])
-    iwe_neg_ts = interpolate(idx, weights * ts4, res, polarity_mask=pol4[..., 1])
+    # all four direction images share the warp's index set — ONE 4-channel
+    # scatter instead of four (TPU scatters are index-bound: measured
+    # 1.8x fwd / 1.6x grad, benchmarks/probe_scatter_multi.py; this is the
+    # train step's dominant term, profile_train.py round 7)
+    imgs = interpolate_multi(
+        idx,
+        jnp.stack(
+            [
+                weights * pol4[..., 0],
+                weights * pol4[..., 1],
+                weights * ts4 * pol4[..., 0],
+                weights * ts4 * pol4[..., 1],
+            ],
+            axis=-1,
+        ),
+        res,
+    )
+    iwe_pos, iwe_neg = imgs[..., 0], imgs[..., 1]
+    iwe_pos_ts, iwe_neg_ts = imgs[..., 2], imgs[..., 3]
 
     iwe_pos_ts = iwe_pos_ts / (iwe_pos + 1e-9) / max_ts
     iwe_neg_ts = iwe_neg_ts / (iwe_neg + 1e-9) / max_ts

@@ -29,6 +29,7 @@ __all__ = [
     "lookup_event_flow",
     "get_interpolation",
     "interpolate",
+    "interpolate_multi",
     "deblur_events",
     "compute_pol_iwe",
     "upsample_flow",
@@ -169,6 +170,33 @@ def interpolate(
     return img.reshape(B, H, W)
 
 
+def interpolate_multi(
+    lin_idx: jax.Array,
+    weights: jax.Array,
+    res: Sequence[int],
+) -> jax.Array:
+    """Scatter-add C weighted images sharing ONE index set in ONE scatter.
+
+    TPU scatters are index-bound (duplicate-index serialization dominates,
+    not the payload): one scatter carrying a ``[., C]`` update window costs
+    far less than C separate scatters over the same indices — measured
+    1.8x forward / 1.6x under grad for the EventWarping loss's 4 images
+    (benchmarks/probe_scatter_multi.py: 9.3 -> 5.2 ms fwd, 11.9 -> 7.3 ms
+    grad at the [8, 40k] -> 128^2 training scale).
+
+    Args:
+      lin_idx: ``[B, M]`` int32 linear pixel indices.
+      weights: ``[B, M, C]`` per-image splat weights (masks folded in).
+    Returns:
+      ``[B, H, W, C]`` images of warped events.
+    """
+    H, W = int(res[0]), int(res[1])
+    B, _, C = weights.shape
+    img = jnp.zeros((B, H * W, C), dtype=weights.dtype)
+    img = img.at[jnp.arange(B)[:, None], lin_idx].add(weights)
+    return img.reshape(B, H, W, C)
+
+
 def deblur_events(
     flow_map: jax.Array,
     events: jax.Array,
@@ -204,8 +232,8 @@ def compute_pol_iwe(
     Returns ``[B, H, W, 2]`` (pos, neg channels last — NHWC vs. the
     reference's NCHW).
     """
-    # one gather+warp, two masked splats (only the polarity mask differs —
-    # same structure as the loss's fw/bw reuse, warp_loss.py)
+    # one gather+warp, then BOTH polarity splats in a single two-channel
+    # scatter (they share the index set; see interpolate_multi)
     event_flow = lookup_event_flow(flow_map, events, res)
     idx, weights = get_interpolation(
         events, event_flow, 1.0, res, flow_scaling, round_idx=round_idx,
@@ -214,9 +242,11 @@ def compute_pol_iwe(
     if not round_idx:
         pos_mask = jnp.tile(pos_mask, (1, 4))
         neg_mask = jnp.tile(neg_mask, (1, 4))
-    iwe_pos = interpolate(idx, weights, res, polarity_mask=pos_mask)
-    iwe_neg = interpolate(idx, weights, res, polarity_mask=neg_mask)
-    return jnp.stack([iwe_pos, iwe_neg], axis=-1)
+    return interpolate_multi(
+        idx,
+        jnp.stack([weights * pos_mask, weights * neg_mask], axis=-1),
+        res,
+    )
 
 
 def upsample_flow(flow: jax.Array, target_h: int, target_w: int) -> jax.Array:

@@ -129,3 +129,19 @@ def test_upsample_flow_nearest():
     up = iwe.upsample_flow(flow, 4, 4)
     assert up.shape == (1, 4, 4, 2)
     np.testing.assert_array_equal(np.asarray(up[0, :2, :2, 0]), np.asarray(flow[0, 0, 0, 0]) * np.ones((2, 2)))
+
+
+def test_interpolate_multi_matches_separate(rng):
+    """One C-channel scatter == C separate scatters over shared indices."""
+    import jax.numpy as jnp
+
+    from evflow.ops.iwe import interpolate, interpolate_multi
+
+    B, M, H, W = 2, 64, 8, 9
+    idx = jnp.asarray(rng.integers(0, H * W, (B, M)), jnp.int32)
+    w = jnp.asarray(rng.uniform(0, 1, (B, M, 3)), jnp.float32)
+    multi = interpolate_multi(idx, w, (H, W))
+    for c in range(3):
+        sep = interpolate(idx, w[..., c], (H, W))
+        np.testing.assert_allclose(np.asarray(multi[..., c]), np.asarray(sep),
+                                   rtol=1e-6)
