@@ -98,3 +98,89 @@ if __name__ == "__main__":
         bench("grad4", sep4, grad=True)
     if "gradm" in which:
         bench("gradm", multi, grad=True)
+
+
+# --- 2x2-window scatter: one entry per EVENT (4x fewer indices) ---------
+# Each event writes its 4 bilinear corners as one [2, 2, C] update window
+# anchored at (floor(y), floor(x)). The image carries a 1-px border so
+# edge windows stay in-bounds (corner weights at the border are zero
+# anyway, matching get_interpolation's OOB masking).
+ME = M // 4  # events (the 4x was the corner expansion)
+yx = jax.random.uniform(jax.random.PRNGKey(2), (B, ME, 2), jnp.float32)
+yx = yx * jnp.asarray([H - 1.0, W - 1.0])
+wev = jax.random.uniform(jax.random.PRNGKey(3), (B, ME, 4), jnp.float32)
+
+
+def corners(yx):
+    f = jnp.floor(yx)
+    fy, fx = (yx - f)[..., 0], (yx - f)[..., 1]
+    wy = jnp.stack([1.0 - fy, fy], -1)            # [B, ME, 2]
+    wx = jnp.stack([1.0 - fx, fx], -1)
+    return f.astype(jnp.int32), wy[..., :, None] * wx[..., None, :]
+
+
+def win22(yx, wev):
+    anchor, w22 = corners(yx)                      # [B,ME,2] / [B,ME,2,2]
+    upd = (w22[..., None] * wev[:, :, None, None, :]).reshape(B * ME, 2, 2, 4)
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, ME)).reshape(-1, 1)
+    sidx = jnp.concatenate([bidx, anchor.reshape(-1, 2)], axis=1)  # [G, 3]
+    img = jnp.zeros((B, H + 1, W + 1, 4), jnp.float32)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    img = jax.lax.scatter_add(img, sidx, upd, dnums)
+    o = img[:, :H, :W].reshape(B, HW, 4)
+    return (o / (o.sum(-1, keepdims=True) + 1e-9)).sum()
+
+
+def multi_ev(yx, wev):
+    """The shipped formulation on the SAME inputs: 4 corner entries/event."""
+    anchor, w22 = corners(yx)
+    idx4 = jnp.concatenate([
+        (anchor[..., 0] + dy) * (W) + (anchor[..., 1] + dx)
+        for dy in (0, 1) for dx in (0, 1)
+    ], axis=1)
+    idx4 = jnp.clip(idx4, 0, HW - 1)
+    w4 = jnp.concatenate([
+        w22[..., dy, dx, None] * wev for dy in (0, 1) for dx in (0, 1)
+    ], axis=1)                                      # [B, 4ME, 4]
+    img = jnp.zeros((B, HW, 4), jnp.float32)
+    o = img.at[jnp.arange(B)[:, None], idx4].add(w4)
+    return (o / (o.sum(-1, keepdims=True) + 1e-9)).sum()
+
+
+def bench2(name, fn, grad=False):
+    g = jax.grad(fn, argnums=1) if grad else fn
+
+    def scan(yx, wev):
+        def body(c, k):
+            out = g(yx, wev * (1.0 + 1e-6 * k))
+            import jax.tree_util as jtu
+
+            s = jtu.tree_reduce(lambda a, x: a + jnp.asarray(x).sum(), out, 0.0)
+            return c + s, None
+
+        tot, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))
+        return tot
+
+    f = jax.jit(scan)
+    float(f(yx, wev))
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        float(f(yx, wev))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:8s}: {best / K * 1e3:7.3f} ms/op ({K}/dispatch)", flush=True)
+
+
+if "win22" in sys.argv:
+    a = float(jax.jit(multi_ev)(yx, wev))
+    b = float(jax.jit(win22)(yx, wev))
+    print("win22 vs multi_ev values:", a, b, "equal:", abs(a - b) < 1e-2,
+          flush=True)
+    bench2("multi_ev", multi_ev)
+    bench2("win22", win22)
+    bench2("gradm_ev", multi_ev, grad=True)
+    bench2("gradw22", win22, grad=True)
