@@ -46,15 +46,25 @@ from evflow.ops.lif import LIFState, leaky_step
 __all__ = ["PipelineServer", "make_mesh_pipe"]
 
 
-def make_mesh_pipe(stages: int, axis: str = "pipe") -> Mesh:
-    """1-D pipeline mesh over the first ``stages`` local devices. The axis
-    should map to a contiguous ICI dimension — every exchange is a
-    nearest-neighbor permute along it."""
+def make_mesh_pipe(stages: int, axis: str = "pipe", data: int = 1,
+                   data_axis: str = "data") -> Mesh:
+    """Pipeline mesh over ``stages`` (x ``data``) local devices.
+
+    The pipe axis should map to a contiguous ICI dimension — every
+    exchange is a nearest-neighbor permute along it. ``data > 1`` adds an
+    orthogonal data axis: each stage's unit group is replicated ``data``
+    ways and the batch (stream) dimension shards across it — S x D chips
+    serve D independent stream groups, each pipelined S deep, composing
+    the two ways the mesh scales serving (single-stream rate via pipe,
+    stream count via data)."""
     devs = jax.devices()
-    if stages > len(devs):
-        raise ValueError(f"pipeline of {stages} stages needs {stages} devices, "
-                         f"have {len(devs)}")
-    return Mesh(np.array(devs[:stages]), (axis,))
+    need = stages * data
+    if need > len(devs):
+        raise ValueError(f"pipeline of {stages} stages x {data} data needs "
+                         f"{need} devices, have {len(devs)}")
+    if data == 1:
+        return Mesh(np.array(devs[:stages]), (axis,))
+    return Mesh(np.array(devs[:need]).reshape(stages, data), (axis, data_axis))
 
 
 class PipelineServer:
@@ -79,7 +89,8 @@ class PipelineServer:
     and drain steps never touch membranes (validity-gated).
     """
 
-    def __init__(self, engine, mesh: Mesh, axis: str = "pipe"):
+    def __init__(self, engine, mesh: Mesh, axis: str = "pipe",
+                 data_axis: str = "data"):
         if any(engine.unit_mem_int8):
             raise ValueError(
                 "PipelineServer supports the bf16-membrane tier only "
@@ -90,6 +101,10 @@ class PipelineServer:
         self.mesh = mesh
         self.axis = axis
         self.S = mesh.shape[axis]
+        # optional orthogonal data axis: batch slots shard across it while
+        # each stage's unit group replicates (make_mesh_pipe(stages, data=D))
+        self.data_axis = data_axis
+        self.D = dict(mesh.shape).get(data_axis, 1)
         self.num_ops = engine.num_units + 1  # units + pred
         if self.num_ops % self.S != 0:
             raise ValueError(
@@ -113,6 +128,11 @@ class PipelineServer:
 
     def pack_states(self, states: Sequence[LIFState]):
         """Engine state tuple -> sharded stacked (mem, spk) arrays."""
+        if states[0].mem.shape[0] % self.D != 0:
+            raise ValueError(
+                f"batch {states[0].mem.shape[0]} does not shard over the "
+                f"{self.D}-way data axis"
+            )
         mems = [jnp.asarray(s.mem, jnp.bfloat16) for s in states]
         spks = [
             s.spk if s.spk is not None else jnp.zeros(s.mem.shape, jnp.int8)
@@ -121,8 +141,12 @@ class PipelineServer:
         shape = mems[0].shape
         mem = jnp.stack(mems + [jnp.zeros(shape, jnp.bfloat16)])  # + pred dummy
         spk = jnp.stack(spks + [jnp.zeros(shape, jnp.int8)])
-        sh = NamedSharding(self.mesh, P(self.axis))
+        sh = NamedSharding(self.mesh, self._state_spec())
         return jax.device_put(mem, sh), jax.device_put(spk, sh)
+
+    def _state_spec(self) -> P:
+        """[O, B, ...]: ops over pipe, batch slots over data (when present)."""
+        return P(self.axis, self.data_axis) if self.D > 1 else P(self.axis)
 
     def unpack_states(self, states) -> Tuple[LIFState, ...]:
         """Stacked (mem, spk) -> the engine's state tuple (host copies)."""
@@ -195,9 +219,12 @@ class PipelineServer:
         eng = self.engine
         steps = T + S - 1
         flow_c = self.engine.params["pred_kernel"].shape[-1]
+        Bloc = B // self.D  # batch slots per data shard
 
         def body(params, windows, mem, spk):
-            # local shapes: mem/spk [U, B, H, W, C]; windows replicated
+            # local shapes: mem/spk [U, Bloc, H, W, C]; windows
+            # [T, Bloc, ...] (replicated over pipe, sharded over data)
+            B = Bloc
             sidx = jax.lax.axis_index(axis)
             branches = self._branches(params, B, H, W)
             fwd = [(i, i + 1) for i in range(S - 1)]
@@ -242,11 +269,14 @@ class PipelineServer:
             return flows[None], mem, spk
 
         pspec = jax.tree.map(lambda _: P(), self.engine.params)
+        st = self._state_spec()
+        win_spec = P(None, self.data_axis) if self.D > 1 else P()
+        flow_spec = P(axis, None, self.data_axis) if self.D > 1 else P(axis)
         sharded = jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(pspec, P(), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis), P(axis)),
+            in_specs=(pspec, win_spec, st, st),
+            out_specs=(flow_spec, st, st),
             check_vma=False,
         )
 
@@ -267,6 +297,10 @@ class PipelineServer:
         directly (chunked streaming composes exactly)."""
         windows = jnp.asarray(windows, jnp.float32)
         T, B, H, W, bins = windows.shape
+        if B % self.D != 0:
+            raise ValueError(
+                f"batch {B} does not shard over the {self.D}-way data axis"
+            )
         key = (T, B, H, W, bins)
         if key not in self._serve_cache:
             self._serve_cache[key] = self._build_serve(T, B, H, W, bins)

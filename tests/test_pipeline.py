@@ -122,3 +122,32 @@ def test_rejects_bad_configs():
     mixed = Int8DeployEngine(model, variables, mem_dtype="mixed")
     with pytest.raises(ValueError, match="bf16-membrane"):
         PipelineServer(mixed, make_mesh_pipe(2))
+
+
+@pytest.mark.parametrize("stages,data", [(2, 4), (4, 2)])
+def test_pipe_times_data_matches_sequential(stages, data):
+    """Composed pipe x data mesh: batch slots shard over the data axis
+    while each stage's unit group replicates — still bit-exact vs the
+    sequential engine, and chunked streaming still composes."""
+    engine, (B, H, W) = _engine()
+    B = 4  # shard over the data axis
+    T = 6
+    windows = _windows(T, B, H, W, seed=3)
+    seq_flows, seq_states = _sequential(
+        engine, windows, engine.init_states(B, H, W)
+    )
+
+    mesh = make_mesh_pipe(stages, data=data)
+    srv = PipelineServer(engine, mesh)
+    assert srv.S == stages and srv.D == data
+    flows, states = srv.serve(windows, srv.init_states(B, H, W))
+    np.testing.assert_array_equal(np.asarray(flows), seq_flows)
+    for got, want in zip(srv.unpack_states(states), seq_states):
+        np.testing.assert_array_equal(
+            np.asarray(got.mem, dtype=np.float32),
+            np.asarray(want.mem, dtype=np.float32),
+        )
+
+    # B that does not shard is rejected loudly
+    with pytest.raises(ValueError, match="does not shard"):
+        srv.serve(_windows(2, 3, H, W), srv.init_states(3, H, W))
