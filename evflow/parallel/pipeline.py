@@ -64,7 +64,12 @@ def make_mesh_pipe(stages: int, axis: str = "pipe", data: int = 1,
                          f"{need} devices, have {len(devs)}")
     if data == 1:
         return Mesh(np.array(devs[:stages]), (axis,))
-    return Mesh(np.array(devs[:need]).reshape(stages, data), (axis, data_axis))
+    # keep PIPE neighbors adjacent in device order (the per-window spike
+    # ppermute is the only per-step inter-chip traffic; the data axis
+    # carries none): stage s of replica d is devs[d * stages + s]
+    return Mesh(
+        np.array(devs[:need]).reshape(data, stages).T, (axis, data_axis)
+    )
 
 
 class PipelineServer:

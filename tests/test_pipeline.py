@@ -138,6 +138,9 @@ def test_pipe_times_data_matches_sequential(stages, data):
     )
 
     mesh = make_mesh_pipe(stages, data=data)
+    # pipe neighbors must stay adjacent in device order (the ppermute axis)
+    devs = np.asarray(mesh.devices)
+    assert devs[1, 0].id == devs[0, 0].id + 1
     srv = PipelineServer(engine, mesh)
     assert srv.S == stages and srv.D == data
     flows, states = srv.serve(windows, srv.init_states(B, H, W))
@@ -147,6 +150,15 @@ def test_pipe_times_data_matches_sequential(stages, data):
             np.asarray(got.mem, dtype=np.float32),
             np.asarray(want.mem, dtype=np.float32),
         )
+
+    # chunked streaming composes under the data axis too: data-sharded
+    # states re-fed across serve() calls match the one-shot run
+    st = srv.init_states(B, H, W)
+    f1, st = srv.serve(windows[:2], st)
+    f2, st = srv.serve(windows[2:], st)
+    np.testing.assert_array_equal(
+        np.asarray(flows), np.concatenate([np.asarray(f1), np.asarray(f2)])
+    )
 
     # B that does not shard is rejected loudly
     with pytest.raises(ValueError, match="does not shard"):
