@@ -181,7 +181,9 @@ class MPEventStream:
                 raise RuntimeError(
                     f"loader worker died: {self._dead!r}") from self._dead
             try:
-                item = self._queues[w].get(timeout=30.0)
+                # short poll: a dead worker surfaces within ~1 s instead of
+                # stalling a full long timeout (SURVEY §5.3 failure surfacing)
+                item = self._queues[w].get(timeout=1.0)
             except queue_mod.Empty:
                 alive = self._procs[w].is_alive()
                 if not alive:

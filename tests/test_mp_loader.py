@@ -177,3 +177,20 @@ def test_train_loop_with_mp_loader(dataset, tmp_path):
     run = train(cfg, path_runs=str(tmp_path / "runs"), max_steps=3,
                 verbose=False)
     assert os.path.exists(os.path.join(run.dir, "params.yaml"))
+
+
+def test_worker_death_surfaces(dataset):
+    """A killed worker process raises within ~1s instead of hanging the
+    training loop (SURVEY §5.3 failure surfacing)."""
+    cfg = base_cfg(dataset, batch=2, workers=1)
+    stream = MPEventStream(cfg, num_bins=2)
+    try:
+        stream.next_batch()  # workers start lazily
+        stream._procs[0].terminate()
+        stream._procs[0].join(timeout=10.0)
+        with pytest.raises(RuntimeError, match="worker"):
+            # drain at most the prefetch depth, then the death must surface
+            for _ in range(stream.depth + 3):
+                stream.next_batch()
+    finally:
+        stream.close()
