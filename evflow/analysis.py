@@ -153,6 +153,13 @@ def ops_report(model, height: int, width: int,
     :func:`analyze_model`); without it only dense counts are reported.
     Returns per-unit and total counts; prints a table when ``verbose``.
     """
+    from evflow.models.firenet import FireNet
+
+    if not isinstance(model, FireNet):
+        raise ValueError(
+            "ops_report models the FireNet family's uniform-width unit "
+            f"chain; {type(model).__name__} has a different topology"
+        )
     C = model.base_num_channels
     k2 = model.kernel_size ** 2
     hw = height * width
