@@ -184,3 +184,33 @@ if "win22" in sys.argv:
     bench2("win22", win22)
     bench2("gradm_ev", multi_ev, grad=True)
     bench2("gradw22", win22, grad=True)
+
+
+# --- sorted segment-sum (SURVEY §7 hard-parts prescription) --------------
+# Sort entries by pixel index per batch row, then segment_sum with
+# indices_are_sorted=True: if XLA's scatter lowering (which sorts
+# internally — the train profile shows sort ops) leaves performance on
+# the table, an explicit sort+segsum should beat the multi-channel
+# scatter. VJP: gather at segment_ids + an inverse permutation.
+def sorted_seg(idx, w):
+    def one(idx_b, w_b):
+        order = jnp.argsort(idx_b)
+        seg = jax.ops.segment_sum(
+            w_b[order], idx_b[order], num_segments=HW,
+            indices_are_sorted=True,
+        )
+        return seg
+
+    o = jax.vmap(one)(idx, w)  # [B, HW, 4]
+    return (o / (o.sum(-1, keepdims=True) + 1e-9)).sum()
+
+
+if "sorted" in sys.argv:
+    a = float(jax.jit(multi)(idx, w))
+    b = float(jax.jit(sorted_seg)(idx, w))
+    print("sorted_seg vs multi values:", a, b, "equal:", abs(a - b) < 1e-2,
+          flush=True)
+    bench("multi", multi)
+    bench("sorted", sorted_seg)
+    bench("gradm", multi, grad=True)
+    bench("grads", sorted_seg, grad=True)
