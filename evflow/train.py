@@ -81,7 +81,8 @@ def stack_window(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 def compact_window(window: Dict[str, np.ndarray], encoding: str,
-                   exact_ints: bool = True) -> Dict[str, Any]:
+                   exact_ints: bool = True,
+                   derive_mask: bool = False) -> Dict[str, Any]:
     """Shrink the host->device wire for one TBPTT window.
 
     The model reads exactly one encoding (models/model.py:146-161), so the
@@ -96,19 +97,36 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     std_resolution makes counts/masks fractional in (0,1)) keeps the
     narrow-dtype casts off — a uint8 cast would truncate pooled masks to 0
     and silently disable the smoothness mask.
+
+    ``derive_mask=True`` drops ``event_mask`` from the wire entirely and the
+    jitted step recomputes it as ``cnt.sum(-1) > 0`` — EXACTLY the loader's
+    mask for the plain cnt encoding (np_events_to_mask is the binary event
+    indicator, and the hot filter / flips apply identically to counts and
+    mask, h5_stream.py _slot_finish). Only the train loop sets this, and
+    only when the loader guarantee holds (cnt encoding, no pooling, no
+    signed temporal_cnt); arbitrary caller-constructed masks ride the wire.
     """
     w: Dict[str, Any] = dict(window)
     if encoding == "voxel":
         w["event_cnt"] = None
     else:
         w["event_voxel"] = None
+    if derive_mask:
+        assert encoding == "cnt" and exact_ints and w["event_cnt"] is not None
+        w["event_mask"] = None
     if exact_ints:
         for k in ("event_mask", "event_list_pol_mask", "event_valid"):
-            w[k] = w[k].astype(np.uint8)
-        if w.get("event_cnt") is not None:
-            # int16: exact for counts to +-32767 (f16 loses exactness past
-            # 2048 on hot pixels) and covers signed temporal_cnt channels
-            w["event_cnt"] = w["event_cnt"].astype(np.int16)
+            if w[k] is not None:
+                w[k] = w[k].astype(np.uint8)
+        cnt = w.get("event_cnt")
+        if cnt is not None:
+            # uint8 when exact (plain counts rarely exceed 255/px/window);
+            # else int16 — exact to +-32767 (f16 loses exactness past 2048
+            # on hot pixels) and covers signed temporal_cnt channels
+            if cnt.min() >= 0 and cnt.max() <= 255:
+                w["event_cnt"] = cnt.astype(np.uint8)
+            else:
+                w["event_cnt"] = cnt.astype(np.int16)
     return w
 
 
@@ -121,6 +139,12 @@ def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int 
             k: (v.astype(jnp.float32) if v is not None else None)
             for k, v in window.items()
         }
+        if window["event_mask"] is None:
+            # compact wire derive_mask: the loader's mask IS the binary
+            # event indicator for plain cnt windows (see compact_window)
+            window["event_mask"] = (
+                window["event_cnt"].sum(-1, keepdims=True) > 0
+            ).astype(jnp.float32)
         tsteps = jnp.arange(window["event_list"].shape[0]) % num_timesteps
 
         def loss_fn(p):
@@ -273,6 +297,13 @@ def train(
     pooled = tuple(loader["resolution"]) != tuple(
         loader.get("std_resolution", loader["resolution"])
     )
+    # the loader's event_mask is exactly cnt.sum(-1) > 0 for plain cnt
+    # windows — derive it on device instead of uploading it
+    derive_mask = (
+        model_cfg.get("encoding", "cnt") == "cnt"
+        and not pooled
+        and not bool(model_cfg.get("temporal_cnt", False))
+    )
     # round, not float floor-div: 0.5 // 0.1 == 4.0 in float (time mode)
     P_ = max(1, int(round(
         config["data"].get("window_loss", config["data"]["window"])
@@ -386,7 +417,8 @@ def train(
 
             window = _shard_window(
                 compact_window(stack_window(pending), encoding,
-                               exact_ints=not pooled),
+                               exact_ints=not pooled,
+                               derive_mask=derive_mask),
                 mesh,
             )
             pending = []

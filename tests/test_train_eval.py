@@ -96,11 +96,23 @@ def test_compact_window_wire_dtypes():
     }
     c = compact_window(w, "cnt")
     assert c["event_voxel"] is None
-    assert c["event_cnt"].dtype == np.int16  # exact to +-32767, signed
+    assert c["event_cnt"].dtype == np.uint8  # small non-negative counts
     assert c["event_mask"].dtype == np.uint8
     np.testing.assert_array_equal(c["event_cnt"].astype(np.float32), w["event_cnt"])
     np.testing.assert_array_equal(
         c["event_list_pol_mask"].astype(np.float32), w["event_list_pol_mask"])
+    # counts past the uint8 range (hot pixels / signed temporal_cnt) fall
+    # back to int16 — still exact
+    w_big = dict(w, event_cnt=w["event_cnt"] + 300.0)
+    cb = compact_window(w_big, "cnt")
+    assert cb["event_cnt"].dtype == np.int16
+    np.testing.assert_array_equal(
+        cb["event_cnt"].astype(np.float32), w_big["event_cnt"])
+    w_sgn = dict(w, event_cnt=w["event_cnt"] - 3.0)
+    assert compact_window(w_sgn, "cnt")["event_cnt"].dtype == np.int16
+    # derive_mask drops the mask from the wire entirely
+    cd = compact_window(w, "cnt", derive_mask=True)
+    assert cd["event_mask"] is None
     c2 = compact_window(w, "voxel")
     assert c2["event_cnt"] is None and c2["event_voxel"] is not None
 
@@ -476,3 +488,48 @@ def test_evaluate_chunked_matches_unchunked(dataset, tmp_path, chunk):
         for fname in r1[mname]:
             assert float(r1[mname][fname]) == pytest.approx(
                 float(rk[mname][fname]), rel=1e-5), (mname, fname)
+
+
+def test_derive_mask_matches_loader(dataset):
+    """cnt.sum(-1) > 0 IS the loader's event_mask for plain cnt windows
+    (incl. hot filtering and flips) — the derive_mask wire contract; and
+    the jitted step over a derive_mask window matches the full window
+    bit-for-bit on a REAL streamed window."""
+    import optax
+    from evflow.config import combine_entries
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.loss.warp_loss import EventWarpingConfig
+    from evflow.registry import build_model
+    from evflow.train import compact_window, make_train_step, stack_window
+
+    cfg = combine_entries(train_cfg(dataset, batch=2))
+    cfg["hot_filter"] = {"enabled": True}
+    cfg["loader"]["augment"] = ["Horizontal", "Polarity"]
+    cfg["loader"]["augment_prob"] = [0.5, 0.5]
+    stream = H5EventStream(cfg, 2)
+    batches = [stream.next_batch() for _ in range(6)]
+    stream.close()
+    for b in batches:
+        derived = (b["event_cnt"].sum(-1, keepdims=True) > 0).astype(np.float32)
+        np.testing.assert_array_equal(derived, b["event_mask"])
+
+    model = build_model(cfg["model"])
+    B, H, W = 2, 32, 32
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states)
+    tx = optax.adam(1e-3)
+    opt = tx.init(v["params"])
+    step = make_train_step(model, tx, EventWarpingConfig(cfg), 4)
+    window = stack_window(batches[:3])
+
+    def fresh(t):
+        return jax.tree.map(jnp.array, t)
+
+    out_full = step(fresh(v["params"]), fresh(v.get("batch_stats", {})),
+                    fresh(opt), fresh(states), window)
+    out_dm = step(fresh(v["params"]), fresh(v.get("batch_stats", {})),
+                  fresh(opt), fresh(states),
+                  compact_window(window, "cnt", derive_mask=True))
+    np.testing.assert_allclose(float(out_full[0]), float(out_dm[0]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_full[1]), jax.tree.leaves(out_dm[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
