@@ -33,15 +33,15 @@ from evflow.data.synthetic import make_dataset
 from evflow.deploy import Int8DeployEngine
 from evflow.registry import build_model
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-DUR = float(args[0]) if args else 30.0
-MEM = "bfloat16"
-CKPT = None
-for i, a in enumerate(sys.argv):
-    if a == "--mem":
-        MEM = sys.argv[i + 1]
-    if a == "--ckpt":
-        CKPT = sys.argv[i + 1]
+import argparse
+
+_p = argparse.ArgumentParser(description=__doc__)
+_p.add_argument("duration_s", nargs="?", type=float, default=30.0)
+_p.add_argument("--mem", default="bfloat16",
+                choices=["bfloat16", "int8", "mixed"])
+_p.add_argument("--ckpt", default=None)
+_a = _p.parse_args()
+DUR, MEM, CKPT = _a.duration_s, _a.mem, _a.ckpt
 
 R, FLOW = 64, (30.0, -20.0)
 root = tempfile.mkdtemp(prefix="evflow_soak")

@@ -222,6 +222,16 @@ def analyze_model(model, variables, stream, num_batches: int = 100,
     (analyze_voltage_dynamics.py:244-361). With ``ops=True`` also print the
     dense-vs-event-driven synaptic-operation report (:func:`ops_report`)
     using the measured spike rates and input occupancy."""
+    if ops:
+        # fail BEFORE streaming num_batches: ops_report only models the
+        # FireNet topology, and a terminal raise would waste the whole run
+        from evflow.models.firenet import FireNet
+
+        if not isinstance(model, FireNet):
+            raise ValueError(
+                "ops=True requires a FireNet-family model (ops_report "
+                f"models its uniform unit chain); got {type(model).__name__}"
+            )
     loader = stream.config["loader"]
     B = int(loader.get("batch_size", 1))
     H, W = loader["resolution"]

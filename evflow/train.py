@@ -82,7 +82,8 @@ def stack_window(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 def compact_window(window: Dict[str, np.ndarray], encoding: str,
                    exact_ints: bool = True,
-                   derive_mask: bool = False) -> Dict[str, Any]:
+                   derive_mask: bool = False,
+                   cnt_dtype: Optional[type] = None) -> Dict[str, Any]:
     """Shrink the host->device wire for one TBPTT window.
 
     The model reads exactly one encoding (models/model.py:146-161), so the
@@ -122,11 +123,18 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
         if cnt is not None:
             # uint8 when exact (plain counts rarely exceed 255/px/window);
             # else int16 — exact to +-32767 (f16 loses exactness past 2048
-            # on hot pixels) and covers signed temporal_cnt channels
-            if cnt.min() >= 0 and cnt.max() <= 255:
-                w["event_cnt"] = cnt.astype(np.uint8)
-            else:
-                w["event_cnt"] = cnt.astype(np.int16)
+            # on hot pixels) and covers signed temporal_cnt channels.
+            # ``cnt_dtype`` pins the choice: a per-window data-dependent
+            # dtype would change the jitted step's signature mid-run and
+            # force a full recompile (minutes on remote backends) — the
+            # train loop manages it STICKY (uint8 until a window overflows,
+            # then int16 for the rest of the run: at most one retrace).
+            if cnt_dtype is None:
+                cnt_dtype = (
+                    np.uint8 if cnt.min() >= 0 and cnt.max() <= 255
+                    else np.int16
+                )
+            w["event_cnt"] = cnt.astype(cnt_dtype)
     return w
 
 
@@ -304,6 +312,10 @@ def train(
         and not pooled
         and not bool(model_cfg.get("temporal_cnt", False))
     )
+    # sticky wire dtype for counts: start at uint8, upgrade permanently to
+    # int16 the first time a window overflows it — never per-window (a
+    # flapping dtype would retrace the train step every switch)
+    cnt_dtype = np.uint8 if derive_mask else np.int16
     # round, not float floor-div: 0.5 // 0.1 == 4.0 in float (time mode)
     P_ = max(1, int(round(
         config["data"].get("window_loss", config["data"]["window"])
@@ -415,10 +427,14 @@ def train(
             if len(pending) < P_:
                 continue
 
+            stacked = stack_window(pending)
+            if cnt_dtype is np.uint8 and stacked["event_cnt"].max() > 255:
+                cnt_dtype = np.int16  # sticky: one retrace, never flaps
             window = _shard_window(
-                compact_window(stack_window(pending), encoding,
+                compact_window(stacked, encoding,
                                exact_ints=not pooled,
-                               derive_mask=derive_mask),
+                               derive_mask=derive_mask,
+                               cnt_dtype=cnt_dtype),
                 mesh,
             )
             pending = []

@@ -55,6 +55,12 @@ def main():
     if args.save and not args.checkpoint:
         p.error("--save requires a trained checkpoint — a randomly-"
                 "initialized artifact would serve garbage flow silently")
+    if args.save and args.resolution:
+        p.error("--save with --resolution is rejected: the artifact must "
+                "carry the CONFIG's geometry and pooling input_scale (a "
+                "--resolution-forced input_scale=1.0 would quantize pooled "
+                "fractional counts on the wrong grid); measure with "
+                "--resolution separately, save without it")
 
     import jax
 
