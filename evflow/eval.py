@@ -285,17 +285,26 @@ def evaluate(
 
     encoding = model_cfg.get("encoding", "cnt")
 
+    # sticky wire dtype: uint8 until the first window with a pixel count
+    # past 255, then uint16 for the rest of the run — never per-window
+    # (a flapping dtype would retrace the forward every switch)
+    cnt_wire_dtype = np.uint8
+
     def encode_wire(batch):
         """Host wire arrays for one window: only the encoding the model
         reads (models/model.py:146-161 selects one; shipping the dead one
-        wastes host->device bandwidth), counts as uint16 when exact
+        wastes host->device bandwidth), counts as uint8/uint16 when exact
         (restored to f32 inside the jitted step)."""
+        nonlocal cnt_wire_dtype
         if encoding == "voxel":
             return batch["event_voxel"], None
         if compact_wire:
             # counts are small non-negative integers unless downsample
-            # pooling is active — ship uint16 (exact, half the f32 bytes)
-            return None, batch["event_cnt"].astype(np.uint16)
+            # pooling is active — ship uint8 when they fit (a quarter of
+            # the f32 bytes), uint16 past 255 (exact to 65535)
+            if cnt_wire_dtype is np.uint8 and batch["event_cnt"].max() > 255:
+                cnt_wire_dtype = np.uint16
+            return None, batch["event_cnt"].astype(cnt_wire_dtype)
         return None, batch["event_cnt"]
 
     def process_window(batch, flows, activity, host=False):

@@ -173,8 +173,17 @@ def main():
     compact = (tuple(loader["resolution"]) == std_res
                and not bool(model_cfg.get("temporal_cnt", False)))
 
+    # sticky wire dtype: uint8 until a window overflows it, then uint16 for
+    # the rest of the stream (a per-window dtype would retrace the step)
+    wire_dtype = np.uint8
+
     def wire(cnt_np):
-        return jnp.asarray(cnt_np.astype(np.uint16) if compact else cnt_np)
+        nonlocal wire_dtype
+        if not compact:
+            return jnp.asarray(cnt_np)
+        if wire_dtype is np.uint8 and cnt_np.max() > 255:
+            wire_dtype = np.uint16
+        return jnp.asarray(cnt_np.astype(wire_dtype))
 
     K = max(1, int(args.chunk))
     # --windows rounds down to whole chunks in chunked mode
