@@ -324,3 +324,43 @@ def test_eval_flow_quant_deploy_chunked_cli(workspace, trained_run):
                    "--mem_dtype", "mixed", "--calibration_batches", "2",
                    "--max_windows", "6", "--chunk", "3", "--debug"])
     assert "AEE" in out.stdout
+
+
+def test_autotune_pooled_config_input_scale(workspace, trained_run):
+    """On a pooled config (resolution < std_resolution) the autotuner's
+    saved artifact must carry the pooling-derived input_scale — the
+    serving grid that keeps fractional pooled counts exact (review
+    regression: a 1.0 scale silently rounds 1/4-multiples to 0/1)."""
+    import yaml
+
+    with open(workspace["eval_cfg"]) as f:
+        cfg = yaml.safe_load(f)
+    cfg["loader"]["resolution"] = [16, 16]
+    cfg["loader"]["std_resolution"] = [32, 32]
+    pooled_cfg = os.path.join(workspace["ws"], "eval_pooled.yml")
+    with open(pooled_cfg, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    art = os.path.join(workspace["ws"], "tuned_pooled.npz")
+    run_cli(["tools/autotune_serving.py", _ckpt(trained_run),
+             "--config", pooled_cfg, "--tiers", "bfloat16",
+             "--batches", "1", "--chunk", "2", "--iters", "1",
+             "--save", art])
+    import json
+
+    import numpy as np
+
+    with np.load(art, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
+    assert meta["input_scale"] == 0.25  # 1 / ((32//16) * (32//16))
+
+    # --save with --resolution would bake the wrong scale: rejected
+    out = subprocess.run(
+        [sys.executable, "tools/autotune_serving.py", _ckpt(trained_run),
+         "--config", pooled_cfg, "--tiers", "bfloat16", "--batches", "1",
+         "--chunk", "2", "--iters", "1", "--resolution", "16",
+         "--save", art],
+        cwd=REPO, capture_output=True, text=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert out.returncode != 0 and "rejected" in out.stderr
