@@ -522,3 +522,40 @@ def test_engine_reciprocal_quant_within_one_code():
     fn = np.asarray(o_new["flow"][0])
     fo = np.asarray(o_old["flow"][0])
     assert np.mean(np.abs(fn - fo) < 0.02) > 0.99
+
+
+def test_engine_z_int8_artifact_roundtrip(tmp_path):
+    """Calibrated int8-Z engines survive the artifact roundtrip: z_requant /
+    z_scale persist, the restored engine re-enables the z path, and flows
+    match bit-for-bit."""
+    from evflow.deploy import save_engine
+
+    model = build_model(_model_cfg())
+    B, H, W = 1, 16, 16
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(5), None, jnp.zeros((B, H, W, 2)), states)
+    e1 = Int8DeployEngine(model, v, mem_dtype="bfloat16")
+    key = jax.random.PRNGKey(2)
+    windows = [
+        np.asarray(jax.random.poisson(jax.random.fold_in(key, i), 0.3,
+                                      (B, H, W, 2)), np.float32)
+        for i in range(3)
+    ]
+    e1.calibrate_z(windows)
+    assert e1.z_int8
+
+    path = str(tmp_path / "engine_z.npz")
+    save_engine(e1, path)
+    e2 = Int8DeployEngine.from_artifact(model, path)
+    assert e2.z_int8  # the restored engine serves the calibrated int8-Z path
+    for u1, u2 in zip(e1.params["units"], e2.params["units"]):
+        assert "z_requant" in u2 and "z_scale" in u2
+        np.testing.assert_array_equal(
+            np.asarray(u1["z_requant"], np.float32),
+            np.asarray(u2["z_requant"], np.float32))
+
+    cnt = jnp.asarray(windows[0])
+    o1, _ = e1.apply(e1.params, None, cnt, e1.init_states(B, H, W))
+    o2, _ = e2.apply(e2.params, None, cnt, e2.init_states(B, H, W))
+    np.testing.assert_array_equal(np.asarray(o1["flow"][0]),
+                                  np.asarray(o2["flow"][0]))
