@@ -112,6 +112,13 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
         w["event_cnt"] = None
     else:
         w["event_voxel"] = None
+    # the polarity column never rides the wire: pol_mask reconstructs it
+    # exactly (pos - neg == ps for any ps, np_polarity_mask semantics), and
+    # no device consumer reads events[..., 3] anyway (warp loss and IWE use
+    # ts/y/x + the mask). Coordinates stay f32 — they are fractional in
+    # general (sensor jitter / sub-pixel event streams), so no narrower
+    # exact dtype exists for them.
+    w["event_list"] = np.ascontiguousarray(w["event_list"][..., :3])
     if derive_mask:
         assert encoding == "cnt" and exact_ints and w["event_cnt"] is not None
         w["event_mask"] = None
@@ -153,6 +160,13 @@ def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int 
             window["event_mask"] = (
                 window["event_cnt"].sum(-1, keepdims=True) > 0
             ).astype(jnp.float32)
+        if window["event_list"].shape[-1] == 3:
+            # compact wire: rebuild the polarity column from the mask
+            # (exact: pos - neg == ps, incl. zero-padded rows)
+            pm = window["event_list_pol_mask"]
+            window["event_list"] = jnp.concatenate(
+                [window["event_list"], (pm[..., 0:1] - pm[..., 1:2])], axis=-1
+            )
         tsteps = jnp.arange(window["event_list"].shape[0]) % num_timesteps
 
         def loss_fn(p):
