@@ -45,7 +45,8 @@ def bench(conv_impl, compute_dtype=None, iters=4):
         "loss": {"flow_regul_weight": 0.001},
         "model": {"mask_output": True},
     })
-    step_fn = make_train_step(model, tx, warp_cfg)
+    step_fn = make_train_step(model, tx, warp_cfg,
+                              remat=os.environ.get("EVREMAT", "full"))
 
     rng = np.random.default_rng(0)
     batches = []

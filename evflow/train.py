@@ -145,8 +145,26 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     return w
 
 
-def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int = 4):
-    """Build the jitted TBPTT train step."""
+def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int = 4,
+                    remat: str = "full"):
+    """Build the jitted TBPTT train step.
+
+    ``remat`` selects the rematerialization policy for the P-pass model scan
+    (the backward's saved-residual traffic is a first-order term on a
+    traffic-bound chip): "none" saves every forward residual, "full" wraps
+    the scan body in ``jax.checkpoint`` (save only carries + flows, recompute
+    unit internals in the backward), "dots" additionally saves matmul
+    outputs (``dots_with_no_batch_dims_saveable``) so only the elementwise
+    chains recompute. Numerics are identical in exact arithmetic
+    (the backward recomputes the same deterministic ops); measured on the
+    reference-scale step (BENCH_NOTES.md round 8): "full" 2205 vs "none"
+    1973 win/s pure-device (+12% — the recompute is cheaper than spilling
+    every per-pass residual to HBM) and "dots" 688 (3x slower: saving the
+    nine Z buffers per pass re-creates the traffic remat removed), so
+    "full" is the shipped default (config key ``loss.remat``).
+    """
+    if remat not in ("none", "full", "dots"):
+        raise ValueError(f"remat must be none/full/dots, got {remat!r}")
 
     def train_step(params, batch_stats, opt_state, states, window):
         # restore f32 from the compact wire dtypes (no-op for f32 callers)
@@ -188,8 +206,22 @@ def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int 
                 "event_cnt": window["event_cnt"],
                 "t": tsteps,
             }
+            if remat == "full":
+                # prevent_cse barriers exist to stop XLA CSE un-doing the
+                # remat OUTSIDE structured control flow; this checkpoint is
+                # the scan body, where scan itself prevents that, so the
+                # barriers would be pure fusion blockers (jax.checkpoint
+                # docs recommend prevent_cse=False inside scan)
+                step_r = jax.checkpoint(step, prevent_cse=False)
+            elif remat == "dots":
+                step_r = jax.checkpoint(
+                    step,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+            else:
+                step_r = step
             (fin_st, fin_bs), flows = jax.lax.scan(
-                step, (states, batch_stats), scan_in
+                step_r, (states, batch_stats), scan_in
             )
             loss = warp_cfg(
                 list(flows),
@@ -359,7 +391,8 @@ def train(
     # the built model is the single source of truth for the TEBN cycle
     # length (registry resolves the config schema)
     tebn_T = int(getattr(model, "num_timesteps", 4))
-    step_fn = make_train_step(model, tx, warp_cfg, tebn_T)
+    remat = str(config.get("loss", {}).get("remat", "full"))
+    step_fn = make_train_step(model, tx, warp_cfg, tebn_T, remat=remat)
 
     ckpt_policy = CheckpointPolicy(os.path.join(run.dir, "checkpoints"))
     patience = 50

@@ -161,6 +161,57 @@ def test_compact_window_step_equivalence(dataset):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_remat_step_matches_baseline(dataset):
+    """``remat="full"`` (the shipped default: jax.checkpoint around the scan
+    body, BENCH_NOTES round 8) recomputes the same deterministic ops in the
+    backward — loss and updated params match the no-remat step."""
+    import optax
+    from evflow.config import combine_entries
+    from evflow.loss.warp_loss import EventWarpingConfig
+    from evflow.registry import build_model
+    from evflow.train import make_train_step
+
+    cfg = combine_entries(train_cfg(dataset, batch=1))
+    model = build_model(cfg["model"])
+    B, H, W, P, N = 1, 32, 32, 2, 64
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states)
+    tx = optax.adam(1e-3)
+    opt = tx.init(v["params"])
+
+    rng = np.random.default_rng(1)
+    ts = np.sort(rng.random((P, B, N, 1)), axis=2).astype(np.float32)
+    ys = (rng.random((P, B, N, 1)) * (H - 1)).astype(np.float32)
+    xs = (rng.random((P, B, N, 1)) * (W - 1)).astype(np.float32)
+    ps = (rng.random((P, B, N, 1)) > 0.5).astype(np.float32)
+    window = {
+        "event_list": np.concatenate([ts, ys, xs, ps], -1),
+        "event_list_pol_mask": np.concatenate([ps, 1 - ps], -1),
+        "event_valid": np.ones((P, B, N), np.float32),
+        "event_cnt": rng.poisson(0.3, (P, B, H, W, 2)).astype(np.float32),
+        "event_voxel": rng.random((P, B, H, W, 2)).astype(np.float32),
+        "event_mask": np.ones((P, B, H, W, 1), np.float32),
+    }
+
+    def fresh(t):
+        return jax.tree.map(jnp.array, t)  # step donates its first 4 args
+
+    outs = {}
+    for remat in ("none", "full", "dots"):
+        step = make_train_step(model, tx, EventWarpingConfig(cfg), 4, remat=remat)
+        outs[remat] = step(fresh(v["params"]), fresh(v.get("batch_stats", {})),
+                           fresh(opt), fresh(states), window)
+    for remat in ("full", "dots"):
+        np.testing.assert_allclose(
+            float(outs["none"][0]), float(outs[remat][0]), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(outs["none"][1]),
+                        jax.tree.leaves(outs[remat][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    with pytest.raises(ValueError, match="remat"):
+        make_train_step(model, tx, EventWarpingConfig(cfg), 4, remat="bogus")
+
+
 def test_clamp_thresholds():
     params = {"head": {"threshold": jnp.array([-0.5, 0.2]), "beta": jnp.array([-0.5])}}
     out = clamp_thresholds(params)
