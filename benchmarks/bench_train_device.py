@@ -46,7 +46,8 @@ def bench(conv_impl, compute_dtype=None, iters=4):
         "model": {"mask_output": True},
     })
     step_fn = make_train_step(model, tx, warp_cfg,
-                              remat=os.environ.get("EVREMAT", "full"))
+                              remat=os.environ.get("EVREMAT", "full"),
+                              resolution=(H, W))
 
     rng = np.random.default_rng(0)
     batches = []
@@ -64,7 +65,15 @@ def bench(conv_impl, compute_dtype=None, iters=4):
             "event_cnt": cnt, "event_voxel": cnt.copy(),
             "event_mask": (cnt.sum(-1, keepdims=True) > 0).astype(np.float32),
         })
-    window = jax.tree.map(jnp.asarray, stack_window(batches))
+    window = stack_window(batches)
+    if os.environ.get("EVDERIVE", "0") == "1":
+        # derive_cnt wire: counts rebuilt on device from the event list
+        # (timing-only here: the synthetic cnt is not the list's histogram)
+        from evflow.train import compact_window
+        window = compact_window(window, "cnt", derive_mask=True,
+                                derive_cnt=True)
+    window = jax.tree.map(
+        lambda x: jnp.asarray(x) if x is not None else None, window)
 
     params = variables["params"]
     bstats = variables.get("batch_stats", {})

@@ -648,6 +648,8 @@ class H5EventStream:
             if event_voxel is not None:
                 event_voxel *= hot_mask[..., None]
             event_mask *= hot_mask[..., None]
+        else:
+            hot_mask = None
 
         # frames (h5.py:336-347)
         frames = None
@@ -704,6 +706,14 @@ class H5EventStream:
             "dt_input": np.float32(dt_input),
             "dt_gt": np.float32(dt_gt),
         }
+        if hot_mask is not None:
+            # exported so a compact wire can derive event_cnt on device from
+            # the (unfiltered) event list: cnt == histogram(events) * hot.
+            # The filter zeroes count/mask PIXELS but never drops events from
+            # event_list (matching h5.py:327-333) — consumers that rebuild
+            # counts from the list need this mask; it rides as packed bits
+            # (W/8 bytes/row), ~1/650th of the count grid it replaces.
+            out["hot_mask"] = hot_mask.astype(np.uint8)
         if frames is not None:
             out["frames"] = frames
         if gtflow is not None:

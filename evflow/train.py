@@ -42,7 +42,8 @@ from evflow.loss.warp_loss import EventWarpingConfig
 from evflow.utils.checkpoint import CheckpointPolicy, load_checkpoint
 from evflow.utils.tracker import Run, grad_stats, save_csv
 
-__all__ = ["train", "make_train_step", "stack_window", "clamp_thresholds"]
+__all__ = ["train", "make_train_step", "stack_window", "clamp_thresholds",
+           "restore_window", "compact_window"]
 
 
 def clamp_thresholds(params):
@@ -77,13 +78,16 @@ def stack_window(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     out["event_valid"] = va
     for key in ("event_cnt", "event_voxel", "event_mask"):
         out[key] = np.stack([b[key] for b in batches])
+    if "hot_mask" in batches[0]:
+        out["hot_mask"] = np.stack([b["hot_mask"] for b in batches])
     return out
 
 
 def compact_window(window: Dict[str, np.ndarray], encoding: str,
                    exact_ints: bool = True,
                    derive_mask: bool = False,
-                   cnt_dtype: Optional[type] = None) -> Dict[str, Any]:
+                   cnt_dtype: Optional[type] = None,
+                   derive_cnt: bool = False) -> Dict[str, Any]:
     """Shrink the host->device wire for one TBPTT window.
 
     The model reads exactly one encoding (models/model.py:146-161), so the
@@ -106,8 +110,24 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     mask, h5_stream.py _slot_finish). Only the train loop sets this, and
     only when the loader guarantee holds (cnt encoding, no pooling, no
     signed temporal_cnt); arbitrary caller-constructed masks ride the wire.
+
+    ``derive_cnt=True`` (implies ``derive_mask``'s guarantees) drops the
+    count grids too: for the plain cnt encoding ``event_cnt`` IS the
+    per-polarity histogram of the event list (np_events_to_channels ==
+    scatter-add of the (pos, |neg|) polarity-mask columns at integer
+    (y, x)) times the hot-pixel mask — the list already carries
+    augmentation flips and the per-window ts norm, the loader never
+    truncates it (bucket pad >= n_max), and the hot filter zeroes count
+    PIXELS without dropping list events (h5_stream._slot_finish), so the
+    jitted step rebuilds counts exactly with one multi-channel flat-index
+    scatter (the measured-optimal scatter family on TPU, BENCH_NOTES
+    round 7) and only the packed hot-mask bits ride the wire (W/8
+    bytes/row vs 2·H·W count bytes: the count grids are ~2/3 of the
+    remaining train wire). Gated off for pooled, voxel and temporal_cnt
+    configs, where counts are not a plain histogram.
     """
     w: Dict[str, Any] = dict(window)
+    hot = w.pop("hot_mask", None)  # host-side artifact; never rides as-is
     if encoding == "voxel":
         w["event_cnt"] = None
     else:
@@ -122,6 +142,11 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     if derive_mask:
         assert encoding == "cnt" and exact_ints and w["event_cnt"] is not None
         w["event_mask"] = None
+    if derive_cnt:
+        assert derive_mask, "derive_cnt requires derive_mask's guarantees"
+        w["event_cnt"] = None
+        if hot is not None:
+            w["hot_bits"] = np.packbits(hot, axis=-1)  # big-endian bit order
     if exact_ints:
         for k in ("event_mask", "event_list_pol_mask", "event_valid"):
             if w[k] is not None:
@@ -145,8 +170,65 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     return w
 
 
+def restore_window(window: Dict[str, Any], resolution=None) -> Dict[str, Any]:
+    """Device-side inverse of ``compact_window`` (traced inside the step).
+
+    Restores f32 from the narrow wire dtypes, rebuilds the polarity column
+    from the polarity mask, and re-derives the dropped grids: ``event_cnt``
+    as the per-polarity histogram of the event list (one multi-channel
+    flat-index scatter over P·B·N events — ~1/16th of the loss's own
+    scatter work) times the unpacked hot-mask bits, then ``event_mask`` as
+    its event indicator. Bit-exact vs the loader's host encodings: counts
+    are small-integer sums (order-independent in f32) of the same events at
+    the same integer coordinates (tests/test_train_eval.py
+    test_derive_cnt_matches_loader).
+    """
+    window = dict(window)
+    hot_bits = window.pop("hot_bits", None)
+    window = {
+        k: (v.astype(jnp.float32) if v is not None else None)
+        for k, v in window.items()
+    }
+    if window["event_list"].shape[-1] == 3:
+        # compact wire: rebuild the polarity column from the mask
+        # (exact: pos - neg == ps, incl. zero-padded rows)
+        pm = window["event_list_pol_mask"]
+        window["event_list"] = jnp.concatenate(
+            [window["event_list"], (pm[..., 0:1] - pm[..., 1:2])], axis=-1
+        )
+    if window["event_cnt"] is None:
+        if resolution is None:
+            raise ValueError("derive_cnt wire needs a static resolution")
+        H, W = int(resolution[0]), int(resolution[1])
+        el = window["event_list"]
+        ys = el[..., 1].astype(jnp.int32)
+        xs = el[..., 2].astype(jnp.int32)
+        # (pos, |neg|) columns zeroed on padded rows == np_events_to_channels
+        # weights for ps in {-1, +1}
+        contrib = window["event_list_pol_mask"] * window["event_valid"][..., None]
+        P_, B_, N_ = ys.shape
+        base = (jnp.arange(P_ * B_, dtype=jnp.int32) * (H * W)).reshape(P_, B_, 1)
+        flat = (base + ys * W + xs).reshape(-1)
+        cnt = jnp.zeros((P_ * B_ * H * W, 2), jnp.float32)
+        cnt = cnt.at[flat].add(contrib.reshape(-1, 2))
+        cnt = cnt.reshape(P_, B_, H, W, 2)
+        if hot_bits is not None:
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (hot_bits[..., None] >> shifts) & jnp.uint8(1)
+            hotm = bits.reshape(*hot_bits.shape[:-1], -1)[..., :W]
+            cnt = cnt * hotm.astype(jnp.float32)[..., None]
+        window["event_cnt"] = cnt
+    if window["event_mask"] is None:
+        # compact wire derive_mask: the loader's mask IS the binary
+        # event indicator for plain cnt windows (see compact_window)
+        window["event_mask"] = (
+            window["event_cnt"].sum(-1, keepdims=True) > 0
+        ).astype(jnp.float32)
+    return window
+
+
 def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int = 4,
-                    remat: str = "full"):
+                    remat: str = "full", resolution=None):
     """Build the jitted TBPTT train step.
 
     ``remat`` selects the rematerialization policy for the P-pass model scan
@@ -162,29 +244,17 @@ def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int 
     every per-pass residual to HBM) and "dots" 688 (3x slower: saving the
     nine Z buffers per pass re-creates the traffic remat removed), so
     "full" is the shipped default (config key ``loss.remat``).
+
+    ``resolution`` (H, W) is required only when windows arrive on the
+    derive_cnt compact wire (no count grids — see ``restore_window``).
     """
     if remat not in ("none", "full", "dots"):
         raise ValueError(f"remat must be none/full/dots, got {remat!r}")
 
     def train_step(params, batch_stats, opt_state, states, window):
-        # restore f32 from the compact wire dtypes (no-op for f32 callers)
-        window = {
-            k: (v.astype(jnp.float32) if v is not None else None)
-            for k, v in window.items()
-        }
-        if window["event_mask"] is None:
-            # compact wire derive_mask: the loader's mask IS the binary
-            # event indicator for plain cnt windows (see compact_window)
-            window["event_mask"] = (
-                window["event_cnt"].sum(-1, keepdims=True) > 0
-            ).astype(jnp.float32)
-        if window["event_list"].shape[-1] == 3:
-            # compact wire: rebuild the polarity column from the mask
-            # (exact: pos - neg == ps, incl. zero-padded rows)
-            pm = window["event_list_pol_mask"]
-            window["event_list"] = jnp.concatenate(
-                [window["event_list"], (pm[..., 0:1] - pm[..., 1:2])], axis=-1
-            )
+        # restore f32 + derived grids from the compact wire (no-op for f32
+        # callers shipping every key)
+        window = restore_window(window, resolution)
         tsteps = jnp.arange(window["event_list"].shape[0]) % num_timesteps
 
         def loss_fn(p):
@@ -358,6 +428,14 @@ def train(
         and not pooled
         and not bool(model_cfg.get("temporal_cnt", False))
     )
+    # ... and under the same guarantees the count grids themselves are the
+    # event list's per-polarity histogram (× hot mask) — derive them on
+    # device too (~2/3 of the remaining wire bytes; config
+    # data.derive_cnt: false opts out, e.g. hosts with fast links where
+    # the ~1 ms device scatter outweighs the upload, BENCH_NOTES round 8)
+    derive_cnt = derive_mask and bool(
+        config["data"].get("derive_cnt", True)
+    )
     # sticky wire dtype for counts: start at uint8, upgrade permanently to
     # int16 the first time a window overflows it — never per-window (a
     # flapping dtype would retrace the train step every switch)
@@ -392,7 +470,8 @@ def train(
     # length (registry resolves the config schema)
     tebn_T = int(getattr(model, "num_timesteps", 4))
     remat = str(config.get("loss", {}).get("remat", "full"))
-    step_fn = make_train_step(model, tx, warp_cfg, tebn_T, remat=remat)
+    step_fn = make_train_step(model, tx, warp_cfg, tebn_T, remat=remat,
+                              resolution=tuple(loader["resolution"]))
 
     ckpt_policy = CheckpointPolicy(os.path.join(run.dir, "checkpoints"))
     patience = 50
@@ -475,13 +554,15 @@ def train(
                 continue
 
             stacked = stack_window(pending)
-            if cnt_dtype is np.uint8 and stacked["event_cnt"].max() > 255:
+            if (not derive_cnt and cnt_dtype is np.uint8
+                    and stacked["event_cnt"].max() > 255):
                 cnt_dtype = np.int16  # sticky: one retrace, never flaps
             window = _shard_window(
                 compact_window(stacked, encoding,
                                exact_ints=not pooled,
                                derive_mask=derive_mask,
-                               cnt_dtype=cnt_dtype),
+                               cnt_dtype=cnt_dtype,
+                               derive_cnt=derive_cnt),
                 mesh,
             )
             pending = []

@@ -584,3 +584,67 @@ def test_derive_mask_matches_loader(dataset):
     np.testing.assert_allclose(float(out_full[0]), float(out_dm[0]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(out_full[1]), jax.tree.leaves(out_dm[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_derive_cnt_matches_loader(dataset):
+    """The count grids ARE the event list's per-polarity histogram times the
+    hot mask for plain cnt windows — the derive_cnt wire rebuilds them on
+    device BIT-FOR-BIT from REAL streamed windows (incl. hot filtering and
+    flips), and the jitted step over the count-free wire matches the full
+    window exactly."""
+    import optax
+    from evflow.config import combine_entries
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.loss.warp_loss import EventWarpingConfig
+    from evflow.registry import build_model
+    from evflow.train import (compact_window, make_train_step, restore_window,
+                              stack_window)
+
+    cfg = combine_entries(train_cfg(dataset, batch=2))
+    cfg["hot_filter"] = {"enabled": True, "max_px": 4, "min_obvs": 1,
+                         "max_rate": 0.05}
+    cfg["loader"]["augment"] = ["Horizontal", "Vertical", "Polarity"]
+    cfg["loader"]["augment_prob"] = [0.5, 0.5, 0.5]
+    stream = H5EventStream(cfg, 2)
+    batches = [stream.next_batch() for _ in range(6)]
+    stream.close()
+    assert all("hot_mask" in b for b in batches)
+    # the hot filter must actually fire for this test to mean anything
+    assert any((b["hot_mask"] == 0).any() for b in batches)
+
+    window = stack_window(batches[:3])
+    cw = compact_window(window, "cnt", derive_mask=True, derive_cnt=True)
+    assert cw["event_cnt"] is None and cw["event_mask"] is None
+    assert cw["hot_bits"].dtype == np.uint8
+    assert "hot_mask" not in cw
+
+    rw = restore_window(jax.tree.map(jnp.asarray, cw), resolution=(32, 32))
+    np.testing.assert_array_equal(np.asarray(rw["event_cnt"]),
+                                  window["event_cnt"])
+    np.testing.assert_array_equal(
+        np.asarray(rw["event_mask"]), window["event_mask"])
+
+    # hot_mask never rides the wire unless derive_cnt asks for it
+    assert "hot_mask" not in compact_window(window, "cnt", derive_mask=True)
+
+    model = build_model(cfg["model"])
+    B, H, W = 2, 32, 32
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states)
+    tx = optax.adam(1e-3)
+    opt = tx.init(v["params"])
+    step = make_train_step(model, tx, EventWarpingConfig(cfg), 4,
+                           resolution=(H, W))
+
+    def fresh(t):
+        return jax.tree.map(jnp.array, t)
+
+    full = dict(window)
+    full.pop("hot_mask")  # host-only artifact; the f32 caller ships grids
+    out_full = step(fresh(v["params"]), fresh(v.get("batch_stats", {})),
+                    fresh(opt), fresh(states), full)
+    out_dc = step(fresh(v["params"]), fresh(v.get("batch_stats", {})),
+                  fresh(opt), fresh(states), cw)
+    np.testing.assert_allclose(float(out_full[0]), float(out_dc[0]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_full[1]), jax.tree.leaves(out_dc[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
