@@ -68,10 +68,14 @@ def bench(conv_impl, compute_dtype=None, iters=4):
     window = stack_window(batches)
     if os.environ.get("EVDERIVE", "0") == "1":
         # derive_cnt wire: counts rebuilt on device from the event list
-        # (timing-only here: the synthetic cnt is not the list's histogram)
+        # (timing-only here: the synthetic cnt is not the list's histogram);
+        # EVPACK adds the packed event wire (u16 coords, 1-bit polarity,
+        # lengths) on top
         from evflow.train import compact_window
-        window = compact_window(window, "cnt", derive_mask=True,
-                                derive_cnt=True)
+        pack = os.environ.get("EVPACK", "0") == "1"
+        window = compact_window(
+            window, "cnt", derive_mask=True, derive_cnt=True,
+            coords_dtype=np.uint16 if pack else None, pol_bits=pack)
     window = jax.tree.map(
         lambda x: jnp.asarray(x) if x is not None else None, window)
 

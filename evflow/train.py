@@ -87,7 +87,9 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
                    exact_ints: bool = True,
                    derive_mask: bool = False,
                    cnt_dtype: Optional[type] = None,
-                   derive_cnt: bool = False) -> Dict[str, Any]:
+                   derive_cnt: bool = False,
+                   coords_dtype: Optional[type] = None,
+                   pol_bits: bool = False) -> Dict[str, Any]:
     """Shrink the host->device wire for one TBPTT window.
 
     The model reads exactly one encoding (models/model.py:146-161), so the
@@ -125,6 +127,22 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     bytes/row vs 2·H·W count bytes: the count grids are ~2/3 of the
     remaining train wire). Gated off for pooled, voxel and temporal_cnt
     configs, where counts are not a plain histogram.
+
+    ``coords_dtype=np.uint16`` ships the (y, x) columns as uint16 — exact
+    only when every coordinate is a non-negative integer < 65536, which the
+    train loop verifies per window and manages STICKY (flips to f32
+    permanently on the first window with fractional coords, e.g. under
+    downsample pooling's coordinate rescale: one retrace, never flaps).
+    ``pol_bits=True`` replaces the [.., 2] polarity mask with one packed
+    bit per event — exact when the mask is one-hot on valid rows (always,
+    for loader windows: ps ∈ {-1, +1} after the ±1 normalization), also
+    verified per window by the loop. When ``coords_dtype`` is given the
+    valid mask also compresses to per-(pass, slot) lengths: it is a prefix
+    mask by construction (next_batch / stack_window fill [:n] then
+    zero-pad; asserted here). After these the
+    per-event wire is ts f32 (the only fundamentally fractional column:
+    per-window min-max normalized) + 4 coordinate bytes + 1 polarity bit —
+    the payload itself, modulo entropy coding.
     """
     w: Dict[str, Any] = dict(window)
     hot = w.pop("hot_mask", None)  # host-side artifact; never rides as-is
@@ -139,6 +157,25 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     # general (sensor jitter / sub-pixel event streams), so no narrower
     # exact dtype exists for them.
     w["event_list"] = np.ascontiguousarray(w["event_list"][..., :3])
+    if pol_bits:
+        pm = w["event_list_pol_mask"]
+        va = w["event_valid"]
+        # one-hot on valid rows, all-zero on padded rows — the caller's
+        # sticky check guarantees it; cheap to re-assert here
+        assert ((pm == 0) | (pm == 1)).all() and (pm.sum(-1) == va).all()
+        w["event_pol_bits"] = np.packbits(pm[..., 0] > 0, axis=-1)
+        w["event_list_pol_mask"] = None
+    if coords_dtype is not None:
+        el = w["event_list"]
+        va = w["event_valid"]
+        lens = va.sum(-1).astype(np.int32)
+        # prefix-mask invariant (next_batch / stack_window fill [:n])
+        assert (va == (np.arange(va.shape[-1]) < lens[..., None])).all()
+        w["event_ts"] = np.ascontiguousarray(el[..., 0])
+        w["event_yx"] = el[..., 1:3].astype(coords_dtype)
+        w["event_len"] = lens
+        w["event_list"] = None
+        w["event_valid"] = None
     if derive_mask:
         assert encoding == "cnt" and exact_ints and w["event_cnt"] is not None
         w["event_mask"] = None
@@ -170,6 +207,14 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     return w
 
 
+def _unpack_bits(b, n: int):
+    """Inverse of ``np.packbits(..., axis=-1)`` (big-endian bit order):
+    uint8 [..., ceil(n/8)] -> f32 {0,1} [..., n]."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (b[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*b.shape[:-1], -1)[..., :n].astype(jnp.float32)
+
+
 def restore_window(window: Dict[str, Any], resolution=None) -> Dict[str, Any]:
     """Device-side inverse of ``compact_window`` (traced inside the step).
 
@@ -185,10 +230,28 @@ def restore_window(window: Dict[str, Any], resolution=None) -> Dict[str, Any]:
     """
     window = dict(window)
     hot_bits = window.pop("hot_bits", None)
+    pol_bits = window.pop("event_pol_bits", None)
+    lens = window.pop("event_len", None)
     window = {
         k: (v.astype(jnp.float32) if v is not None else None)
         for k, v in window.items()
     }
+    if window.get("event_list") is None:
+        # packed event wire: ts f32 + (y, x) u16 + per-(pass, slot) lengths
+        ts = window.pop("event_ts")
+        yx = window.pop("event_yx")
+        n = ts.shape[-1]
+        window["event_valid"] = (
+            jnp.arange(n, dtype=jnp.int32) < lens[..., None]
+        ).astype(jnp.float32)
+        window["event_list"] = jnp.concatenate([ts[..., None], yx], axis=-1)
+    if pol_bits is not None:
+        # 1 bit/event: one-hot polarity mask == (pos, valid - pos)
+        pos = _unpack_bits(pol_bits, window["event_list"].shape[-2])
+        pos = pos * window["event_valid"]
+        window["event_list_pol_mask"] = jnp.stack(
+            [pos, window["event_valid"] - pos], axis=-1
+        )
     if window["event_list"].shape[-1] == 3:
         # compact wire: rebuild the polarity column from the mask
         # (exact: pos - neg == ps, incl. zero-padded rows)
@@ -213,10 +276,7 @@ def restore_window(window: Dict[str, Any], resolution=None) -> Dict[str, Any]:
         cnt = cnt.at[flat].add(contrib.reshape(-1, 2))
         cnt = cnt.reshape(P_, B_, H, W, 2)
         if hot_bits is not None:
-            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-            bits = (hot_bits[..., None] >> shifts) & jnp.uint8(1)
-            hotm = bits.reshape(*hot_bits.shape[:-1], -1)[..., :W]
-            cnt = cnt * hotm.astype(jnp.float32)[..., None]
+            cnt = cnt * _unpack_bits(hot_bits, W)[..., None]
         window["event_cnt"] = cnt
     if window["event_mask"] is None:
         # compact wire derive_mask: the loader's mask IS the binary
@@ -440,6 +500,12 @@ def train(
     # int16 the first time a window overflows it — never per-window (a
     # flapping dtype would retrace the train step every switch)
     cnt_dtype = np.uint8 if derive_mask else np.int16
+    # packed event wire (always on: exactness is checked per window, with
+    # sticky f32/full-mask fallbacks — see compact_window): (y, x) as
+    # uint16 while integral, polarity as 1 bit while one-hot, valid as
+    # per-(pass, slot) lengths
+    coords_dtype = np.uint16
+    pol_bits = True
     # round, not float floor-div: 0.5 // 0.1 == 4.0 in float (time mode)
     P_ = max(1, int(round(
         config["data"].get("window_loss", config["data"]["window"])
@@ -557,12 +623,23 @@ def train(
             if (not derive_cnt and cnt_dtype is np.uint8
                     and stacked["event_cnt"].max() > 255):
                 cnt_dtype = np.int16  # sticky: one retrace, never flaps
+            if coords_dtype is np.uint16:
+                yx = stacked["event_list"][..., 1:3]
+                if not ((yx >= 0) & (yx < 65536) & (yx == np.floor(yx))).all():
+                    coords_dtype = np.float32  # sticky (e.g. pooled rescale)
+            if pol_bits:
+                pm = stacked["event_list_pol_mask"]
+                if not (((pm == 0) | (pm == 1)).all()
+                        and (pm.sum(-1) == stacked["event_valid"]).all()):
+                    pol_bits = False  # sticky: non-unit polarities ride full
             window = _shard_window(
                 compact_window(stacked, encoding,
                                exact_ints=not pooled,
                                derive_mask=derive_mask,
                                cnt_dtype=cnt_dtype,
-                               derive_cnt=derive_cnt),
+                               derive_cnt=derive_cnt,
+                               coords_dtype=coords_dtype,
+                               pol_bits=pol_bits),
                 mesh,
             )
             pending = []

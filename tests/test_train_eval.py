@@ -648,3 +648,51 @@ def test_derive_cnt_matches_loader(dataset):
     np.testing.assert_allclose(float(out_full[0]), float(out_dc[0]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(out_full[1]), jax.tree.leaves(out_dc[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # the synthetic stream has FRACTIONAL coordinates — the train loop's
+    # sticky gate must reject the u16 coord wire for it (the host encoders
+    # truncate, so derive_cnt above still matched bit-for-bit)
+    yx = window["event_list"][..., 1:3]
+    assert not (yx == np.floor(yx)).all()
+
+    # packed wire with the sticky f32-coord fallback: 1-bit polarity +
+    # per-(pass, slot) lengths + derived grids — bit-exact restore and a
+    # bit-identical train step
+    pf = compact_window(window, "cnt", derive_mask=True, derive_cnt=True,
+                        coords_dtype=np.float32, pol_bits=True)
+    assert pf["event_list"] is None and pf["event_valid"] is None
+    assert pf["event_list_pol_mask"] is None
+    assert pf["event_pol_bits"].dtype == np.uint8
+    rf = restore_window(jax.tree.map(
+        lambda x: jnp.asarray(x) if x is not None else None, pf),
+        resolution=(32, 32))
+    np.testing.assert_array_equal(np.asarray(rf["event_list"]),
+                                  window["event_list"])
+    np.testing.assert_array_equal(np.asarray(rf["event_valid"]),
+                                  window["event_valid"])
+    np.testing.assert_array_equal(np.asarray(rf["event_list_pol_mask"]),
+                                  window["event_list_pol_mask"])
+    np.testing.assert_array_equal(np.asarray(rf["event_cnt"]),
+                                  window["event_cnt"])
+    out_pf = step(fresh(v["params"]), fresh(v.get("batch_stats", {})),
+                  fresh(opt), fresh(states), pf)
+    np.testing.assert_allclose(float(out_full[0]), float(out_pf[0]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_full[1]), jax.tree.leaves(out_pf[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # u16 coord wire on integer-grid events (real sensors): floor the
+    # coords — the host cnt is UNCHANGED (the encoders truncate), and the
+    # packed roundtrip is bit-exact
+    wi = dict(window)
+    eli = window["event_list"].copy()
+    eli[..., 1:3] = np.floor(eli[..., 1:3])
+    wi["event_list"] = eli
+    pk = compact_window(wi, "cnt", derive_mask=True, derive_cnt=True,
+                        coords_dtype=np.uint16, pol_bits=True)
+    assert pk["event_yx"].dtype == np.uint16
+    rp = restore_window(jax.tree.map(
+        lambda x: jnp.asarray(x) if x is not None else None, pk),
+        resolution=(32, 32))
+    np.testing.assert_array_equal(np.asarray(rp["event_list"]), eli)
+    np.testing.assert_array_equal(np.asarray(rp["event_cnt"]),
+                                  window["event_cnt"])
