@@ -88,6 +88,7 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
                    derive_mask: bool = False,
                    cnt_dtype: Optional[type] = None,
                    derive_cnt: bool = False,
+                   derive_voxel: bool = False,
                    coords_dtype: Optional[type] = None,
                    pol_bits: bool = False) -> Dict[str, Any]:
     """Shrink the host->device wire for one TBPTT window.
@@ -127,6 +128,18 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
     bytes/row vs 2·H·W count bytes: the count grids are ~2/3 of the
     remaining train wire). Gated off for pooled, voxel and temporal_cnt
     configs, where counts are not a plain histogram.
+
+    ``derive_voxel=True`` is the voxel-family analog: ``event_voxel`` IS
+    the temporal-bilinear splat of the event list (np_events_to_voxel:
+    per-bin weight max(0, 1-|ts·(num_bins-1) - b|), signed by polarity)
+    times the hot mask, so the step rebuilds it with the same
+    multi-channel flat-index scatter (num_bins channels) and derives
+    ``event_mask`` from the exact per-polarity histogram. One caveat vs
+    derive_cnt's bit-exactness: voxel contributions are FRACTIONAL, so
+    the per-pixel sum depends on scatter accumulation order — the device
+    result is deterministic but may differ from the host encoder at f32
+    rounding level (~1e-7 relative; weights themselves are computed by
+    the identical f32 expressions). Gated off for pooled configs.
 
     ``coords_dtype=np.uint16`` ships the (y, x) columns as uint16 — exact
     only when every coordinate is a non-negative integer < 65536, which the
@@ -177,13 +190,19 @@ def compact_window(window: Dict[str, np.ndarray], encoding: str,
         w["event_list"] = None
         w["event_valid"] = None
     if derive_mask:
-        assert encoding == "cnt" and exact_ints and w["event_cnt"] is not None
+        assert exact_ints and (
+            (encoding == "cnt" and w["event_cnt"] is not None) or derive_voxel
+        )
         w["event_mask"] = None
     if derive_cnt:
-        assert derive_mask, "derive_cnt requires derive_mask's guarantees"
+        assert derive_mask and encoding == "cnt", \
+            "derive_cnt requires derive_mask's guarantees"
         w["event_cnt"] = None
-        if hot is not None:
-            w["hot_bits"] = np.packbits(hot, axis=-1)  # big-endian bit order
+    if derive_voxel:
+        assert encoding == "voxel" and exact_ints
+        w["event_voxel"] = None
+    if (derive_cnt or derive_voxel) and hot is not None:
+        w["hot_bits"] = np.packbits(hot, axis=-1)  # big-endian bit order
     if exact_ints:
         for k in ("event_mask", "event_list_pol_mask", "event_valid"):
             if w[k] is not None:
@@ -215,7 +234,9 @@ def _unpack_bits(b, n: int):
     return bits.reshape(*b.shape[:-1], -1)[..., :n].astype(jnp.float32)
 
 
-def restore_window(window: Dict[str, Any], resolution=None) -> Dict[str, Any]:
+def restore_window(window: Dict[str, Any], resolution=None,
+                   num_bins: Optional[int] = None,
+                   round_ts: bool = False) -> Dict[str, Any]:
     """Device-side inverse of ``compact_window`` (traced inside the step).
 
     Restores f32 from the narrow wire dtypes, rebuilds the polarity column
@@ -227,6 +248,13 @@ def restore_window(window: Dict[str, Any], resolution=None) -> Dict[str, Any]:
     are small-integer sums (order-independent in f32) of the same events at
     the same integer coordinates (tests/test_train_eval.py
     test_derive_cnt_matches_loader).
+
+    When ``num_bins`` is given and ``event_voxel`` is absent, the voxel
+    grid is likewise rebuilt (derive_voxel wire): the temporal-bilinear
+    weights are the identical f32 expressions the host encoder uses
+    (np_events_to_voxel, dataloader/encodings.py:48-67), splatted signed
+    by polarity in one num_bins-channel scatter — deterministic, equal to
+    the host grid up to f32 summation order (see compact_window).
     """
     window = dict(window)
     hot_bits = window.pop("hot_bits", None)
@@ -278,6 +306,32 @@ def restore_window(window: Dict[str, Any], resolution=None) -> Dict[str, Any]:
         if hot_bits is not None:
             cnt = cnt * _unpack_bits(hot_bits, W)[..., None]
         window["event_cnt"] = cnt
+    if window.get("event_voxel") is None and num_bins is not None:
+        if resolution is None:
+            raise ValueError("derive_voxel wire needs a static resolution")
+        H, W = int(resolution[0]), int(resolution[1])
+        el = window["event_list"]
+        ys = el[..., 1].astype(jnp.int32)
+        xs = el[..., 2].astype(jnp.int32)
+        tb = el[..., 0] * np.float32(num_bins - 1)
+        if round_ts:
+            tb = jnp.round(tb)  # round-half-even, like np.round
+        # per-bin bilinear weight, signed by polarity; padded rows have
+        # ps == 0 (pol mask is all-zero there), so they contribute nothing
+        wts = jnp.maximum(
+            0.0, 1.0 - jnp.abs(tb[..., None]
+                               - jnp.arange(num_bins, dtype=jnp.float32))
+        )
+        contrib = el[..., 3:4] * wts
+        P_, B_, N_ = ys.shape
+        base = (jnp.arange(P_ * B_, dtype=jnp.int32) * (H * W)).reshape(P_, B_, 1)
+        flat = (base + ys * W + xs).reshape(-1)
+        vox = jnp.zeros((P_ * B_ * H * W, num_bins), jnp.float32)
+        vox = vox.at[flat].add(contrib.reshape(-1, num_bins))
+        vox = vox.reshape(P_, B_, H, W, num_bins)
+        if hot_bits is not None:
+            vox = vox * _unpack_bits(hot_bits, W)[..., None]
+        window["event_voxel"] = vox
     if window["event_mask"] is None:
         # compact wire derive_mask: the loader's mask IS the binary
         # event indicator for plain cnt windows (see compact_window)
@@ -288,7 +342,8 @@ def restore_window(window: Dict[str, Any], resolution=None) -> Dict[str, Any]:
 
 
 def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int = 4,
-                    remat: str = "full", resolution=None):
+                    remat: str = "full", resolution=None,
+                    num_bins: Optional[int] = None, round_ts: bool = False):
     """Build the jitted TBPTT train step.
 
     ``remat`` selects the rematerialization policy for the P-pass model scan
@@ -306,7 +361,9 @@ def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int 
     "full" is the shipped default (config key ``loss.remat``).
 
     ``resolution`` (H, W) is required only when windows arrive on the
-    derive_cnt compact wire (no count grids — see ``restore_window``).
+    derive_cnt compact wire (no count grids — see ``restore_window``);
+    ``num_bins``/``round_ts`` additionally enable the derive_voxel wire
+    (voxel grids rebuilt on device) for voxel-encoding models.
     """
     if remat not in ("none", "full", "dots"):
         raise ValueError(f"remat must be none/full/dots, got {remat!r}")
@@ -314,7 +371,8 @@ def make_train_step(model, tx, warp_cfg: EventWarpingConfig, num_timesteps: int 
     def train_step(params, batch_stats, opt_state, states, window):
         # restore f32 + derived grids from the compact wire (no-op for f32
         # callers shipping every key)
-        window = restore_window(window, resolution)
+        window = restore_window(window, resolution, num_bins=num_bins,
+                                round_ts=round_ts)
         tsteps = jnp.arange(window["event_list"].shape[0]) % num_timesteps
 
         def loss_fn(p):
@@ -482,8 +540,17 @@ def train(
         loader.get("std_resolution", loader["resolution"])
     )
     # the loader's event_mask is exactly cnt.sum(-1) > 0 for plain cnt
-    # windows — derive it on device instead of uploading it
-    derive_mask = (
+    # windows — derive it on device instead of uploading it. The voxel
+    # encoding gets the same treatment (mask == histogram indicator, voxel
+    # == temporal-bilinear splat of the same list; data.derive_voxel: false
+    # opts out — the derived voxel equals the host grid up to f32 summation
+    # order, see compact_window)
+    derive_voxel = (
+        model_cfg.get("encoding", "cnt") == "voxel"
+        and not pooled
+        and bool(config["data"].get("derive_voxel", True))
+    )
+    derive_mask = derive_voxel or (
         model_cfg.get("encoding", "cnt") == "cnt"
         and not pooled
         and not bool(model_cfg.get("temporal_cnt", False))
@@ -493,7 +560,7 @@ def train(
     # device too (~2/3 of the remaining wire bytes; config
     # data.derive_cnt: false opts out, e.g. hosts with fast links where
     # the ~1 ms device scatter outweighs the upload, BENCH_NOTES round 8)
-    derive_cnt = derive_mask and bool(
+    derive_cnt = (not derive_voxel) and derive_mask and bool(
         config["data"].get("derive_cnt", True)
     )
     # sticky wire dtype for counts: start at uint8, upgrade permanently to
@@ -536,8 +603,12 @@ def train(
     # length (registry resolves the config schema)
     tebn_T = int(getattr(model, "num_timesteps", 4))
     remat = str(config.get("loss", {}).get("remat", "full"))
-    step_fn = make_train_step(model, tx, warp_cfg, tebn_T, remat=remat,
-                              resolution=tuple(loader["resolution"]))
+    step_fn = make_train_step(
+        model, tx, warp_cfg, tebn_T, remat=remat,
+        resolution=tuple(loader["resolution"]),
+        num_bins=(int(model_cfg.get("num_bins", 2)) if derive_voxel else None),
+        round_ts=bool(model_cfg.get("round_encoding", False)),
+    )
 
     ckpt_policy = CheckpointPolicy(os.path.join(run.dir, "checkpoints"))
     patience = 50
@@ -620,7 +691,8 @@ def train(
                 continue
 
             stacked = stack_window(pending)
-            if (not derive_cnt and cnt_dtype is np.uint8
+            if (encoding == "cnt" and not derive_cnt
+                    and cnt_dtype is np.uint8
                     and stacked["event_cnt"].max() > 255):
                 cnt_dtype = np.int16  # sticky: one retrace, never flaps
             if coords_dtype is np.uint16:
@@ -638,6 +710,7 @@ def train(
                                derive_mask=derive_mask,
                                cnt_dtype=cnt_dtype,
                                derive_cnt=derive_cnt,
+                               derive_voxel=derive_voxel,
                                coords_dtype=coords_dtype,
                                pol_bits=pol_bits),
                 mesh,

@@ -696,3 +696,112 @@ def test_derive_cnt_matches_loader(dataset):
     np.testing.assert_array_equal(np.asarray(rp["event_list"]), eli)
     np.testing.assert_array_equal(np.asarray(rp["event_cnt"]),
                                   window["event_cnt"])
+
+
+def test_derive_voxel_matches_loader(dataset):
+    """The voxel grids ARE the event list's temporal-bilinear splat times the
+    hot mask — the derive_voxel wire rebuilds them on device from REAL
+    streamed windows (incl. hot filtering and flips) up to f32 summation
+    order (the weights themselves are the identical f32 expressions), the
+    derived event_mask is bit-exact, and the jitted step over the grid-free
+    wire matches the full window to f32 tolerance."""
+    import optax
+    from evflow.config import combine_entries
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.loss.warp_loss import EventWarpingConfig
+    from evflow.registry import build_model
+    from evflow.train import (compact_window, make_train_step, restore_window,
+                              stack_window)
+
+    NB = 5
+    cfg = combine_entries(train_cfg(dataset, batch=2))
+    cfg["model"]["encoding"] = "voxel"
+    cfg["model"]["num_bins"] = NB
+    cfg["hot_filter"] = {"enabled": True, "max_px": 4, "min_obvs": 1,
+                         "max_rate": 0.05}
+    cfg["loader"]["augment"] = ["Horizontal", "Vertical", "Polarity"]
+    cfg["loader"]["augment_prob"] = [0.5, 0.5, 0.5]
+    stream = H5EventStream(cfg, NB)
+    batches = [stream.next_batch() for _ in range(6)]
+    stream.close()
+    assert any((b["hot_mask"] == 0).any() for b in batches)
+    # real voxel grids, not the cnt alias
+    assert batches[0]["event_voxel"].shape[-1] == NB
+
+    window = stack_window(batches[:3])
+    # the synthetic stream has FRACTIONAL coordinates (the train loop's
+    # sticky gate ships those f32 — u16 would truncate the warp loss's
+    # bilinear splat coords; the derived GRIDS would still match because
+    # the host encoders truncate, see test_derive_cnt_matches_loader)
+    cw = compact_window(window, "voxel", derive_mask=True, derive_voxel=True,
+                        coords_dtype=np.float32, pol_bits=True)
+    assert cw["event_voxel"] is None and cw["event_mask"] is None
+    assert cw["event_cnt"] is None  # never rides for voxel encodings
+    assert cw["hot_bits"].dtype == np.uint8
+
+    rw = restore_window(
+        jax.tree.map(lambda x: jnp.asarray(x) if x is not None else None, cw),
+        resolution=(32, 32), num_bins=NB)
+    np.testing.assert_allclose(np.asarray(rw["event_voxel"]),
+                               window["event_voxel"], atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rw["event_mask"]),
+                                  window["event_mask"])
+
+    model = build_model(cfg["model"])
+    B, H, W = 2, 32, 32
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, NB)),
+                   jnp.zeros((B, H, W, 2)), states)
+    tx = optax.adam(1e-3)
+    opt = tx.init(v["params"])
+    step = make_train_step(model, tx, EventWarpingConfig(cfg), 4,
+                           resolution=(H, W), num_bins=NB)
+
+    def fresh(t):
+        return jax.tree.map(jnp.array, t)
+
+    full = dict(window)
+    full.pop("hot_mask")
+    out_full = step(fresh(v["params"]), fresh(v.get("batch_stats", {})),
+                    fresh(opt), fresh(states), full)
+    out_dv = step(fresh(v["params"]), fresh(v.get("batch_stats", {})),
+                  fresh(opt), fresh(states), cw)
+    np.testing.assert_allclose(float(out_full[0]), float(out_dv[0]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(out_full[1]), jax.tree.leaves(out_dv[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_derive_voxel_round_ts():
+    """round_encoding parity: the device voxel branch with round_ts=True
+    matches np_events_to_voxel(round_ts=True) on a hand-built event set
+    (round-half-even in both)."""
+    from evflow.data import encodings as enc
+    from evflow.train import restore_window
+
+    rng = np.random.default_rng(3)
+    N, H, W, NB = 64, 8, 8, 4
+    ys = rng.integers(0, H, N).astype(np.float32)
+    xs = rng.integers(0, W, N).astype(np.float32)
+    # include exact .5 bin positions to pin the rounding convention
+    ts = np.concatenate([rng.uniform(0, 1, N - 4).astype(np.float32),
+                         np.float32([0.5, 1.0, 1.5, 2.5]) / (NB - 1)])
+    ps = rng.choice([-1.0, 1.0], N).astype(np.float32)
+    host = enc.np_events_to_voxel(xs, ys, ts, ps, NB, (H, W), round_ts=True)
+
+    window = {
+        "event_list": np.stack([ts, ys, xs, ps], -1)[None, None],
+        "event_list_pol_mask": np.stack(
+            [(ps > 0).astype(np.float32), (ps < 0).astype(np.float32)],
+            -1)[None, None],
+        "event_valid": np.ones((1, 1, N), np.float32),
+        "event_cnt": np.zeros((1, 1, H, W, 2), np.float32),
+        "event_voxel": None,
+        "event_mask": np.ones((1, 1, H, W, 1), np.float32),
+    }
+    rw = restore_window(
+        jax.tree.map(lambda x: jnp.asarray(x) if x is not None else None,
+                     window),
+        resolution=(H, W), num_bins=NB, round_ts=True)
+    np.testing.assert_allclose(np.asarray(rw["event_voxel"])[0, 0], host,
+                               atol=1e-6)
