@@ -97,13 +97,27 @@ def main():
         from evflow.data.h5_stream import H5EventStream
         from evflow.deploy import Int8DeployEngine
 
+        is_unet = model.__class__.__name__ == "SpikingRecEVFlowNet"
         if args.artifact:
-            engine = Int8DeployEngine.from_artifact(model, args.artifact)
+            # dispatch on the artifact's own model record: the two engine
+            # families serialize different parameter layouts
+            import json
+
+            import numpy as np
+
+            with np.load(args.artifact, allow_pickle=False) as z:
+                meta_model = json.loads(str(z["__meta__"])).get("model")
+            if meta_model == "SpikingRecEVFlowNet":
+                from evflow.deploy_unet import Int8UNetEngine
+
+                engine = Int8UNetEngine.from_artifact(model, args.artifact)
+            else:
+                engine = Int8DeployEngine.from_artifact(model, args.artifact)
             print("=== quantized evaluation: mode=deploy (artifact "
                   "acceptance) ===")
             print(f"artifact: {args.artifact}")
             print(f"membranes: {engine.mem_dtype}; GEMM intermediates: "
-                  f"{'calibrated int8' if engine.z_int8 else 'bf16'}")
+                  f"{'calibrated int8' if getattr(engine, 'z_int8', False) else 'bf16'}")
             results = evaluate(
                 config, variables=engine.params, model=engine,
                 path_results=args.path_results,
@@ -117,6 +131,13 @@ def main():
 
         encoding = model_cfg.get("encoding", "cnt")
         wkey = "event_voxel" if encoding == "voxel" else "event_cnt"
+        if is_unet:
+            if args.z_int8:
+                parser.error("--z_int8 applies to the FireNet dy-pack "
+                             "engine; the UNet engine has no Z buffer")
+            if args.mem_dtype != "bfloat16":
+                parser.error("the UNet engine carries bf16 membranes "
+                             "(int8/mixed tiers are FireNet-engine only)")
         input_scale = 1.0
         if encoding == "cnt":
             # pooled counts are exact multiples of 1/(ph*pw); scale the
@@ -144,10 +165,15 @@ def main():
 
                 mem_ranges = profile_mem_ranges(model, variables, windows,
                                                 input_scale=input_scale)
-        engine = Int8DeployEngine(
-            model, variables, mem_dtype=args.mem_dtype, mem_ranges=mem_ranges,
-            input_scale=input_scale,
-        )
+        if is_unet:
+            from evflow.deploy_unet import Int8UNetEngine
+
+            engine = Int8UNetEngine(model, variables, input_scale=input_scale)
+        else:
+            engine = Int8DeployEngine(
+                model, variables, mem_dtype=args.mem_dtype,
+                mem_ranges=mem_ranges, input_scale=input_scale,
+            )
         if args.z_int8:
             stream = H5EventStream(config, model_cfg.get("num_bins", 2),
                                    model_cfg.get("round_encoding", False))

@@ -1,0 +1,422 @@
+"""Int8 deployment/serving engine for the spiking multires UNet family.
+
+Extends the real-int8 TPU serving path (evflow/deploy.py, FireNet family)
+to the second flagship — SpikingRecEVFlowNet (reference models/model.py
+:723-858 over the spiking UNet of models/unet.py:414-461). The reference
+quantizes/exports only FireNet (Model_export_RealQuant.py,
+eval_flow_quant.py); this engine closes that gap on the TPU side: the full
+model zoo has a deployment story.
+
+Design — every cross-layer tensor int8 at rest, quantization points chosen
+so almost all of them are EXACT:
+
+  * spikes are int8: the sigmoid-LIF family emits {0, 1}; residual blocks
+    add their (spike) input to the output spikes (unet.py
+    SpikingResidualBlock), so resblock activations are small ints
+    (<= 1 + num_residual_blocks) — still exact int8.
+  * convs are s8 x s8 -> s32 ``lax.conv_general_dilated`` (XLA's int8 conv
+    emitter — the measured-fast int8 path on this toolchain, ROOFLINE.md
+    §1) with per-output-channel weight scales; no bias, no BN in this
+    family (cells.py make_conv ``use_bias=False``, norm=None).
+  * recurrent cells fuse their feedforward + recurrent convs into ONE conv
+    over input-channel-concatenated kernels — both inputs are binary
+    spikes (unit scale), so one shared per-output-channel scale
+    dequantizes the fused accumulator (the UNet analog of the FireNet
+    engine's K=6C dual GEMM).
+  * decoder inputs are the one fractional surface: bilinear x2 of a
+    concat of spike-valued channels and the previous multires flow
+    prediction (unet.py:319-339). Bilinear-2x weights live on a 1/16 grid
+    (torch ``align_corners=False`` taps {9, 3, 1}/16), so upsampled SPIKE
+    channels are exact int8 at scale 1/16 (max 16 * (1 + num_resblocks)
+    << 127); prediction channels (tanh, in (-1, 1)) ride a fixed 1/127
+    grid — the engine's only lossy activation quantization, |err| <=
+    1/254 on a 2-channel auxiliary input. Per-input-channel scales are
+    folded into the decoder kernels BEFORE weight quantization, so the
+    conv still dequantizes with one per-output-channel multiply.
+  * LIF dynamics reuse :func:`evflow.ops.lif.sigmoid_lif_step` exactly
+    (its forward is the pure inference update; surrogate forward is the
+    exact heaviside). Membranes are carried bf16 (serving default) or f32
+    (``mem_dtype="float32"``, bit-parity harness for tests).
+
+With integer inputs the remaining approximations are per-channel weight
+rounding (the reference's conv PTQ, eval_flow_quant.py:584-880) and the
+1/127 prediction-feedback grid; tests/test_deploy_unet.py pins the
+finest-path flow to BIT-EXACT vs the fake-quant f32 model and AEE parity
+on the synthetic gtflow protocol.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evflow.deploy import _quantize_per_channel
+from evflow.models.unet import CropParameters
+from evflow.ops.lif import LIFState, sigmoid_lif_step
+
+__all__ = [
+    "Int8UNetEngine",
+    "prepare_unet_int8_params",
+    "quantize_unet_weights",
+    "save_unet_engine",
+]
+
+# the decoder spike-channel fixed-point grid: bilinear-2x tap weights are
+# sixteenths, so 16 is the exact LSB of any upsampled integer-valued map
+_UP_GRID = 16.0
+_PRED_GRID = 127.0  # tanh flow feedback in (-1, 1)
+
+
+def quantize_unet_weights(model, params: Dict[str, Any],
+                          input_scale: float = 1.0) -> Dict[str, Any]:
+    """Return ``params`` with every conv kernel replaced by its
+    dequantized-int8 image (same shared/folded scales as
+    :func:`prepare_unet_int8_params`) — the fake-quant f32 twin of the
+    engine, used by the parity tests: running the flax model on these
+    weights isolates the weight-rounding approximation so the engine's
+    integer arithmetic can be checked EXACTLY against it."""
+    prepared = prepare_unet_int8_params(model, {"params": params},
+                                        input_scale=input_scale)
+    p = jax.tree.map(lambda x: x, params)  # deep-ish copy of the dict tree
+    u = {k: dict(v) for k, v in p["multires_unetrec"].items()}
+    for i in range(model.num_encoders):
+        enc = prepared["enc"][i]
+        conv = dict(u[f"encoder{i}"]["conv"])
+        # undo the folded head input scale to recover the kernel itself
+        kq = np.asarray(enc["conv"]["w"], np.float32) * np.asarray(enc["conv"]["scale"])
+        if i == 0 and input_scale != 1.0:
+            kq = kq / input_scale
+        conv["ff"] = {"kernel": jnp.asarray(kq)}
+        rec = dict(u[f"encoder{i}"]["recurrent_block"])
+        kcat = np.asarray(enc["rec"]["w"], np.float32) * np.asarray(enc["rec"]["scale"])
+        cin = kcat.shape[2] // 2
+        rec["ff"] = {"kernel": jnp.asarray(kcat[:, :, :cin])}
+        rec["rec"] = {"kernel": jnp.asarray(kcat[:, :, cin:])}
+        u[f"encoder{i}"] = {**u[f"encoder{i}"], "conv": conv,
+                            "recurrent_block": rec}
+    for i in range(model.num_residual_blocks):
+        blk = dict(u[f"resblock{i}"])
+        for j, name in enumerate(("conv1", "conv2")):
+            cu = prepared["res"][i][j]
+            kq = np.asarray(cu["w"], np.float32) * np.asarray(cu["scale"])
+            blk[name] = {**dict(blk[name]), "ff": {"kernel": jnp.asarray(kq)}}
+        u[f"resblock{i}"] = blk
+    for i in range(model.num_encoders):
+        du = prepared["dec"][i]
+        kq = np.asarray(du["w"], np.float32) * np.asarray(du["scale"])
+        # undo the folded per-input-channel grid scales
+        kq = kq / np.asarray(du["in_scale"], np.float32)[None, None, :, None]
+        dec = dict(u[f"decoder{i}"])
+        dec["conv2d"] = {**dict(dec["conv2d"]), "ff": {"kernel": jnp.asarray(kq)}}
+        u[f"decoder{i}"] = dec
+    p = dict(p)
+    p["multires_unetrec"] = u
+    return p
+
+
+def prepare_unet_int8_params(model, variables: Dict[str, Any],
+                             input_scale: float = 1.0) -> Dict[str, Any]:
+    """Fold + quantize trained SpikingRecEVFlowNet variables into the
+    engine pytree. Host-side, runs once.
+
+    Layout: ``{"enc": [{"conv": u, "rec": u}], "res": [(u, u)],
+    "dec": [u], "pred": [{"kernel", "bias"}]}`` where each conv unit ``u``
+    holds int8 ``w`` (HWIO), per-output-channel f32 ``scale``, f32
+    ``leak``/``thresh``; decoder units add the folded per-input-channel
+    ``in_scale`` (for the fake-quant twin / artifact introspection).
+    """
+    p = variables["params"]["multires_unetrec"]
+    E, R = model.num_encoders, model.num_residual_blocks
+
+    def unit(kernel: np.ndarray, cell) -> Dict[str, Any]:
+        w, s = _quantize_per_channel(kernel)
+        return {
+            "w": jnp.asarray(w),
+            "scale": jnp.asarray(s, jnp.float32),
+            "leak": jnp.asarray(np.asarray(cell["leak"], np.float32)),
+            "thresh": jnp.asarray(np.asarray(cell["thresh"], np.float32)),
+        }
+
+    out: Dict[str, Any] = {"enc": [], "res": [], "dec": [], "pred": []}
+    for i in range(E):
+        c = p[f"encoder{i}"]["conv"]
+        k = np.asarray(c["ff"]["kernel"], np.float32)
+        if i == 0:
+            k = k * input_scale  # head folds the input grid in
+        r = p[f"encoder{i}"]["recurrent_block"]
+        # fused ff+rec kernel: both inputs are unit-scale spikes, so one
+        # shared per-output-channel scale dequantizes the single conv
+        kcat = np.concatenate(
+            [np.asarray(r["ff"]["kernel"], np.float32),
+             np.asarray(r["rec"]["kernel"], np.float32)], axis=2
+        )
+        out["enc"].append({"conv": unit(k, c), "rec": unit(kcat, r)})
+    for i in range(R):
+        b = p[f"resblock{i}"]
+        out["res"].append((
+            unit(np.asarray(b["conv1"]["ff"]["kernel"], np.float32), b["conv1"]),
+            unit(np.asarray(b["conv2"]["ff"]["kernel"], np.float32), b["conv2"]),
+        ))
+    for i in range(E):
+        d = p[f"decoder{i}"]["conv2d"]
+        k = np.asarray(d["ff"]["kernel"], np.float32)
+        cin = k.shape[2]
+        s_in = np.full((cin,), 1.0 / _UP_GRID, np.float32)
+        if i > 0:
+            # skip(pred, skip(x, block)): prediction channels lead
+            s_in[: getattr(model, "num_output_channels", 2)] = 1.0 / _PRED_GRID
+        u = unit(k * s_in[None, None, :, None], d)
+        u["in_scale"] = jnp.asarray(s_in)
+        out["dec"].append(u)
+    for i in range(E):
+        pr = p[f"pred{i}"]["conv2d"]
+        out["pred"].append({
+            "kernel": jnp.asarray(np.asarray(pr["kernel"], np.float32)),
+            "bias": jnp.asarray(np.asarray(pr["bias"], np.float32)),
+        })
+    return out
+
+
+def _conv_i8(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def save_unet_engine(engine: "Int8UNetEngine", path: str) -> str:
+    """One-file ``.npz`` deployment artifact (the UNet analog of
+    :func:`evflow.deploy.save_engine`); loaded by
+    :meth:`Int8UNetEngine.from_artifact` without the f32 checkpoint."""
+    arrays: Dict[str, np.ndarray] = {}
+    dtypes: Dict[str, str] = {}
+    flat = jax.tree_util.tree_flatten_with_path(engine.params)[0]
+    for kp, v in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        dtypes[key] = str(v.dtype)
+        arrays[key] = (np.asarray(v, np.float32) if str(v.dtype) == "bfloat16"
+                       else np.asarray(v))
+    meta = {
+        "dtypes": dtypes,
+        "num_encoders": engine.num_encoders,
+        "num_residual_blocks": engine.num_residual_blocks,
+        "mem_dtype": engine.mem_dtype,
+        "input_scale": engine.input_scale,
+        "model": engine.model.__class__.__name__,
+    }
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez(path, __meta__=np.asarray(json.dumps(meta)), **arrays)
+    return path
+
+
+class Int8UNetEngine:
+    """Duck-types the SpikingRecEVFlowNet protocol (``init_states`` /
+    ``apply``) so ``evflow.eval.evaluate(config, model=engine,
+    variables=engine.params)`` runs the full AEE protocol on the
+    quantized serving path; state layout matches the flax model's flat
+    LIFState tuple, so sequence-rollover mask resets work unchanged."""
+
+    def __init__(self, model, variables: Optional[Dict[str, Any]],
+                 mem_dtype: str = "bfloat16", input_scale: float = 1.0,
+                 _prepared: Optional[Dict[str, Any]] = None):
+        if variables is None and _prepared is None:
+            raise ValueError("need trained variables or a prepared artifact")
+        if model.__class__.__name__ != "SpikingRecEVFlowNet":
+            raise ValueError(
+                "Int8UNetEngine deploys SpikingRecEVFlowNet; the FireNet "
+                "family uses evflow.deploy.Int8DeployEngine"
+            )
+        if model.norm is not None:
+            raise ValueError("normalized cells are not supported on the int8 path")
+        if model.norm_input:
+            raise ValueError("norm_input is not supported on the int8 path")
+        if model.encoding != "cnt" and input_scale == 1.0:
+            raise ValueError(
+                "voxel-encoding models need a calibrated input_scale "
+                "(fractional voxel values would round to the unit grid)"
+            )
+        if mem_dtype not in ("bfloat16", "float32"):
+            raise ValueError(f"mem_dtype must be bfloat16/float32, got {mem_dtype!r}")
+        # residual chains grow spike amplitudes by +1 per block; the exact
+        # decoder grid holds while 16 * (1 + R) fits int8
+        if _UP_GRID * (1 + model.num_residual_blocks) > 127:
+            raise ValueError(
+                f"{model.num_residual_blocks} residual blocks overflow the "
+                "exact 1/16 decoder grid"
+            )
+        self.model = model
+        self.encoding = model.encoding
+        self.num_encoders = model.num_encoders
+        self.num_residual_blocks = model.num_residual_blocks
+        self.hard_reset = model.hard_reset
+        self.mem_dtype = mem_dtype
+        self._mem_jdtype = jnp.bfloat16 if mem_dtype == "bfloat16" else jnp.float32
+        self.input_scale = float(input_scale)
+        self.params = (_prepared if _prepared is not None else
+                       prepare_unet_int8_params(model, variables,
+                                                input_scale=input_scale))
+
+    @classmethod
+    def from_artifact(cls, model, path: str) -> "Int8UNetEngine":
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["__meta__"]))
+
+            def arr(key):
+                return jnp.asarray(z[key], jnp.dtype(meta["dtypes"][key]))
+
+            E, R = meta["num_encoders"], meta["num_residual_blocks"]
+            conv_keys = ("w", "scale", "leak", "thresh")
+            params: Dict[str, Any] = {
+                "enc": [{side: {k: arr(f"enc/{i}/{side}/{k}") for k in conv_keys}
+                         for side in ("conv", "rec")} for i in range(E)],
+                "res": [tuple({k: arr(f"res/{i}/{j}/{k}") for k in conv_keys}
+                              for j in range(2)) for i in range(R)],
+                "dec": [{k: arr(f"dec/{i}/{k}")
+                         for k in conv_keys + ("in_scale",)} for i in range(E)],
+                "pred": [{k: arr(f"pred/{i}/{k}") for k in ("kernel", "bias")}
+                         for i in range(E)],
+            }
+        if E != model.num_encoders or R != model.num_residual_blocks:
+            raise ValueError(
+                f"artifact is a {E}-encoder/{R}-resblock net, model has "
+                f"{model.num_encoders}/{model.num_residual_blocks}"
+            )
+        return cls(model, variables=None, mem_dtype=meta["mem_dtype"],
+                   input_scale=meta["input_scale"], _prepared=params)
+
+    # -- state ------------------------------------------------------------
+
+    def init_states(self, batch: int, height: int, width: int):
+        """Flat LIFState tuple in the flax model's slot order (2/encoder +
+        2/resblock + 1/decoder), membranes in ``mem_dtype``, spikes int8."""
+        crop = CropParameters(width, height, self.num_encoders)
+        h, w = crop.height_crop, crop.width_crop
+        C, E = self.model.base_num_channels, self.num_encoders
+        out_sizes = [int(C * 2 ** (i + 1)) for i in range(E)]
+        in_sizes = [int(C * 2 ** i) for i in range(E)]
+
+        def zs(h, w, c):
+            return LIFState(jnp.zeros((batch, h, w, c), self._mem_jdtype),
+                            jnp.zeros((batch, h, w, c), jnp.int8))
+
+        states = []
+        for c in out_sizes:
+            h, w = h // 2, w // 2
+            states += [zs(h, w, c), zs(h, w, c)]
+        for _ in range(2 * self.num_residual_blocks):
+            states.append(zs(h, w, out_sizes[-1]))
+        for c in reversed(in_sizes):
+            h, w = h * 2, w * 2
+            states.append(zs(h, w, c))
+        return tuple(states)
+
+    # -- inference --------------------------------------------------------
+
+    def _lif(self, ff_i32, unit, state: LIFState):
+        """Dequantize the conv accumulator and run one exact sigmoid-LIF
+        update; returns (int8 spikes, new LIFState)."""
+        ff = ff_i32.astype(jnp.float32) * unit["scale"]
+        z, v = sigmoid_lif_step(
+            ff, state.mem.astype(jnp.float32), state.spk.astype(jnp.float32),
+            unit["leak"], unit["thresh"], hard_reset=self.hard_reset,
+        )
+        zi = z.astype(jnp.int8)
+        return zi, LIFState(v.astype(self._mem_jdtype), zi)
+
+    def apply(self, variables: Dict[str, Any], event_voxel, event_cnt,
+              states: Sequence[LIFState], train: bool = False,
+              timestep=None, log: bool = False):
+        """One event-window step on the int8 path (``variables`` is the
+        prepared pytree, ``engine.params``)."""
+        del train, timestep
+        x = event_cnt if self.encoding == "cnt" else event_voxel
+        if x is None:
+            raise ValueError("Selected encoding input is None")
+        B, H, W, _ = x.shape
+        E = self.num_encoders
+        crop = CropParameters(W, H, E)
+
+        xi = jnp.clip(
+            jnp.round(x / self.input_scale if self.input_scale != 1.0 else x),
+            -127, 127,
+        ).astype(jnp.int8)
+        xi = crop.pad(xi)
+
+        states = list(states)
+        new_states: List[Optional[LIFState]] = list(states)
+        taps = {"0:input": x.astype(jnp.float32)} if log else None
+        si = 0
+        h = xi
+        blocks = []
+        for i, eu in enumerate(variables["enc"]):
+            z1, s1 = self._lif(_conv_i8(h, eu["conv"]["w"], 2), eu["conv"],
+                               states[si])
+            new_states[si] = s1
+            cat = jnp.concatenate([z1, states[si + 1].spk], axis=-1)
+            z2, s2 = self._lif(_conv_i8(cat, eu["rec"]["w"], 1), eu["rec"],
+                               states[si + 1])
+            new_states[si + 1] = s2
+            si += 2
+            h = z2
+            blocks.append(h)
+            if log:
+                taps[f"enc{i}"] = z2.astype(jnp.float32)
+
+        for i, (u1, u2) in enumerate(variables["res"]):
+            residual = h
+            z1, s1 = self._lif(_conv_i8(h, u1["w"], 1), u1, states[si])
+            new_states[si] = s1
+            z2, s2 = self._lif(_conv_i8(z1, u2["w"], 1), u2, states[si + 1])
+            new_states[si + 1] = s2
+            si += 2
+            h = z2 + residual  # spike-valued small ints, still exact int8
+            if log:
+                taps[f"res{i}"] = h.astype(jnp.float32)
+
+        predictions = []
+        pred_q = None
+        for i, (du, pu) in enumerate(zip(variables["dec"], variables["pred"])):
+            parts = [h, blocks[E - i - 1]]
+            if i > 0:
+                parts.insert(0, pred_q)
+            cat = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
+            Bc, Hc, Wc, Cc = cat.shape
+            up = jax.image.resize(cat, (Bc, 2 * Hc, 2 * Wc, Cc), method="bilinear")
+            # exact requant onto the folded grids: spike channels land on
+            # the 1/16 bilinear grid (lossless); pred channels re-round to
+            # 1/127 (|err| <= 1/254, the engine's only lossy activation)
+            q_up = jnp.clip(
+                jnp.round(up / du["in_scale"]), -127, 127
+            ).astype(jnp.int8)
+            z, s = self._lif(_conv_i8(q_up, du["w"], 1), du, states[si])
+            new_states[si] = s
+            si += 1
+            h = z
+            flow = jnp.einsum(
+                "bhwc,co->bhwo", z.astype(jnp.float32), pu["kernel"][0, 0]
+            ) + pu["bias"]
+            flow = jnp.tanh(flow)
+            predictions.append(flow)
+            pred_q = jnp.clip(
+                jnp.round(flow * _PRED_GRID), -127, 127
+            ).astype(jnp.int8)
+            if log:
+                taps[f"dec{i}"] = z.astype(jnp.float32)
+
+        fh, fw = predictions[-1].shape[1:3]
+        flow_list = [
+            crop.crop(jax.image.resize(
+                p, (p.shape[0], fh, fw, p.shape[-1]), method="nearest"))
+            for p in predictions
+        ]
+        activity = None
+        if log:
+            from evflow.models.firenet import activity_fractions
+            activity = activity_fractions(taps)
+        return {"flow": flow_list, "activity": activity}, tuple(new_states)

@@ -243,6 +243,38 @@ def test_eval_flow_quant_artifact_cli(workspace, tuned_artifact):
     assert "AEE" in out.stdout
 
 
+def test_eval_flow_quant_unet_artifact_cli(workspace):
+    """The UNet engine family through the CLI: a SpikingRecEVFlowNet deploy
+    artifact is dispatched by its meta model record and acceptance-evaluated
+    under the full AEE protocol (evflow/deploy_unet.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evflow.deploy_unet import Int8UNetEngine, save_unet_engine
+    from evflow.registry import build_model
+
+    mc = {"name": "SpikingRecEVFlowNet", "encoding": "cnt", "num_bins": 2,
+          "base_num_channels": 4, "kernel_size": 3, "mask_output": True,
+          "round_encoding": False}
+    model = build_model(mc)
+    st = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((1, 32, 32, 2)), st)
+    art = save_unet_engine(Int8UNetEngine(model, v),
+                           os.path.join(workspace["ws"], "unet_engine"))
+
+    cfg = yaml.safe_load(open(workspace["eval_cfg"]))
+    cfg["model"] = mc
+    ucfg = os.path.join(workspace["ws"], "eval_unet.yml")
+    with open(ucfg, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = run_cli(["eval_flow_quant.py", "--config", ucfg,
+                   "--mode", "deploy", "--artifact", art,
+                   "--max_windows", "3", "--debug",
+                   "--path_results", os.path.join(workspace["ws"], "res_unet")])
+    assert "artifact acceptance" in out.stdout
+    assert "AEE" in out.stdout
+
+
 def test_analyze_voltage_cli(workspace):
     out = run_cli(["analyze_voltage_dynamics.py", "--config", workspace["eval_cfg"],
                    "--num_batches", "2"])
