@@ -311,7 +311,9 @@ def export_deploy_engine(
 
     def fwd(cnt, states):
         out, new_states = engine.apply(params, None, cnt, states)
-        return out["flow"][0], new_states
+        # the finest flow map (multires engines return coarse->fine;
+        # FireNet's list has one entry)
+        return out["flow"][-1], new_states
 
     rng = np.random.default_rng(seed)
     cnt = jnp.asarray(_pick_golden_input(rng, batch, height, width))

@@ -141,15 +141,24 @@ def main():
                          "batch_stats": restored["batch_stats"]}
 
     if args.what == "deploy":
-        from evflow.deploy import Int8DeployEngine
+        if model.__class__.__name__ == "SpikingRecEVFlowNet":
+            from evflow.deploy_unet import Int8UNetEngine, save_unet_engine
 
-        from evflow.deploy import save_engine
+            if args.mem_dtype not in ("bfloat16",):
+                raise SystemExit("the UNet engine carries bf16 membranes")
+            engine = Int8UNetEngine(model, variables)
+            out = E.export_deploy_engine(engine, args.out, height=H, width=W)
+            out["engine_params"] = save_unet_engine(
+                engine, os.path.join(args.out, "engine_int8.npz")
+            )
+        else:
+            from evflow.deploy import Int8DeployEngine, save_engine
 
-        engine = Int8DeployEngine(model, variables, mem_dtype=args.mem_dtype)
-        out = E.export_deploy_engine(engine, args.out, height=H, width=W)
-        out["engine_params"] = save_engine(
-            engine, os.path.join(args.out, "engine_int8.npz")
-        )
+            engine = Int8DeployEngine(model, variables, mem_dtype=args.mem_dtype)
+            out = E.export_deploy_engine(engine, args.out, height=H, width=W)
+            out["engine_params"] = save_engine(
+                engine, os.path.join(args.out, "engine_int8.npz")
+            )
     else:
         out = E.export_model(model, variables, args.out, height=H, width=W,
                              quantized=args.quantized)

@@ -159,6 +159,35 @@ def test_model_export_deploy_cli(workspace, tmp_path):
     assert np.isfinite(np.asarray(out2["flow"][0])).all()
 
 
+def test_model_export_deploy_unet_cli(workspace, tmp_path):
+    """--what deploy on a SpikingRecEVFlowNet config: real-int8 StableHLO +
+    loadable UNet-engine artifact (evflow/deploy_unet.py)."""
+    mc = {"name": "SpikingRecEVFlowNet", "encoding": "cnt", "num_bins": 2,
+          "base_num_channels": 4, "kernel_size": 3, "mask_output": True,
+          "round_encoding": False}
+    cfg = yaml.safe_load(open(workspace["eval_cfg"]))
+    cfg["model"] = mc
+    ucfg = os.path.join(workspace["ws"], "export_unet.yml")
+    with open(ucfg, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out_dir = str(tmp_path / "exported_deploy_unet")
+    run_cli(["model_export.py", "--config", ucfg,
+             "--out", out_dir, "--height", "32", "--width", "32",
+             "--what", "deploy"])
+    assert os.path.exists(os.path.join(out_dir, "model_int8.stablehlo"))
+    art = os.path.join(out_dir, "engine_int8.npz")
+    assert os.path.exists(art)
+    import jax.numpy as jnp
+
+    from evflow.deploy_unet import Int8UNetEngine
+    from evflow.registry import build_model
+
+    eng = Int8UNetEngine.from_artifact(build_model(mc), art)
+    cnt = jnp.ones((1, 32, 32, 2), jnp.float32)
+    out2, _ = eng.apply(eng.params, None, cnt, eng.init_states(1, 32, 32))
+    assert all(np.isfinite(np.asarray(f)).all() for f in out2["flow"])
+
+
 def test_lif_layer_export_cli(tmp_path):
     out_dir = str(tmp_path / "lif")
     run_cli(["model_export.py", "--what", "lif_layer", "--out", out_dir])
@@ -190,6 +219,21 @@ def test_serve_stream_cli(workspace):
     out = run_cli(["tools/serve_stream.py", "--config", workspace["eval_cfg"],
                    "--synthetic", "--resolution", "32", "--windows", "10"])
     assert "win/s end-to-end" in out.stdout and "issue latency" in out.stdout
+
+
+def test_serve_stream_unet_cli(workspace):
+    """The serving demo dispatches the UNet engine family for
+    SpikingRecEVFlowNet configs (evflow/deploy_unet.py)."""
+    cfg = yaml.safe_load(open(workspace["eval_cfg"]))
+    cfg["model"] = {"name": "SpikingRecEVFlowNet", "encoding": "cnt",
+                    "num_bins": 2, "base_num_channels": 4, "kernel_size": 3,
+                    "mask_output": True, "round_encoding": False}
+    ucfg = os.path.join(workspace["ws"], "serve_unet.yml")
+    with open(ucfg, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = run_cli(["tools/serve_stream.py", "--config", ucfg,
+                   "--synthetic", "--resolution", "32", "--windows", "6"])
+    assert "win/s end-to-end" in out.stdout
 
 
 def test_serve_stream_chunked_cli(workspace):

@@ -104,12 +104,25 @@ def main():
             variables = {"params": restored["params"],
                          "batch_stats": restored["batch_stats"]}
 
+    is_unet = model.__class__.__name__ == "SpikingRecEVFlowNet"
     if args.artifact:
         if args.mem_dtype:
             p.error("--mem_dtype cannot override an artifact: its quantized "
                     "parameters fix the tier (re-save with autotune_serving)")
-        engine = Int8DeployEngine.from_artifact(model, args.artifact)
-        tuned = engine.serving or {}
+        if is_unet:
+            from evflow.deploy_unet import Int8UNetEngine
+
+            engine = Int8UNetEngine.from_artifact(model, args.artifact)
+        else:
+            engine = Int8DeployEngine.from_artifact(model, args.artifact)
+        tuned = getattr(engine, "serving", None) or {}
+    elif is_unet:
+        from evflow.deploy_unet import Int8UNetEngine
+
+        if args.mem_dtype and args.mem_dtype != "bfloat16":
+            p.error("the UNet engine carries bf16 membranes")
+        engine = Int8UNetEngine(model, variables)
+        tuned = {}
     else:
         # downsample pooling makes counts fractional in multiples of
         # 1/(ph*pw) — an input_scale of exactly that keeps the int8 input
@@ -148,7 +161,7 @@ def main():
     @partial(jax.jit, donate_argnums=(2,))
     def step(params, cnt, st):
         out, st2 = engine.apply(params, None, cnt.astype(jnp.float32), st)
-        return out["flow"][0], st2
+        return out["flow"][-1], st2
 
     @partial(jax.jit, donate_argnums=(2,))
     def chunk_step(params, cnts, st):
@@ -156,7 +169,7 @@ def main():
 
         def body(s, c):
             out, s2 = engine.apply(params, None, c.astype(jnp.float32), s)
-            return s2, out["flow"][0]
+            return s2, out["flow"][-1]
 
         st2, flows = jax.lax.scan(body, st, cnts)
         return flows, st2
