@@ -25,18 +25,25 @@ B = int(os.environ.get("EVB", B))  # round-6: batch-residency sweep
 P, N = 10, 1000  # passes per loss window, events per window
 
 
+VOXEL = os.environ.get("EVVOXEL", "0") == "1"  # voxel-encoding wire variant
+NB = 5 if VOXEL else 2
+
+
 def bench(conv_impl, compute_dtype=None, iters=4):
     cfg = {
-        "name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": 8,
-        "kernel_size": 3, "encoding": "cnt", "conv_impl": conv_impl,
+        "name": "LIFFireNet_short", "num_bins": NB, "base_num_channels": 8,
+        "kernel_size": 3, "encoding": "voxel" if VOXEL else "cnt",
+        "conv_impl": conv_impl,
         "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
     }
     if compute_dtype:
         cfg["compute_dtype"] = compute_dtype
     model = build_model(cfg)
     states = model.init_states(B, H, W)
-    cnt0 = jnp.zeros((B, H, W, 2), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), None, cnt0, states)
+    x0 = jnp.zeros((B, H, W, NB), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           x0 if VOXEL else None,
+                           None if VOXEL else x0, states)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      build_optimizer({"name": "Adam", "lr": 2e-4}))
     opt_state = tx.init(variables["params"])
@@ -45,9 +52,11 @@ def bench(conv_impl, compute_dtype=None, iters=4):
         "loss": {"flow_regul_weight": 0.001},
         "model": {"mask_output": True},
     })
+    derive = os.environ.get("EVDERIVE", "0") == "1"
     step_fn = make_train_step(model, tx, warp_cfg,
                               remat=os.environ.get("EVREMAT", "full"),
-                              resolution=(H, W))
+                              resolution=(H, W),
+                              num_bins=NB if (VOXEL and derive) else None)
 
     rng = np.random.default_rng(0)
     batches = []
@@ -57,24 +66,27 @@ def bench(conv_impl, compute_dtype=None, iters=4):
         ts = np.sort(rng.uniform(0, 1, (B, N)), axis=1).astype(np.float32)
         ps = rng.choice([-1.0, 1.0], (B, N)).astype(np.float32)
         cnt = rng.poisson(0.1, (B, H, W, 2)).astype(np.float32)
+        vox = rng.normal(0, 0.3, (B, H, W, NB)).astype(np.float32)
         batches.append({
             "event_list": np.stack([ts, ys, xs, ps], -1),
             "event_list_pol_mask": np.stack(
                 [(ps > 0).astype(np.float32), (ps < 0).astype(np.float32)], -1),
             "event_valid": np.ones((B, N), np.float32),
-            "event_cnt": cnt, "event_voxel": cnt.copy(),
+            "event_cnt": cnt, "event_voxel": vox,
             "event_mask": (cnt.sum(-1, keepdims=True) > 0).astype(np.float32),
         })
     window = stack_window(batches)
-    if os.environ.get("EVDERIVE", "0") == "1":
-        # derive_cnt wire: counts rebuilt on device from the event list
-        # (timing-only here: the synthetic cnt is not the list's histogram);
-        # EVPACK adds the packed event wire (u16 coords, 1-bit polarity,
-        # lengths) on top
+    if derive:
+        # derive wire: grids rebuilt on device from the event list
+        # (timing-only here: the synthetic grids are not the list's
+        # histogram/splat); EVPACK adds the packed event wire (u16 coords,
+        # 1-bit polarity, lengths) on top; EVVOXEL times the voxel-family
+        # scatter (num_bins channels) instead of the cnt histogram
         from evflow.train import compact_window
         pack = os.environ.get("EVPACK", "0") == "1"
         window = compact_window(
-            window, "cnt", derive_mask=True, derive_cnt=True,
+            window, "voxel" if VOXEL else "cnt", derive_mask=True,
+            derive_cnt=not VOXEL, derive_voxel=VOXEL,
             coords_dtype=np.uint16 if pack else None, pol_bits=pack)
     window = jax.tree.map(
         lambda x: jnp.asarray(x) if x is not None else None, window)

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--T", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--what", default="both", choices=["engine", "f32", "both"])
+    ap.add_argument("--compute", default="bfloat16", choices=["bfloat16", "int8"],
+                    help="engine conv compute tier (same integer arithmetic)")
     args = ap.parse_args()
 
     import jax
@@ -78,9 +80,10 @@ def main():
         return (T * B) / best
 
     if args.what in ("engine", "both"):
-        engine = Int8UNetEngine(model, variables)
+        engine = Int8UNetEngine(model, variables, compute=args.compute)
         v = measure(engine.apply, engine.params, engine.init_states(B, H, W))
-        print(f"int8 engine: {v:.1f} win/s  (B={B} {H}x{W} C={args.channels})")
+        print(f"int8 engine ({args.compute}): {v:.1f} win/s  "
+              f"(B={B} {H}x{W} C={args.channels})")
     if args.what in ("f32", "both"):
         def f32_apply(params, ev, cnt, st):
             return model.apply(params, ev, cnt, st, train=False)

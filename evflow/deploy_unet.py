@@ -14,10 +14,17 @@ so almost all of them are EXACT:
     add their (spike) input to the output spikes (unet.py
     SpikingResidualBlock), so resblock activations are small ints
     (<= 1 + num_residual_blocks) — still exact int8.
-  * convs are s8 x s8 -> s32 ``lax.conv_general_dilated`` (XLA's int8 conv
-    emitter — the measured-fast int8 path on this toolchain, ROOFLINE.md
-    §1) with per-output-channel weight scales; no bias, no BN in this
-    family (cells.py make_conv ``use_bias=False``, norm=None).
+  * convs run the quantized grids with per-output-channel weight scales
+    on one of two COMPUTE tiers carrying the same integer arithmetic:
+    ``compute="bfloat16"`` (default) casts the int8 weights/grids to bf16
+    — every value is a small exact integer, and f32 accumulates integer
+    products exactly below 2^24 — because the shape probe
+    (benchmarks/probe_unet_conv.py) measures XLA's s8 NHWC 3x3 conv path
+    equal-or-SLOWER than bf16 on this toolchain (the fast int8 emitter
+    is the 1x1/cols formulation the FireNet engine rides);
+    ``compute="int8"`` keeps s8 x s8 -> s32 for toolchains where that
+    path wins. No bias, no BN in this family (cells.py make_conv
+    ``use_bias=False``, norm=None).
   * recurrent cells fuse their feedforward + recurrent convs into ONE conv
     over input-channel-concatenated kernels — both inputs are binary
     spikes (unit scale), so one shared per-output-channel scale
@@ -181,11 +188,13 @@ def prepare_unet_int8_params(model, variables: Dict[str, Any],
     return out
 
 
-def _conv_i8(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
+def _conv_q(x: jax.Array, w: jax.Array, stride: int, acc) -> jax.Array:
+    """Quantized-grid conv: s8 x s8 -> s32, or the same integer values as
+    bf16 x bf16 -> f32 (exact integer products on the bf16 MXU path)."""
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=acc,
     )
 
 
@@ -198,6 +207,12 @@ def save_unet_engine(engine: "Int8UNetEngine", path: str) -> str:
     flat = jax.tree_util.tree_flatten_with_path(engine.params)[0]
     for kp, v in flat:
         key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        if key.endswith("/w"):
+            # weights are canonically int8 on disk whatever the engine's
+            # compute tier carries (bf16-tier values are exact small ints)
+            dtypes[key] = "int8"
+            arrays[key] = np.asarray(v, np.float32).astype(np.int8)
+            continue
         dtypes[key] = str(v.dtype)
         arrays[key] = (np.asarray(v, np.float32) if str(v.dtype) == "bfloat16"
                        else np.asarray(v))
@@ -206,6 +221,7 @@ def save_unet_engine(engine: "Int8UNetEngine", path: str) -> str:
         "num_encoders": engine.num_encoders,
         "num_residual_blocks": engine.num_residual_blocks,
         "mem_dtype": engine.mem_dtype,
+        "compute": engine.compute,
         "input_scale": engine.input_scale,
         "model": engine.model.__class__.__name__,
     }
@@ -224,6 +240,7 @@ class Int8UNetEngine:
 
     def __init__(self, model, variables: Optional[Dict[str, Any]],
                  mem_dtype: str = "bfloat16", input_scale: float = 1.0,
+                 compute: str = "bfloat16",
                  _prepared: Optional[Dict[str, Any]] = None):
         if variables is None and _prepared is None:
             raise ValueError("need trained variables or a prepared artifact")
@@ -243,6 +260,19 @@ class Int8UNetEngine:
             )
         if mem_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"mem_dtype must be bfloat16/float32, got {mem_dtype!r}")
+        # compute tier: the SAME integer arithmetic on either MXU path.
+        # "bfloat16" (serving default) casts the int8 weights/spike grids to
+        # bf16 — every value is a small integer, exactly representable, and
+        # the f32 accumulator sums integer products exactly below 2^24 — so
+        # it matches the int8 tier to f32-accumulation rounding while
+        # skipping the s8 conv emitter, which the shape probe measures
+        # equal-or-SLOWER than bf16 for NHWC 3x3 convs on this toolchain
+        # (benchmarks/probe_unet_conv.py: the fast int8 emitter is the
+        # 1x1/cols path the FireNet engine rides, not general 3x3).
+        # Artifacts always store weights as int8 (save_unet_engine
+        # normalizes), so the tier is a load-time choice.
+        if compute not in ("bfloat16", "int8"):
+            raise ValueError(f"compute must be bfloat16/int8, got {compute!r}")
         # residual chains grow spike amplitudes by +1 per block; the exact
         # decoder grid holds while 16 * (1 + R) fits int8
         if _UP_GRID * (1 + model.num_residual_blocks) > 127:
@@ -257,10 +287,26 @@ class Int8UNetEngine:
         self.hard_reset = model.hard_reset
         self.mem_dtype = mem_dtype
         self._mem_jdtype = jnp.bfloat16 if mem_dtype == "bfloat16" else jnp.float32
+        self.compute = compute
+        self._cdtype = jnp.bfloat16 if compute == "bfloat16" else jnp.int8
+        self._acc = jnp.float32 if compute == "bfloat16" else jnp.int32
         self.input_scale = float(input_scale)
         self.params = (_prepared if _prepared is not None else
                        prepare_unet_int8_params(model, variables,
                                                 input_scale=input_scale))
+        if compute == "bfloat16":
+            # one-time cast: int8 weight values are exact in bf16
+            def cast_w(u):
+                return {**u, "w": u["w"].astype(jnp.bfloat16)}
+
+            self.params = {
+                "enc": [{s: cast_w(e[s]) for s in ("conv", "rec")}
+                        for e in self.params["enc"]],
+                "res": [tuple(cast_w(u) for u in pair)
+                        for pair in self.params["res"]],
+                "dec": [cast_w(u) for u in self.params["dec"]],
+                "pred": self.params["pred"],
+            }
 
     @classmethod
     def from_artifact(cls, model, path: str) -> "Int8UNetEngine":
@@ -288,6 +334,7 @@ class Int8UNetEngine:
                 f"{model.num_encoders}/{model.num_residual_blocks}"
             )
         return cls(model, variables=None, mem_dtype=meta["mem_dtype"],
+                   compute=meta.get("compute", "int8"),
                    input_scale=meta["input_scale"], _prepared=params)
 
     # -- state ------------------------------------------------------------
@@ -303,7 +350,7 @@ class Int8UNetEngine:
 
         def zs(h, w, c):
             return LIFState(jnp.zeros((batch, h, w, c), self._mem_jdtype),
-                            jnp.zeros((batch, h, w, c), jnp.int8))
+                            jnp.zeros((batch, h, w, c), self._cdtype))
 
         states = []
         for c in out_sizes:
@@ -318,15 +365,15 @@ class Int8UNetEngine:
 
     # -- inference --------------------------------------------------------
 
-    def _lif(self, ff_i32, unit, state: LIFState):
+    def _lif(self, ff_acc, unit, state: LIFState):
         """Dequantize the conv accumulator and run one exact sigmoid-LIF
-        update; returns (int8 spikes, new LIFState)."""
-        ff = ff_i32.astype(jnp.float32) * unit["scale"]
+        update; returns (compute-dtype spikes, new LIFState)."""
+        ff = ff_acc.astype(jnp.float32) * unit["scale"]
         z, v = sigmoid_lif_step(
             ff, state.mem.astype(jnp.float32), state.spk.astype(jnp.float32),
             unit["leak"], unit["thresh"], hard_reset=self.hard_reset,
         )
-        zi = z.astype(jnp.int8)
+        zi = z.astype(self._cdtype)
         return zi, LIFState(v.astype(self._mem_jdtype), zi)
 
     def apply(self, variables: Dict[str, Any], event_voxel, event_cnt,
@@ -345,7 +392,7 @@ class Int8UNetEngine:
         xi = jnp.clip(
             jnp.round(x / self.input_scale if self.input_scale != 1.0 else x),
             -127, 127,
-        ).astype(jnp.int8)
+        ).astype(self._cdtype)
         xi = crop.pad(xi)
 
         states = list(states)
@@ -355,12 +402,12 @@ class Int8UNetEngine:
         h = xi
         blocks = []
         for i, eu in enumerate(variables["enc"]):
-            z1, s1 = self._lif(_conv_i8(h, eu["conv"]["w"], 2), eu["conv"],
-                               states[si])
+            z1, s1 = self._lif(_conv_q(h, eu["conv"]["w"], 2, self._acc),
+                               eu["conv"], states[si])
             new_states[si] = s1
             cat = jnp.concatenate([z1, states[si + 1].spk], axis=-1)
-            z2, s2 = self._lif(_conv_i8(cat, eu["rec"]["w"], 1), eu["rec"],
-                               states[si + 1])
+            z2, s2 = self._lif(_conv_q(cat, eu["rec"]["w"], 1, self._acc),
+                               eu["rec"], states[si + 1])
             new_states[si + 1] = s2
             si += 2
             h = z2
@@ -370,12 +417,14 @@ class Int8UNetEngine:
 
         for i, (u1, u2) in enumerate(variables["res"]):
             residual = h
-            z1, s1 = self._lif(_conv_i8(h, u1["w"], 1), u1, states[si])
+            z1, s1 = self._lif(_conv_q(h, u1["w"], 1, self._acc), u1,
+                               states[si])
             new_states[si] = s1
-            z2, s2 = self._lif(_conv_i8(z1, u2["w"], 1), u2, states[si + 1])
+            z2, s2 = self._lif(_conv_q(z1, u2["w"], 1, self._acc), u2,
+                               states[si + 1])
             new_states[si + 1] = s2
             si += 2
-            h = z2 + residual  # spike-valued small ints, still exact int8
+            h = z2 + residual  # spike-valued small ints, exact either tier
             if log:
                 taps[f"res{i}"] = h.astype(jnp.float32)
 
@@ -393,8 +442,9 @@ class Int8UNetEngine:
             # 1/127 (|err| <= 1/254, the engine's only lossy activation)
             q_up = jnp.clip(
                 jnp.round(up / du["in_scale"]), -127, 127
-            ).astype(jnp.int8)
-            z, s = self._lif(_conv_i8(q_up, du["w"], 1), du, states[si])
+            ).astype(self._cdtype)
+            z, s = self._lif(_conv_q(q_up, du["w"], 1, self._acc), du,
+                             states[si])
             new_states[si] = s
             si += 1
             h = z
@@ -405,7 +455,7 @@ class Int8UNetEngine:
             predictions.append(flow)
             pred_q = jnp.clip(
                 jnp.round(flow * _PRED_GRID), -127, 127
-            ).astype(jnp.int8)
+            ).astype(self._cdtype)
             if log:
                 taps[f"dec{i}"] = z.astype(jnp.float32)
 

@@ -60,18 +60,21 @@ def _init(model, B=2, H=RES, W=RES):
     return v, states
 
 
-def test_unet_engine_matches_fake_quant_model():
+@pytest.mark.parametrize("compute", ["int8", "bfloat16"])
+def test_unet_engine_matches_fake_quant_model(compute):
     """With the engine's own dequantized-int8 kernels installed in the flax
     model, the f32 membrane tier must reproduce its flows at f32 rounding:
     spikes, residual sums, and the 1/16 decoder grid are exact integer
     surfaces; only the 2-channel 1/127 prediction feedback is lossy (and
     the fake-quant twin feeds the unquantized prediction, bounding the
-    divergence by that grid)."""
+    divergence by that grid). Both compute tiers carry the same integer
+    arithmetic (bf16 holds int8 values exactly; f32 accumulates integer
+    products exactly below 2^24)."""
     model = build_model(_model_cfg())
     B = 2
     v, states = _init(model, B)
     vq = {"params": quantize_unet_weights(model, v["params"])}
-    engine = Int8UNetEngine(model, v, mem_dtype="float32")
+    engine = Int8UNetEngine(model, v, mem_dtype="float32", compute=compute)
 
     key = jax.random.PRNGKey(0)
     est = engine.init_states(B, RES, RES)
