@@ -33,6 +33,12 @@ def main():
                         choices=["bfloat16", "int8", "mixed"],
                         help="deploy mode: membrane carry dtype (mixed = "
                              "bf16 head membrane, int8 elsewhere)")
+    parser.add_argument("--compute", default="bfloat16",
+                        choices=["bfloat16", "int8"],
+                        help="deploy mode, UNet engine only: conv compute "
+                             "tier carrying the same integer arithmetic "
+                             "(bf16 wins at <=128 res, s8 at 256 — "
+                             "BENCH_NOTES)")
     parser.add_argument("--z_int8", action="store_true",
                         help="deploy mode: calibrated int8 GEMM intermediates")
     parser.add_argument("--calibration_batches", type=int, default=50)
@@ -168,7 +174,8 @@ def main():
         if is_unet:
             from evflow.deploy_unet import Int8UNetEngine
 
-            engine = Int8UNetEngine(model, variables, input_scale=input_scale)
+            engine = Int8UNetEngine(model, variables, input_scale=input_scale,
+                                    compute=args.compute)
         else:
             engine = Int8DeployEngine(
                 model, variables, mem_dtype=args.mem_dtype,

@@ -36,6 +36,10 @@ def main():
                    help="membrane tier (default: the artifact's tier, else "
                         "bfloat16); incompatible with --artifact, whose "
                         "quantized parameters fix the tier")
+    p.add_argument("--compute", default="bfloat16",
+                   choices=["bfloat16", "int8"],
+                   help="UNet engine only: conv compute tier (same integer "
+                        "arithmetic; bf16 wins at <=128 res, s8 at 256)")
     p.add_argument("--windows", type=int, default=200)
     p.add_argument("--chunk", type=int, default=None,
                    help="micro-batch K windows per device dispatch (one "
@@ -121,7 +125,7 @@ def main():
 
         if args.mem_dtype and args.mem_dtype != "bfloat16":
             p.error("the UNet engine carries bf16 membranes")
-        engine = Int8UNetEngine(model, variables)
+        engine = Int8UNetEngine(model, variables, compute=args.compute)
         tuned = {}
     else:
         # downsample pooling makes counts fractional in multiples of
