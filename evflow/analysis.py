@@ -154,11 +154,16 @@ def ops_report(model, height: int, width: int,
     Returns per-unit and total counts; prints a table when ``verbose``.
     """
     from evflow.models.firenet import FireNet
+    from evflow.models.unet import SpikingRecEVFlowNet
 
+    if isinstance(model, SpikingRecEVFlowNet):
+        return _ops_report_unet(model, height, width, activity=activity,
+                                input_density=input_density, verbose=verbose)
     if not isinstance(model, FireNet):
         raise ValueError(
             "ops_report models the FireNet family's uniform-width unit "
-            f"chain; {type(model).__name__} has a different topology"
+            "chain and the SpikingRecEVFlowNet UNet; "
+            f"{type(model).__name__} has a different topology"
         )
     C = model.base_num_channels
     k2 = model.kernel_size ** 2
@@ -216,6 +221,116 @@ def ops_report(model, height: int, width: int,
     return out
 
 
+def _ops_report_unet(model, height: int, width: int,
+                     activity: Optional[Dict[str, Dict[str, object]]] = None,
+                     input_density: Optional[float] = None,
+                     verbose: bool = True) -> Dict[str, object]:
+    """Synaptic-operation accounting for the SpikingRecEVFlowNet UNet.
+
+    Same convention as the FireNet report (``spk.mean()`` per-element
+    gates from :class:`VoltageProfiler`, keyed by the model's
+    ``unit_names`` state slots), walked over the encoder/resblock/decoder
+    channel plan at the CropParameters-padded resolution. Two gate classes:
+
+      * MEASURED — the conv input is a cell's spike map (or the event
+        grid): gate = that source's mean rate (or ``input_density``).
+      * BOUND (marked ``*``) — the conv input is a residual sum or a
+        bilinear-upsampled concat, whose nonzero fraction is not derivable
+        from per-cell rates alone: residual sums use the union bound
+        ``min(1, r_a + r_b)``; bilinear x2 spreads each nonzero source
+        pixel over at most 4 output pixels, so upsampled inputs use
+        ``min(1, 4 * q)`` on the channel-weighted source occupancy ``q``
+        (prediction-feedback channels count as dense, q=1). Bounds make
+        the reported event-driven speedup CONSERVATIVE.
+    """
+    from evflow.models.unet import CropParameters
+
+    E, R = model.num_encoders, model.num_residual_blocks
+    C = model.base_num_channels
+    k2 = model.kernel_size ** 2
+    crop = CropParameters(width, height, E)
+    hp, wp = crop.height_crop, crop.width_crop
+    rates = ({n: float(activity[n]["spike_rate"]) for n in activity}
+             if activity else {})
+
+    def r(name):
+        return rates.get(name)
+
+    units: Dict[str, Dict[str, object]] = {}
+
+    def add(name, dense, gate, bound=False):
+        eff = dense * gate if gate is not None else None
+        units[name] = {"dense_macs": float(dense), "effective_ops": eff,
+                       "gate_is_bound": bound}
+
+    for i in range(E):
+        cin = model.num_bins if i == 0 else C * 2 ** i
+        cout = C * 2 ** (i + 1)
+        hw = (hp >> (i + 1)) * (wp >> (i + 1))
+        add(f"enc{i}.conv", hw * k2 * cin * cout,
+            input_density if i == 0 else r(f"enc{i - 1}.rec"))
+        g_ff, g_rec = r(f"enc{i}.conv"), r(f"enc{i}.rec")
+        dense_half = hw * k2 * cout * cout
+        eff = (dense_half * g_ff + dense_half * g_rec
+               if g_ff is not None and g_rec is not None else None)
+        units[f"enc{i}.rec"] = {"dense_macs": float(2 * dense_half),
+                                "effective_ops": eff, "gate_is_bound": False}
+
+    cmax = C * 2 ** E
+    hwb = (hp >> E) * (wp >> E)
+    occ_in = r(f"enc{E - 1}.rec")  # occupancy of the current resblock input
+    for i in range(R):
+        dense = hwb * k2 * cmax * cmax
+        add(f"res{i}.c1", dense, occ_in, bound=i > 0)
+        add(f"res{i}.c2", dense, r(f"res{i}.c1"))
+        # next block consumes z2 + residual: union bound on nonzero fraction
+        occ_in = (min(1.0, r(f"res{i}.c2") + occ_in)
+                  if r(f"res{i}.c2") is not None and occ_in is not None
+                  else None)
+
+    out_sizes = [C * 2 ** (j + 1) for j in range(E)]
+    in_sizes = [C * 2 ** j for j in range(E)]
+    occ_x = occ_in  # decoder chain input occupancy (pre-upsample)
+    for i in range(E):
+        cx = list(reversed(out_sizes))[i]
+        cout = list(reversed(in_sizes))[i]
+        cin = 2 * cx + (0 if i == 0 else 2)
+        hw = (hp >> (E - 1 - i)) * (wp >> (E - 1 - i))
+        g_block = r(f"enc{E - i - 1}.rec")
+        if occ_x is not None and g_block is not None:
+            q = (cx * occ_x + cx * g_block + (0 if i == 0 else 2 * 1.0)) / cin
+            gate = min(1.0, 4.0 * q)  # bilinear x2 spread bound
+        else:
+            gate = None
+        add(f"dec{i}", hw * k2 * cin * cout, gate, bound=True)
+        occ_x = r(f"dec{i}")
+        add(f"pred{i}", hw * cout * 2, r(f"dec{i}"))  # 1x1 flow head
+
+    total_dense = sum(u["dense_macs"] for u in units.values())
+    effs = [u["effective_ops"] for u in units.values()]
+    total_eff = sum(effs) if all(e is not None for e in effs) else None
+    out = {
+        "units": units,
+        "dense_macs_per_window": total_dense,
+        "effective_ops_per_window": total_eff,
+        "sparsity_speedup": (total_dense / total_eff) if total_eff else None,
+    }
+    if verbose:
+        print(f"{'unit':10s} {'dense MMAC':>11s} {'eff MOP':>9s} {'gate':>7s}")
+        for name, u in units.items():
+            eff = u["effective_ops"]
+            gate = (eff / u["dense_macs"]) if eff is not None else float("nan")
+            mark = "*" if u["gate_is_bound"] else " "
+            print(f"{name:10s} {u['dense_macs'] / 1e6:11.2f} "
+                  f"{(eff / 1e6) if eff is not None else float('nan'):9.3f} "
+                  f"{gate:6.3f}{mark}")
+        if total_eff:
+            print(f"total      {total_dense / 1e6:11.2f} {total_eff / 1e6:9.3f}"
+                  f"   event-driven sparsity: {total_dense / total_eff:.1f}x "
+                  f"(* = conservative bound gates)")
+    return out
+
+
 def analyze_model(model, variables, stream, num_batches: int = 100,
                   verbose: bool = True, ops: bool = False):
     """Stream batches and profile voltage dynamics
@@ -223,14 +338,17 @@ def analyze_model(model, variables, stream, num_batches: int = 100,
     dense-vs-event-driven synaptic-operation report (:func:`ops_report`)
     using the measured spike rates and input occupancy."""
     if ops:
-        # fail BEFORE streaming num_batches: ops_report only models the
-        # FireNet topology, and a terminal raise would waste the whole run
+        # fail BEFORE streaming num_batches: ops_report models the FireNet
+        # and SpikingRecEVFlowNet topologies, and a terminal raise would
+        # waste the whole run
         from evflow.models.firenet import FireNet
+        from evflow.models.unet import SpikingRecEVFlowNet
 
-        if not isinstance(model, FireNet):
+        if not isinstance(model, (FireNet, SpikingRecEVFlowNet)):
             raise ValueError(
-                "ops=True requires a FireNet-family model (ops_report "
-                f"models its uniform unit chain); got {type(model).__name__}"
+                "ops=True requires a FireNet-family or SpikingRecEVFlowNet "
+                f"model (ops_report models those topologies); got "
+                f"{type(model).__name__}"
             )
     loader = stream.config["loader"]
     B = int(loader.get("batch_size", 1))

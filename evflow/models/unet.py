@@ -397,6 +397,20 @@ class SpikingRecEVFlowNet(nn.Module):
     def num_states(self):
         return 3 * self.num_encoders + 2 * self.num_residual_blocks
 
+    @property
+    def unit_names(self) -> Tuple[str, ...]:
+        """Per-state-slot cell names in flat state order (2/encoder +
+        2/resblock + 1/decoder) — the profiling/analysis analog of the
+        FireNet family's unit_names (VoltageProfiler labels its rows by
+        these; evflow/analysis.py)."""
+        names = []
+        for i in range(self.num_encoders):
+            names += [f"enc{i}.conv", f"enc{i}.rec"]
+        for i in range(self.num_residual_blocks):
+            names += [f"res{i}.c1", f"res{i}.c2"]
+        names += [f"dec{i}" for i in range(self.num_encoders)]
+        return tuple(names)
+
     def init_states(self, batch: int, height: int, width: int):
         """Zero flat state tuple (shapes follow the encoder/decoder plan of
         SpikingMultiResUNetRecurrent.init_states, computed on the padded

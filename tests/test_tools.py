@@ -103,6 +103,68 @@ def test_analyze_model(tmp_path):
     assert rep2["dense_macs_per_window"] == rep["dense_macs_per_window"]
 
 
+def test_analyze_model_unet(tmp_path):
+    """VoltageProfiler + ops accounting cover the UNet flagship: per-cell
+    membrane/spike stats are computed from the flat state pytree keyed by
+    the model's unit_names, and ops_report walks the encoder/resblock/
+    decoder channel plan (measured gates where the conv input is a spike
+    map, documented conservative bounds for residual sums and upsampled
+    concats)."""
+    from evflow.analysis import analyze_model, ops_report
+    from evflow.data.h5_stream import H5EventStream
+    from evflow.data.synthetic import make_dataset
+    from evflow.registry import build_model
+
+    root = str(tmp_path / "d")
+    make_dataset(root, num_sequences=1, resolution=(32, 32),
+                 events_per_sec=20000, duration=0.3, flows=[(8.0, 0.0)])
+    cfg = {
+        "data": {"path": root, "mode": "events", "window": 500},
+        "loader": {"resolution": [32, 32], "std_resolution": [32, 32],
+                   "batch_size": 1, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False}, "vis": {"bars": False},
+    }
+    model = build_model({"name": "SpikingRecEVFlowNet", "num_bins": 2,
+                         "base_num_channels": 4, "kernel_size": 3,
+                         "encoding": "cnt", "mask_output": True,
+                         "spiking_neuron": {"leak": [-4.0, 0.1],
+                                            "thresh": [0.8, 0.0]}})
+    assert len(model.unit_names) == model.num_states == 16
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.zeros((1, 32, 32, 2)),
+                   states)
+    stream = H5EventStream(cfg, 2)
+    prof = analyze_model(model, v, stream, num_batches=3, verbose=False,
+                         ops=False)
+    stream.close()
+    assert prof.steps == 3
+    rep_act = prof.report()
+    assert set(rep_act) == set(model.unit_names)
+
+    rep = ops_report(model, 32, 32, activity=rep_act, input_density=0.1,
+                     verbose=False)
+    hw1, k2 = 16 * 16, 9
+    u = rep["units"]
+    # channel plan at C=4, E=4, 32² (already 16-divisible: no padding)
+    assert u["enc0.conv"]["dense_macs"] == hw1 * k2 * 2 * 8
+    assert u["enc0.rec"]["dense_macs"] == 2 * hw1 * k2 * 8 * 8
+    assert u["res0.c1"]["dense_macs"] == 2 * 2 * k2 * 64 * 64
+    assert u["dec0"]["dense_macs"] == 4 * 4 * k2 * 128 * 32
+    assert u["pred0"]["dense_macs"] == 4 * 4 * 32 * 2
+    assert rep["dense_macs_per_window"] == sum(
+        x["dense_macs"] for x in u.values())
+    assert u["enc0.conv"]["effective_ops"] == u["enc0.conv"]["dense_macs"] * 0.1
+    for x in u.values():
+        assert 0.0 <= x["effective_ops"] <= x["dense_macs"]
+    # bound-gated rows are marked; measured rows are not
+    assert u["dec0"]["gate_is_bound"] and not u["enc1.conv"]["gate_is_bound"]
+    assert rep["sparsity_speedup"] == (
+        rep["dense_macs_per_window"] / rep["effective_ops_per_window"])
+    # without activity, only dense counts
+    rep2 = ops_report(model, 32, 32, verbose=False)
+    assert rep2["effective_ops_per_window"] is None
+
+
 def test_flow_to_image():
     flow = np.zeros((16, 16, 2), np.float32)
     flow[:8, :, 0] = 1.0
