@@ -100,7 +100,8 @@ def measure_serving(
     def run(params, window, states):
         def step(st, _):
             out, new_st = engine.apply(params, None, window, st)
-            return new_st, out["flow"][0].sum()
+            # finest flow map (multires engines return coarse->fine)
+            return new_st, out["flow"][-1].sum()
 
         final, fsum = jax.lax.scan(step, states, None, length=chunk)
         return fsum.sum(), final
@@ -149,16 +150,32 @@ def autotune_serving(
     """
     from evflow.deploy import Int8DeployEngine
 
+    is_unet = model.__class__.__name__ == "SpikingRecEVFlowNet"
+    if is_unet:
+        # the UNet engine's tier axis is the conv COMPUTE tier (membranes
+        # are bf16): same integer arithmetic, regime-dependent winner
+        # (BENCH_NOTES: bf16 at <=128 res, s8 at 256 on this chip)
+        for t in tiers:
+            if t not in ("bfloat16", "int8"):
+                raise ValueError(
+                    f"UNet engine tiers are compute tiers bfloat16/int8; "
+                    f"got {t!r}")
     if chunks is None:
         chunks = (chunk,)
     table: Dict[str, float] = {}
     best_key: Optional[Tuple[str, int, int]] = None
     best_rate = 0.0
     for tier in tiers:
-        engine = Int8DeployEngine(
-            model, variables, mem_dtype=tier,
-            mem_ranges=mem_ranges, input_scale=input_scale,
-        )
+        if is_unet:
+            from evflow.deploy_unet import Int8UNetEngine
+
+            engine = Int8UNetEngine(model, variables, compute=tier,
+                                    input_scale=input_scale)
+        else:
+            engine = Int8DeployEngine(
+                model, variables, mem_dtype=tier,
+                mem_ranges=mem_ranges, input_scale=input_scale,
+            )
         for b in batches:
             for k in chunks:
                 rate_meas = measure_serving(

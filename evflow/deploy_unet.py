@@ -198,10 +198,15 @@ def _conv_q(x: jax.Array, w: jax.Array, stride: int, acc) -> jax.Array:
     )
 
 
-def save_unet_engine(engine: "Int8UNetEngine", path: str) -> str:
+def save_unet_engine(engine: "Int8UNetEngine", path: str,
+                     serving=None) -> str:
     """One-file ``.npz`` deployment artifact (the UNet analog of
     :func:`evflow.deploy.save_engine`); loaded by
-    :meth:`Int8UNetEngine.from_artifact` without the f32 checkpoint."""
+    :meth:`Int8UNetEngine.from_artifact` without the f32 checkpoint.
+    ``serving`` optionally embeds a measured
+    :class:`evflow.autotune.ServingConfig` (or its ``to_meta()`` dict) so
+    serving hosts load the chip-tuned operating point with the weights;
+    defaults to the engine's own ``serving`` attribute when set."""
     arrays: Dict[str, np.ndarray] = {}
     dtypes: Dict[str, str] = {}
     flat = jax.tree_util.tree_flatten_with_path(engine.params)[0]
@@ -225,6 +230,11 @@ def save_unet_engine(engine: "Int8UNetEngine", path: str) -> str:
         "input_scale": engine.input_scale,
         "model": engine.model.__class__.__name__,
     }
+    if serving is None:
+        serving = getattr(engine, "serving", None)
+    if serving is not None:
+        meta["serving"] = (serving if isinstance(serving, dict)
+                           else serving.to_meta())
     if not path.endswith(".npz"):
         path = path + ".npz"
     np.savez(path, __meta__=np.asarray(json.dumps(meta)), **arrays)
@@ -291,6 +301,9 @@ class Int8UNetEngine:
         self._cdtype = jnp.bfloat16 if compute == "bfloat16" else jnp.int8
         self._acc = jnp.float32 if compute == "bfloat16" else jnp.int32
         self.input_scale = float(input_scale)
+        # chip-measured serving operating point (evflow.autotune); carried
+        # through save_unet_engine/from_artifact like the FireNet engine
+        self.serving: Optional[Dict[str, Any]] = None
         self.params = (_prepared if _prepared is not None else
                        prepare_unet_int8_params(model, variables,
                                                 input_scale=input_scale))
@@ -333,9 +346,11 @@ class Int8UNetEngine:
                 f"artifact is a {E}-encoder/{R}-resblock net, model has "
                 f"{model.num_encoders}/{model.num_residual_blocks}"
             )
-        return cls(model, variables=None, mem_dtype=meta["mem_dtype"],
-                   compute=meta.get("compute", "int8"),
-                   input_scale=meta["input_scale"], _prepared=params)
+        engine = cls(model, variables=None, mem_dtype=meta["mem_dtype"],
+                     compute=meta.get("compute", "int8"),
+                     input_scale=meta["input_scale"], _prepared=params)
+        engine.serving = meta.get("serving")
+        return engine
 
     # -- state ------------------------------------------------------------
 

@@ -167,6 +167,35 @@ def test_unet_engine_artifact_roundtrip(tmp_path):
         Int8UNetEngine.from_artifact(small, path)
 
 
+def test_unet_autotune_and_serving_carry(tmp_path):
+    """autotune_serving measures the UNet engine's compute-tier grid
+    (evflow/autotune.py dispatch) and the tuned ServingConfig rides the
+    artifact through save_unet_engine/from_artifact like the FireNet
+    engine's."""
+    from evflow.autotune import ServingConfig, autotune_serving
+    from evflow.deploy_unet import Int8UNetEngine, save_unet_engine
+
+    model = build_model(_model_cfg())
+    v, _ = _init(model, 1)
+    cfg = autotune_serving(model, v, RES, RES, tiers=("bfloat16", "int8"),
+                           batches=(1,), chunk=4, iters=1)
+    assert cfg.mem_dtype in ("bfloat16", "int8")
+    assert set(cfg.table) == {"bfloat16/B1/T4", "int8/B1/T4"}
+    assert cfg.windows_per_s > 0
+
+    engine = Int8UNetEngine(model, v, compute=cfg.mem_dtype)
+    engine.serving = cfg.to_meta()
+    path = save_unet_engine(engine, str(tmp_path / "tuned_unet"))
+    e2 = Int8UNetEngine.from_artifact(model, path)
+    assert e2.compute == cfg.mem_dtype
+    assert e2.serving == cfg.to_meta()
+    assert ServingConfig.from_meta(e2.serving).chunk == cfg.chunk
+
+    with pytest.raises(ValueError, match="compute tiers"):
+        autotune_serving(model, v, RES, RES, tiers=("mixed",),
+                         batches=(1,), chunk=2, iters=1)
+
+
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
     from evflow.data.synthetic import make_dataset

@@ -82,6 +82,16 @@ def main():
         p.error("voxel-encoding models need a window-calibrated input_scale "
                 "— autotune/deploy them via eval_flow_quant.py --mode deploy")
     model = build_model(config["model"])
+    is_unet = model.__class__.__name__ == "SpikingRecEVFlowNet"
+    if is_unet:
+        # the UNet engine's tier axis is the conv COMPUTE tier
+        # (evflow/deploy_unet.py; membranes are bf16 — "mixed" is
+        # FireNet-only)
+        if args.tiers == ["bfloat16", "mixed", "int8"]:  # the default grid
+            args.tiers = ["bfloat16", "int8"]
+        elif "mixed" in args.tiers:
+            p.error("the UNet engine has no mixed membrane tier; its tiers "
+                    "are compute tiers bfloat16/int8")
     if args.resolution:
         # an explicit square override measures at that size with no pooling
         H = W = args.resolution
@@ -121,7 +131,7 @@ def main():
     print(json.dumps({"best": cfgk.to_meta()}))
     if args.save:
         mem_ranges = None
-        if cfgk.mem_dtype in ("int8", "mixed"):
+        if not is_unet and cfgk.mem_dtype in ("int8", "mixed"):
             # build the artifact exactly like the validated deploy path:
             # profile per-channel membrane ranges over the config's data
             # (eval_flow_quant.py --mode deploy), not the [-250, 1] default
@@ -136,11 +146,20 @@ def main():
             mem_ranges = profile_mem_ranges(model, variables, windows,
                                             input_scale=input_scale)
             print(f"profiled membrane ranges over {len(windows)} windows")
-        engine = Int8DeployEngine(model, variables, mem_dtype=cfgk.mem_dtype,
-                                  mem_ranges=mem_ranges,
-                                  input_scale=input_scale)
-        engine.serving = cfgk.to_meta()
-        path = save_engine(engine, args.save)
+        if is_unet:
+            from evflow.deploy_unet import Int8UNetEngine, save_unet_engine
+
+            engine = Int8UNetEngine(model, variables, compute=cfgk.mem_dtype,
+                                    input_scale=input_scale)
+            engine.serving = cfgk.to_meta()
+            path = save_unet_engine(engine, args.save)
+        else:
+            engine = Int8DeployEngine(model, variables,
+                                      mem_dtype=cfgk.mem_dtype,
+                                      mem_ranges=mem_ranges,
+                                      input_scale=input_scale)
+            engine.serving = cfgk.to_meta()
+            path = save_engine(engine, args.save)
         print(f"artifact with tuned serving config: {path}")
 
 
