@@ -158,6 +158,48 @@ def test_deploy_engine_sharded_serving():
     )
 
 
+def test_unet_engine_sharded_serving():
+    """The UNet int8 engine fans out over the data mesh exactly like the
+    FireNet engine: batch-of-sequences sharded, prepared params replicated
+    — all four multires flows match single-device (integer grids are
+    deterministic; the flat LIFState tuple is batch-leading on every
+    slot, so batch sharding propagates through the whole net)."""
+    from evflow.deploy_unet import Int8UNetEngine
+    from evflow.registry import build_model
+
+    cfg = {"name": "SpikingRecEVFlowNet", "num_bins": 2,
+           "base_num_channels": 4, "kernel_size": 3, "encoding": "cnt",
+           "mask_output": True,
+           "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.0]}}
+    model = build_model(cfg)
+    B, H, W = 8, 32, 32
+    rng = np.random.default_rng(1)
+    cnt = rng.poisson(0.3, size=(B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    v = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+    engine = Int8UNetEngine(model, v)
+    est = engine.init_states(B, H, W)
+
+    out_single, st_single = jax.jit(
+        lambda p, c, s: engine.apply(p, None, c, s)
+    )(engine.params, jnp.asarray(cnt), est)
+
+    mesh = make_mesh()
+    bs = batch_sharding(mesh)
+    cnt_sh = jax.device_put(cnt, bs)
+    est_sh = jax.tree.map(lambda x: jax.device_put(x, bs), est)
+    p_rep = replicate(engine.params, mesh)
+    out_sh, st_sh = jax.jit(
+        lambda p, c, s: engine.apply(p, None, c, s)
+    )(p_rep, cnt_sh, est_sh)
+
+    for a, b in zip(out_single["flow"], out_sh["flow"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for sa, sb in zip(st_single, st_sh):
+        np.testing.assert_array_equal(
+            np.asarray(sa.spk, np.float32), np.asarray(sb.spk, np.float32))
+
+
 def test_spatial_sharded_flax_matches_single_device():
     """DP x SP 2x4 mesh: batch over `data`, image rows over `space`; GSPMD
     inserts the 3x3-conv halo exchanges (evflow/parallel/spatial.py). Flows
