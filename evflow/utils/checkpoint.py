@@ -192,6 +192,53 @@ def import_torch_checkpoint(path: str, variables: Dict[str, Any]) -> Dict[str, A
     if b is not None and "pred" in params:
         params["pred"]["conv2d"]["bias"] = np.asarray(b, np.float32)
 
+    if "multires_unetrec" in params:
+        # SpikingRecEVFlowNet (models/model.py:723-858): torch modules
+        # multires_unetrec.{encoders.N.conv|recurrent_block, resblocks.N
+        # .conv1|conv2, decoders.N.conv2d, preds.N.conv2d} map 1:1 onto
+        # the flax tree (same attribute names by design); ConvLIF leak/
+        # thresh are [C, 1, 1] parameters (spiking_submodules.py:62-68)
+        # flattened to our [C] vectors.
+        u = params["multires_unetrec"]
+
+        def cell(dst, src):
+            w = take(f"{src}.ff.weight")
+            if w is not None and "ff" in dst:
+                dst["ff"]["kernel"] = _conv_kernel(w)
+            wr = take(f"{src}.rec.weight")
+            if wr is not None and "rec" in dst:
+                dst["rec"]["kernel"] = _conv_kernel(wr)
+            for name in ("leak", "thresh"):
+                v = take(f"{src}.{name}")
+                if v is not None and name in dst:
+                    dst[name] = np.asarray(v, np.float32).reshape(-1)
+
+        i = 0
+        while f"encoder{i}" in u:
+            cell(u[f"encoder{i}"]["conv"],
+                 f"multires_unetrec.encoders.{i}.conv")
+            cell(u[f"encoder{i}"]["recurrent_block"],
+                 f"multires_unetrec.encoders.{i}.recurrent_block")
+            i += 1
+        i = 0
+        while f"resblock{i}" in u:
+            cell(u[f"resblock{i}"]["conv1"],
+                 f"multires_unetrec.resblocks.{i}.conv1")
+            cell(u[f"resblock{i}"]["conv2"],
+                 f"multires_unetrec.resblocks.{i}.conv2")
+            i += 1
+        i = 0
+        while f"decoder{i}" in u:
+            cell(u[f"decoder{i}"]["conv2d"],
+                 f"multires_unetrec.decoders.{i}.conv2d")
+            w = take(f"multires_unetrec.preds.{i}.conv2d.weight")
+            if w is not None:
+                u[f"pred{i}"]["conv2d"]["kernel"] = _conv_kernel(w)
+            b = take(f"multires_unetrec.preds.{i}.conv2d.bias")
+            if b is not None:
+                u[f"pred{i}"]["conv2d"]["bias"] = np.asarray(b, np.float32)
+            i += 1
+
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats

@@ -121,3 +121,95 @@ def test_imported_checkpoint_feeds_deploy_engine(tmp_path, model_and_vars):
     # the reference bn.bias - running_mean * g, not zeros
     assert float(np.abs(np.asarray(engine.params["units"][0]["bias"],
                                    np.float32)).sum()) > 0
+
+
+def make_unet_state_dict(C=4, num_bins=2, E=4, R=2):
+    """Synthesize a SpikingRecEVFlowNet state_dict (models/model.py:723-858:
+    multires_unetrec.{encoders.N.conv|recurrent_block, resblocks.N.conv1|
+    conv2, decoders.N.conv2d, preds.N.conv2d}; ConvLIF params ff.weight +
+    leak/thresh [C,1,1], spiking_submodules.py:58-68)."""
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def cell(prefix, cin, cout, rec=False):
+        sd[f"{prefix}.ff.weight"] = torch.tensor(
+            rng.normal(0, 0.1, (cout, cin, 3, 3)).astype(np.float32))
+        if rec:
+            sd[f"{prefix}.rec.weight"] = torch.tensor(
+                rng.normal(0, 0.1, (cout, cout, 3, 3)).astype(np.float32))
+        sd[f"{prefix}.leak"] = torch.tensor(
+            rng.normal(-4, 0.1, (cout, 1, 1)).astype(np.float32))
+        sd[f"{prefix}.thresh"] = torch.tensor(
+            rng.uniform(0.5, 1.0, (cout, 1, 1)).astype(np.float32))
+
+    ins = [C * 2 ** i for i in range(E)]
+    outs = [C * 2 ** (i + 1) for i in range(E)]
+    for i in range(E):
+        cin = num_bins if i == 0 else ins[i]
+        cell(f"multires_unetrec.encoders.{i}.conv", cin, outs[i])
+        cell(f"multires_unetrec.encoders.{i}.recurrent_block",
+             outs[i], outs[i], rec=True)
+    for i in range(R):
+        cell(f"multires_unetrec.resblocks.{i}.conv1", outs[-1], outs[-1])
+        cell(f"multires_unetrec.resblocks.{i}.conv2", outs[-1], outs[-1])
+    for i in range(E):
+        cx = list(reversed(outs))[i]
+        cout = list(reversed(ins))[i]
+        cin = 2 * cx + (0 if i == 0 else 2)
+        cell(f"multires_unetrec.decoders.{i}.conv2d", cin, cout)
+        sd[f"multires_unetrec.preds.{i}.conv2d.weight"] = torch.tensor(
+            rng.normal(0, 0.01, (2, cout, 1, 1)).astype(np.float32))
+        sd[f"multires_unetrec.preds.{i}.conv2d.bias"] = torch.tensor(
+            np.zeros(2, np.float32))
+    return sd
+
+
+def test_import_unet_checkpoint(tmp_path):
+    """The torch shim maps a reference SpikingRecEVFlowNet .pth onto the
+    flax tree completely (no leftover keys) and the imported model runs."""
+    cfg = {"name": "SpikingRecEVFlowNet", "num_bins": 2,
+           "base_num_channels": 4, "kernel_size": 3, "encoding": "cnt",
+           "mask_output": True,
+           "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.0]}}
+    m = build_model(cfg)
+    states = m.init_states(1, 32, 32)
+    v = m.init(jax.random.PRNGKey(0), None, jnp.zeros((1, 32, 32, 2)), states)
+
+    sd = make_unet_state_dict()
+    path = str(tmp_path / "unet.pth")
+    torch.save({"model_state_dict": sd}, path)
+    out, leftover = import_torch_checkpoint(path, v)
+    assert leftover == []
+    u = out["params"]["multires_unetrec"]
+    np.testing.assert_allclose(
+        u["encoder0"]["conv"]["ff"]["kernel"],
+        np.transpose(sd["multires_unetrec.encoders.0.conv.ff.weight"].numpy(),
+                     (2, 3, 1, 0)), atol=1e-7)
+    np.testing.assert_allclose(
+        u["encoder1"]["recurrent_block"]["rec"]["kernel"],
+        np.transpose(
+            sd["multires_unetrec.encoders.1.recurrent_block.rec.weight"].numpy(),
+            (2, 3, 1, 0)), atol=1e-7)
+    np.testing.assert_allclose(
+        u["resblock1"]["conv2"]["leak"],
+        sd["multires_unetrec.resblocks.1.conv2.leak"].numpy().ravel(),
+        atol=1e-7)
+    np.testing.assert_allclose(
+        u["decoder3"]["conv2d"]["thresh"],
+        sd["multires_unetrec.decoders.3.conv2d.thresh"].numpy().ravel(),
+        atol=1e-7)
+    np.testing.assert_allclose(
+        u["pred2"]["conv2d"]["kernel"],
+        np.transpose(sd["multires_unetrec.preds.2.conv2d.weight"].numpy(),
+                     (2, 3, 1, 0)), atol=1e-7)
+
+    # the imported model runs and deploys
+    out_f, _ = m.apply({"params": out["params"]}, None,
+                       jnp.ones((1, 32, 32, 2)), states, train=False)
+    assert all(np.isfinite(np.asarray(f)).all() for f in out_f["flow"])
+    from evflow.deploy_unet import Int8UNetEngine
+
+    eng = Int8UNetEngine(m, {"params": out["params"]})
+    oe, _ = eng.apply(eng.params, None, jnp.ones((1, 32, 32, 2)),
+                      eng.init_states(1, 32, 32))
+    assert all(np.isfinite(np.asarray(f)).all() for f in oe["flow"])
