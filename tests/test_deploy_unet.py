@@ -270,3 +270,11 @@ def test_unet_engine_aee_parity(trained):
         f"UNet int8 engine AEE diverged: {aee_i8:.4f} vs {aee_f32:.4f} "
         f"({100 * rel:.2f}%)"
     )
+
+    # chunked dispatch (K windows per device call) preserves the metrics
+    # for the multires engine exactly as for FireNet
+    aee_chunk = aee(evaluate(cfg, path_results=os.path.join(root, "r", "ic"),
+                             debug=True, model=engine,
+                             variables=engine.params, max_windows=120,
+                             chunk=3, verbose=False))
+    np.testing.assert_allclose(aee_chunk, aee_i8, rtol=1e-5)
