@@ -16,7 +16,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-B, R, C = 1, 128, 32
+import os
+B, R, C = 1, int(os.environ.get("EVRES", "128")), 32
 # (H, W, Cin, Cout, stride) — the C=32 UNet plan at 128²
 SHAPES = [
     ("enc0.ff", R, R, 2, 2 * C, 2),

@@ -15,16 +15,20 @@ so almost all of them are EXACT:
     SpikingResidualBlock), so resblock activations are small ints
     (<= 1 + num_residual_blocks) — still exact int8.
   * convs run the quantized grids with per-output-channel weight scales
-    on one of two COMPUTE tiers carrying the same integer arithmetic:
+    on one of three COMPUTE tiers carrying the same integer arithmetic:
     ``compute="bfloat16"`` (default) casts the int8 weights/grids to bf16
     — every value is a small exact integer, and f32 accumulates integer
-    products exactly below 2^24 — because the shape probe
-    (benchmarks/probe_unet_conv.py) measures XLA's s8 NHWC 3x3 conv path
-    equal-or-SLOWER than bf16 on this toolchain (the fast int8 emitter
-    is the 1x1/cols formulation the FireNet engine rides);
-    ``compute="int8"`` keeps s8 x s8 -> s32 for toolchains where that
-    path wins. No bias, no BN in this family (cells.py make_conv
-    ``use_bias=False``, norm=None).
+    products exactly below 2^24; ``compute="int8"`` keeps s8 x s8 -> s32
+    everywhere; ``compute="hybrid"`` picks s8 per conv where the input
+    channel count packs the 128-lane int8 registers exactly (cin >= 128,
+    cin % 128 == 0) and bf16 elsewhere. The shape probe
+    (benchmarks/probe_unet_conv.py) measures the s8 NHWC 3x3 path ~25%
+    FASTER than bf16 exactly on lane-aligned layers at 256² but up to
+    1.5x slower on odd-cin (pred-feedback) layers and everywhere at 128²
+    — so the winner is regime-dependent (BENCH_NOTES "UNet family
+    deployed"; the autotuner sweeps the tier axis per target). No bias,
+    no BN in this family (cells.py make_conv ``use_bias=False``,
+    norm=None).
   * recurrent cells fuse their feedforward + recurrent convs into ONE conv
     over input-channel-concatenated kernels — both inputs are binary
     spikes (unit scale), so one shared per-output-channel scale
@@ -188,11 +192,15 @@ def prepare_unet_int8_params(model, variables: Dict[str, Any],
     return out
 
 
-def _conv_q(x: jax.Array, w: jax.Array, stride: int, acc) -> jax.Array:
+def _conv_q(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     """Quantized-grid conv: s8 x s8 -> s32, or the same integer values as
-    bf16 x bf16 -> f32 (exact integer products on the bf16 MXU path)."""
+    bf16 x bf16 -> f32 (exact integer products on the bf16 MXU path).
+    The stored weight dtype selects the path; the input is cast to it
+    (a no-op on uniform tiers, an exact small-int cast at hybrid-tier
+    boundaries)."""
+    acc = jnp.int32 if w.dtype == jnp.int8 else jnp.float32
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME",
+        x.astype(w.dtype), w, (stride, stride), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=acc,
     )
@@ -281,8 +289,15 @@ class Int8UNetEngine:
         # 1x1/cols path the FireNet engine rides, not general 3x3).
         # Artifacts always store weights as int8 (save_unet_engine
         # normalizes), so the tier is a load-time choice.
-        if compute not in ("bfloat16", "int8"):
-            raise ValueError(f"compute must be bfloat16/int8, got {compute!r}")
+        # "hybrid" picks per conv: s8 where the input channel count packs
+        # the 128-lane int8 registers exactly (cin >= 128 and cin % 128 ==
+        # 0 — every spike-input conv at C=32; the pred-feedback decoders'
+        # odd cins defeat the s8 emitter), bf16 elsewhere. The 256² probe
+        # (probe_unet_conv.py EVRES=256) shows s8 winning ~25% exactly on
+        # the lane-aligned layers and losing up to 1.5x on the odd ones.
+        if compute not in ("bfloat16", "int8", "hybrid"):
+            raise ValueError(
+                f"compute must be bfloat16/int8/hybrid, got {compute!r}")
         # residual chains grow spike amplitudes by +1 per block; the exact
         # decoder grid holds while 16 * (1 + R) fits int8
         if _UP_GRID * (1 + model.num_residual_blocks) > 127:
@@ -298,8 +313,10 @@ class Int8UNetEngine:
         self.mem_dtype = mem_dtype
         self._mem_jdtype = jnp.bfloat16 if mem_dtype == "bfloat16" else jnp.float32
         self.compute = compute
+        # spike/grid carrier dtype: bf16 on the bf16 tier, int8 otherwise
+        # (convs cast their input to the weight dtype — a no-op on uniform
+        # tiers, an exact small-int cast at hybrid boundaries)
         self._cdtype = jnp.bfloat16 if compute == "bfloat16" else jnp.int8
-        self._acc = jnp.float32 if compute == "bfloat16" else jnp.int32
         self.input_scale = float(input_scale)
         # chip-measured serving operating point (evflow.autotune); carried
         # through save_unet_engine/from_artifact like the FireNet engine
@@ -307,9 +324,12 @@ class Int8UNetEngine:
         self.params = (_prepared if _prepared is not None else
                        prepare_unet_int8_params(model, variables,
                                                 input_scale=input_scale))
-        if compute == "bfloat16":
+        if compute != "int8":
             # one-time cast: int8 weight values are exact in bf16
             def cast_w(u):
+                cin = u["w"].shape[2]
+                if compute == "hybrid" and cin >= 128 and cin % 128 == 0:
+                    return u  # lane-aligned: keep the s8 conv path
                 return {**u, "w": u["w"].astype(jnp.bfloat16)}
 
             self.params = {
@@ -417,11 +437,11 @@ class Int8UNetEngine:
         h = xi
         blocks = []
         for i, eu in enumerate(variables["enc"]):
-            z1, s1 = self._lif(_conv_q(h, eu["conv"]["w"], 2, self._acc),
+            z1, s1 = self._lif(_conv_q(h, eu["conv"]["w"], 2),
                                eu["conv"], states[si])
             new_states[si] = s1
             cat = jnp.concatenate([z1, states[si + 1].spk], axis=-1)
-            z2, s2 = self._lif(_conv_q(cat, eu["rec"]["w"], 1, self._acc),
+            z2, s2 = self._lif(_conv_q(cat, eu["rec"]["w"]),
                                eu["rec"], states[si + 1])
             new_states[si + 1] = s2
             si += 2
@@ -432,11 +452,9 @@ class Int8UNetEngine:
 
         for i, (u1, u2) in enumerate(variables["res"]):
             residual = h
-            z1, s1 = self._lif(_conv_q(h, u1["w"], 1, self._acc), u1,
-                               states[si])
+            z1, s1 = self._lif(_conv_q(h, u1["w"]), u1, states[si])
             new_states[si] = s1
-            z2, s2 = self._lif(_conv_q(z1, u2["w"], 1, self._acc), u2,
-                               states[si + 1])
+            z2, s2 = self._lif(_conv_q(z1, u2["w"]), u2, states[si + 1])
             new_states[si + 1] = s2
             si += 2
             h = z2 + residual  # spike-valued small ints, exact either tier
@@ -458,8 +476,7 @@ class Int8UNetEngine:
             q_up = jnp.clip(
                 jnp.round(up / du["in_scale"]), -127, 127
             ).astype(self._cdtype)
-            z, s = self._lif(_conv_q(q_up, du["w"], 1, self._acc), du,
-                             states[si])
+            z, s = self._lif(_conv_q(q_up, du["w"]), du, states[si])
             new_states[si] = s
             si += 1
             h = z

@@ -60,7 +60,7 @@ def _init(model, B=2, H=RES, W=RES):
     return v, states
 
 
-@pytest.mark.parametrize("compute", ["int8", "bfloat16"])
+@pytest.mark.parametrize("compute", ["int8", "bfloat16", "hybrid"])
 def test_unet_engine_matches_fake_quant_model(compute):
     """With the engine's own dequantized-int8 kernels installed in the flax
     model, the f32 membrane tier must reproduce its flows at f32 rounding:
