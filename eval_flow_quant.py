@@ -34,7 +34,7 @@ def main():
                         help="deploy mode: membrane carry dtype (mixed = "
                              "bf16 head membrane, int8 elsewhere)")
     parser.add_argument("--compute", default="bfloat16",
-                        choices=["bfloat16", "int8", "hybrid"],
+                        choices=["bfloat16", "int8", "hybrid", "hybrid8"],
                         help="deploy mode, UNet engine only: conv compute "
                              "tier carrying the same integer arithmetic "
                              "(bf16 wins at <=128 res, s8 at 256 — "

@@ -156,10 +156,10 @@ def autotune_serving(
         # are bf16): same integer arithmetic, regime-dependent winner
         # (BENCH_NOTES: bf16 at <=128 res, s8 at 256 on this chip)
         for t in tiers:
-            if t not in ("bfloat16", "int8", "hybrid"):
+            if t not in ("bfloat16", "int8", "hybrid", "hybrid8"):
                 raise ValueError(
                     f"UNet engine tiers are compute tiers "
-                    f"bfloat16/int8/hybrid; got {t!r}")
+                    f"bfloat16/int8/hybrid/hybrid8; got {t!r}")
     if chunks is None:
         chunks = (chunk,)
     table: Dict[str, float] = {}

@@ -19,16 +19,18 @@ so almost all of them are EXACT:
     ``compute="bfloat16"`` (default) casts the int8 weights/grids to bf16
     — every value is a small exact integer, and f32 accumulates integer
     products exactly below 2^24; ``compute="int8"`` keeps s8 x s8 -> s32
-    everywhere; ``compute="hybrid"`` picks s8 per conv where the input
-    channel count packs the 128-lane int8 registers exactly (cin >= 128,
-    cin % 128 == 0) and bf16 elsewhere. The shape probe
-    (benchmarks/probe_unet_conv.py) measures the s8 NHWC 3x3 path ~25%
-    FASTER than bf16 exactly on lane-aligned layers at 256² but up to
-    1.5x slower on odd-cin (pred-feedback) layers and everywhere at 128²
-    — so the winner is regime-dependent (BENCH_NOTES "UNet family
-    deployed"; the autotuner sweeps the tier axis per target). No bias,
-    no BN in this family (cells.py make_conv ``use_bias=False``,
-    norm=None).
+    everywhere; ``compute="hybrid"`` routes stride-1 convs with input
+    spatial dim >= ``dypack_min_spatial`` (128) through the dy-packed s8
+    cols GEMM — the FireNet engine's fast int8 emitter (cols_dx + one
+    [BHW, 3Cin] x [3Cin, 3Cout] dot + dy shift-add, evflow/ops/dypack.py)
+    — and the rest through bf16 NHWC. The shape probes
+    (benchmarks/probe_unet_conv.py, probe_unet_dypack.py) measure the s8
+    NHWC 3x3 path no better than bf16 anywhere that matters, while the
+    dy-pack GEMM is 2-3x faster than EITHER on the big-spatial decoder
+    convs — so the tier winner is resolution-dependent (BENCH_NOTES
+    "UNet family deployed"; the autotuner sweeps the tier axis per
+    target). No bias, no BN in this family (cells.py make_conv
+    ``use_bias=False``, norm=None).
   * recurrent cells fuse their feedforward + recurrent convs into ONE conv
     over input-channel-concatenated kernels — both inputs are binary
     spikes (unit scale), so one shared per-output-channel scale
@@ -67,6 +69,7 @@ import numpy as np
 
 from evflow.deploy import _quantize_per_channel
 from evflow.models.unet import CropParameters
+from evflow.ops.dypack import cols_dx, dy_epilogue, pack_kernel_dy
 from evflow.ops.lif import LIFState, sigmoid_lif_step
 
 __all__ = [
@@ -295,9 +298,13 @@ class Int8UNetEngine:
         # odd cins defeat the s8 emitter), bf16 elsewhere. The 256² probe
         # (probe_unet_conv.py EVRES=256) shows s8 winning ~25% exactly on
         # the lane-aligned layers and losing up to 1.5x on the odd ones.
-        if compute not in ("bfloat16", "int8", "hybrid"):
+        # "hybrid8" = hybrid routing with int8 spike carriers: the extra
+        # cast pairs cost ~10% at 128² but the carrier byte savings win
+        # ~5% back at 256² (BENCH_NOTES) — the autotuner sweeps all four.
+        if compute not in ("bfloat16", "int8", "hybrid", "hybrid8"):
             raise ValueError(
-                f"compute must be bfloat16/int8/hybrid, got {compute!r}")
+                f"compute must be bfloat16/int8/hybrid/hybrid8, "
+                f"got {compute!r}")
         # residual chains grow spike amplitudes by +1 per block; the exact
         # decoder grid holds while 16 * (1 + R) fits int8
         if _UP_GRID * (1 + model.num_residual_blocks) > 127:
@@ -313,10 +320,13 @@ class Int8UNetEngine:
         self.mem_dtype = mem_dtype
         self._mem_jdtype = jnp.bfloat16 if mem_dtype == "bfloat16" else jnp.float32
         self.compute = compute
-        # spike/grid carrier dtype: bf16 on the bf16 tier, int8 otherwise
-        # (convs cast their input to the weight dtype — a no-op on uniform
-        # tiers, an exact small-int cast at hybrid boundaries)
-        self._cdtype = jnp.bfloat16 if compute == "bfloat16" else jnp.int8
+        # spike/grid carrier dtype: int8 only on the uniform s8 tier. The
+        # hybrid tier carries bf16 like the bf16 tier — its dy-pack sites
+        # cast their (integer-valued) inputs to int8 locally, so the rest
+        # of the net pays zero extra casts (an int8 carrier measured ~10%
+        # slower end-to-end: every layer paid an int8<->bf16 cast pair)
+        self._cdtype = (jnp.int8 if compute in ("int8", "hybrid8")
+                        else jnp.bfloat16)
         self.input_scale = float(input_scale)
         # chip-measured serving operating point (evflow.autotune); carried
         # through save_unet_engine/from_artifact like the FireNet engine
@@ -324,12 +334,15 @@ class Int8UNetEngine:
         self.params = (_prepared if _prepared is not None else
                        prepare_unet_int8_params(model, variables,
                                                 input_scale=input_scale))
-        if compute != "int8":
+        # the hybrid tier's dy-pack crossover: stride-1 convs whose input
+        # spatial dim is >= this ride the s8 cols GEMM (the FireNet-style
+        # fast int8 emitter — 2-3x the NHWC conv paths on the big decoder
+        # layers, benchmarks/probe_unet_dypack.py); smaller layers use
+        # bf16 NHWC. Tests lower it to exercise the path at toy sizes.
+        self.dypack_min_spatial = 128
+        if compute == "bfloat16":
             # one-time cast: int8 weight values are exact in bf16
             def cast_w(u):
-                cin = u["w"].shape[2]
-                if compute == "hybrid" and cin >= 128 and cin % 128 == 0:
-                    return u  # lane-aligned: keep the s8 conv path
                 return {**u, "w": u["w"].astype(jnp.bfloat16)}
 
             self.params = {
@@ -400,10 +413,38 @@ class Int8UNetEngine:
 
     # -- inference --------------------------------------------------------
 
-    def _lif(self, ff_acc, unit, state: LIFState):
-        """Dequantize the conv accumulator and run one exact sigmoid-LIF
-        update; returns (compute-dtype spikes, new LIFState)."""
-        ff = ff_acc.astype(jnp.float32) * unit["scale"]
+    def _conv_ff(self, x, unit, stride: int = 1):
+        """Scaled conv input current on the unit's measured-fast path.
+
+        Uniform tiers: NHWC conv in the stored weight dtype, then the
+        per-output-channel dequant. Hybrid tier: stride-1 convs at
+        >= ``dypack_min_spatial`` input ride the dy-packed s8 cols GEMM
+        (cols_dx -> one [BHW, 3Cin] x [3Cin, 3Cout] int8 dot -> bf16
+        dequant -> dy shift-add — the same formulation/invariants as the
+        FireNet engine, evflow/ops/dypack.py), smaller ones bf16 NHWC.
+        The dy-pack Z rides bf16 like FireNet's (the dominant byte
+        stream; int values round at 2^-9 relative — inside the AEE
+        budget, benchmarks/VALIDATION.md)."""
+        w = unit["w"]
+        if (self.compute in ("hybrid", "hybrid8") and stride == 1
+                and x.shape[1] >= self.dypack_min_spatial):
+            B_, H_, W_, _ = x.shape
+            cout = w.shape[3]
+            cols = cols_dx(x.astype(jnp.int8))
+            Z = jax.lax.dot_general(
+                cols.reshape(-1, cols.shape[-1]), pack_kernel_dy(w),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.bfloat16).reshape(B_, H_, W_, 3 * cout)
+            Z = Z * jnp.tile(unit["scale"], 3).astype(jnp.bfloat16)
+            return dy_epilogue(Z, H_, cout).astype(jnp.float32)
+        if self.compute in ("hybrid", "hybrid8"):
+            w = w.astype(jnp.bfloat16)  # exact; hoisted out of scans
+        return _conv_q(x, w, stride).astype(jnp.float32) * unit["scale"]
+
+    def _lif(self, ff, unit, state: LIFState):
+        """Run one exact sigmoid-LIF update on the scaled input current;
+        returns (compute-dtype spikes, new LIFState)."""
         z, v = sigmoid_lif_step(
             ff, state.mem.astype(jnp.float32), state.spk.astype(jnp.float32),
             unit["leak"], unit["thresh"], hard_reset=self.hard_reset,
@@ -437,11 +478,11 @@ class Int8UNetEngine:
         h = xi
         blocks = []
         for i, eu in enumerate(variables["enc"]):
-            z1, s1 = self._lif(_conv_q(h, eu["conv"]["w"], 2),
+            z1, s1 = self._lif(self._conv_ff(h, eu["conv"], 2),
                                eu["conv"], states[si])
             new_states[si] = s1
             cat = jnp.concatenate([z1, states[si + 1].spk], axis=-1)
-            z2, s2 = self._lif(_conv_q(cat, eu["rec"]["w"]),
+            z2, s2 = self._lif(self._conv_ff(cat, eu["rec"]),
                                eu["rec"], states[si + 1])
             new_states[si + 1] = s2
             si += 2
@@ -452,9 +493,9 @@ class Int8UNetEngine:
 
         for i, (u1, u2) in enumerate(variables["res"]):
             residual = h
-            z1, s1 = self._lif(_conv_q(h, u1["w"]), u1, states[si])
+            z1, s1 = self._lif(self._conv_ff(h, u1), u1, states[si])
             new_states[si] = s1
-            z2, s2 = self._lif(_conv_q(z1, u2["w"]), u2, states[si + 1])
+            z2, s2 = self._lif(self._conv_ff(z1, u2), u2, states[si + 1])
             new_states[si + 1] = s2
             si += 2
             h = z2 + residual  # spike-valued small ints, exact either tier
@@ -476,7 +517,7 @@ class Int8UNetEngine:
             q_up = jnp.clip(
                 jnp.round(up / du["in_scale"]), -127, 127
             ).astype(self._cdtype)
-            z, s = self._lif(_conv_q(q_up, du["w"]), du, states[si])
+            z, s = self._lif(self._conv_ff(q_up, du), du, states[si])
             new_states[si] = s
             si += 1
             h = z

@@ -60,7 +60,7 @@ def _init(model, B=2, H=RES, W=RES):
     return v, states
 
 
-@pytest.mark.parametrize("compute", ["int8", "bfloat16", "hybrid"])
+@pytest.mark.parametrize("compute", ["int8", "bfloat16", "hybrid", "hybrid8"])
 def test_unet_engine_matches_fake_quant_model(compute):
     """With the engine's own dequantized-int8 kernels installed in the flax
     model, the f32 membrane tier must reproduce its flows at f32 rounding:
@@ -91,6 +91,30 @@ def test_unet_engine_matches_fake_quant_model(compute):
             for a, b in zip(outf["flow"], oute["flow"]):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            atol=1e-4)
+
+
+def test_unet_engine_hybrid_dypack_path():
+    """The hybrid tier's dy-pack branch (stride-1 convs at >=
+    dypack_min_spatial ride the s8 cols GEMM) computes the same conv:
+    lowering the crossover to cover every layer at toy size must keep the
+    flows in agreement with the uniform bf16 tier (the dy-pack Z rides
+    bf16, so agreement is at bf16 rounding, not bit-exact)."""
+    model = build_model(_model_cfg())
+    B = 1
+    v, _ = _init(model, B)
+    ebf = Int8UNetEngine(model, v, mem_dtype="float32", compute="bfloat16")
+    ehy = Int8UNetEngine(model, v, mem_dtype="float32", compute="hybrid")
+    ehy.dypack_min_spatial = 2  # exercise the GEMM branch on every layer
+    sb, sh = ebf.init_states(B, RES, RES), ehy.init_states(B, RES, RES)
+    key = jax.random.PRNGKey(5)
+    for t in range(4):
+        key, k = jax.random.split(key)
+        cnt = jax.random.poisson(k, 0.4, (B, RES, RES, 2)).astype(jnp.float32)
+        ob, sb = ebf.apply(ebf.params, None, cnt, sb)
+        oh, sh = ehy.apply(ehy.params, None, cnt, sh)
+        for a, b in zip(ob["flow"], oh["flow"]):
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            assert (d < 0.02).mean() > 0.99, f"step {t}: {(d < 0.02).mean()}"
 
 
 def test_unet_engine_bf16_membranes_close():

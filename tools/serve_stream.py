@@ -37,7 +37,7 @@ def main():
                         "bfloat16); incompatible with --artifact, whose "
                         "quantized parameters fix the tier")
     p.add_argument("--compute", default="bfloat16",
-                   choices=["bfloat16", "int8", "hybrid"],
+                   choices=["bfloat16", "int8", "hybrid", "hybrid8"],
                    help="UNet engine only: conv compute tier (same integer "
                         "arithmetic; bf16 wins at <=128 res, s8 at 256)")
     p.add_argument("--windows", type=int, default=200)
