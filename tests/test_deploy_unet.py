@@ -302,3 +302,12 @@ def test_unet_engine_aee_parity(trained):
                              variables=engine.params, max_windows=120,
                              chunk=3, verbose=False))
     np.testing.assert_allclose(aee_chunk, aee_i8, rtol=1e-5)
+
+    # the hybrid tier (dy-pack routing, bf16 Z) holds the same AEE budget
+    ehy = Int8UNetEngine(model, variables, compute="hybrid")
+    ehy.dypack_min_spatial = 2  # exercise the GEMM branch at toy size
+    aee_hy = aee(evaluate(cfg, path_results=os.path.join(root, "r", "hy"),
+                          debug=True, model=ehy, variables=ehy.params,
+                          max_windows=120, verbose=False))
+    assert abs(aee_hy - aee_f32) / aee_f32 < 0.02, (
+        f"hybrid tier AEE diverged: {aee_hy:.4f} vs {aee_f32:.4f}")
