@@ -27,15 +27,26 @@ P, N = 10, 1000  # passes per loss window, events per window
 
 VOXEL = os.environ.get("EVVOXEL", "0") == "1"  # voxel-encoding wire variant
 NB = 5 if VOXEL else 2
+# EVMODEL=unet trains the second flagship (SpikingRecEVFlowNet, C=32 —
+# the reference scale) instead of LIFFireNet_short
+UNET = os.environ.get("EVMODEL", "") == "unet"
 
 
 def bench(conv_impl, compute_dtype=None, iters=4):
-    cfg = {
-        "name": "LIFFireNet_short", "num_bins": NB, "base_num_channels": 8,
-        "kernel_size": 3, "encoding": "voxel" if VOXEL else "cnt",
-        "conv_impl": conv_impl,
-        "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
-    }
+    if UNET:
+        cfg = {
+            "name": "SpikingRecEVFlowNet", "num_bins": NB,
+            "base_num_channels": 32, "kernel_size": 3,
+            "encoding": "voxel" if VOXEL else "cnt", "mask_output": True,
+            "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.0]},
+        }
+    else:
+        cfg = {
+            "name": "LIFFireNet_short", "num_bins": NB, "base_num_channels": 8,
+            "kernel_size": 3, "encoding": "voxel" if VOXEL else "cnt",
+            "conv_impl": conv_impl,
+            "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
+        }
     if compute_dtype:
         cfg["compute_dtype"] = compute_dtype
     model = build_model(cfg)
