@@ -18,7 +18,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import os
 B, R, C = 1, int(os.environ.get("EVRES", "128")), 32
-# (H, W, Cin, Cout, stride) — the C=32 UNet plan at 128²
+# (H, W, Cin, Cout, stride) — the C=32 UNet plan at EVRES (default 128)
 SHAPES = [
     ("enc0.ff", R, R, 2, 2 * C, 2),
     ("enc0.rec(dual)", R // 2, R // 2, 4 * C, 2 * C, 1),
