@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--T", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--what", default="both", choices=["engine", "f32", "both"])
-    ap.add_argument("--compute", default="bfloat16", choices=["bfloat16", "int8", "hybrid", "hybrid8"],
+    ap.add_argument("--compute", default="hybrid", choices=["bfloat16", "int8", "hybrid", "hybrid8"],
                     help="engine conv compute tier (same integer arithmetic)")
     args = ap.parse_args()
 

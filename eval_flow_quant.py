@@ -33,7 +33,7 @@ def main():
                         choices=["bfloat16", "int8", "mixed"],
                         help="deploy mode: membrane carry dtype (mixed = "
                              "bf16 head membrane, int8 elsewhere)")
-    parser.add_argument("--compute", default="bfloat16",
+    parser.add_argument("--compute", default="hybrid",
                         choices=["bfloat16", "int8", "hybrid", "hybrid8"],
                         help="deploy mode, UNet engine only: conv compute "
                              "tier carrying the same integer arithmetic "

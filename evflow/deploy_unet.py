@@ -16,10 +16,11 @@ so almost all of them are EXACT:
     (<= 1 + num_residual_blocks) — still exact int8.
   * convs run the quantized grids with per-output-channel weight scales
     on one of three COMPUTE tiers carrying the same integer arithmetic:
-    ``compute="bfloat16"`` (default) casts the int8 weights/grids to bf16
+    ``compute="bfloat16"`` casts the int8 weights/grids to bf16
     — every value is a small exact integer, and f32 accumulates integer
     products exactly below 2^24; ``compute="int8"`` keeps s8 x s8 -> s32
-    everywhere; ``compute="hybrid"`` routes stride-1 convs with input
+    everywhere; ``compute="hybrid"`` (default — it dominates the uniform
+    tiers at every measured point) routes stride-1 convs with input
     spatial dim >= ``dypack_min_spatial`` (128) through the dy-packed s8
     cols GEMM — the FireNet engine's fast int8 emitter (cols_dx + one
     [BHW, 3Cin] x [3Cin, 3Cout] dot + dy shift-add, evflow/ops/dypack.py)
@@ -261,7 +262,7 @@ class Int8UNetEngine:
 
     def __init__(self, model, variables: Optional[Dict[str, Any]],
                  mem_dtype: str = "bfloat16", input_scale: float = 1.0,
-                 compute: str = "bfloat16",
+                 compute: str = "hybrid",
                  _prepared: Optional[Dict[str, Any]] = None):
         if variables is None and _prepared is None:
             raise ValueError("need trained variables or a prepared artifact")

@@ -36,7 +36,7 @@ def main():
                    help="membrane tier (default: the artifact's tier, else "
                         "bfloat16); incompatible with --artifact, whose "
                         "quantized parameters fix the tier")
-    p.add_argument("--compute", default="bfloat16",
+    p.add_argument("--compute", default="hybrid",
                    choices=["bfloat16", "int8", "hybrid", "hybrid8"],
                    help="UNet engine only: conv compute tier (same integer "
                         "arithmetic; bf16 wins at <=128 res, s8 at 256)")
