@@ -402,6 +402,22 @@ def test_eval_flow_quant_deploy_chunked_cli(workspace, trained_run):
     assert "AEE" in out.stdout
 
 
+def test_autotune_unet_cli(workspace):
+    """The autotuner CLI measures a SpikingRecEVFlowNet config over the
+    UNet engine's compute-tier grid (measure-only run; no checkpoint)."""
+    cfg = yaml.safe_load(open(workspace["eval_cfg"]))
+    cfg["model"] = {"name": "SpikingRecEVFlowNet", "encoding": "cnt",
+                    "num_bins": 2, "base_num_channels": 4, "kernel_size": 3,
+                    "mask_output": True, "round_encoding": False}
+    ucfg = os.path.join(workspace["ws"], "autotune_unet.yml")
+    with open(ucfg, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = run_cli(["tools/autotune_serving.py", "--config", ucfg,
+                   "--tiers", "bfloat16", "hybrid",
+                   "--batches", "1", "--chunk", "2", "--iters", "1"])
+    assert '"best"' in out.stdout and "hybrid" in out.stdout
+
+
 def test_autotune_pooled_config_input_scale(workspace, trained_run):
     """On a pooled config (resolution < std_resolution) the autotuner's
     saved artifact must carry the pooling-derived input_scale — the

@@ -37,7 +37,11 @@ def main():
                         "loader.resolution from the config); implies "
                         "input_scale=1 (no pooling at the measured size)")
     p.add_argument("--tiers", nargs="+", default=["bfloat16", "mixed", "int8"],
-                   choices=["bfloat16", "mixed", "int8"])
+                   choices=["bfloat16", "mixed", "int8", "hybrid", "hybrid8"],
+                   help="FireNet: membrane tiers (bfloat16/mixed/int8). "
+                        "UNet configs: conv compute tiers "
+                        "(bfloat16/int8/hybrid/hybrid8); the default grid "
+                        "becomes the UNet tier set automatically")
     p.add_argument("--batches", nargs="+", type=int, default=[1, 2, 4])
     p.add_argument("--chunk", nargs="+", type=int, default=[256],
                    help="scan length(s) per dispatch (also the recommended "
@@ -88,10 +92,13 @@ def main():
         # (evflow/deploy_unet.py; membranes are bf16 — "mixed" is
         # FireNet-only)
         if args.tiers == ["bfloat16", "mixed", "int8"]:  # the default grid
-            args.tiers = ["bfloat16", "int8"]
+            args.tiers = ["bfloat16", "int8", "hybrid", "hybrid8"]
         elif "mixed" in args.tiers:
             p.error("the UNet engine has no mixed membrane tier; its tiers "
-                    "are compute tiers bfloat16/int8")
+                    "are compute tiers bfloat16/int8/hybrid/hybrid8")
+    elif any(t in ("hybrid", "hybrid8") for t in args.tiers):
+        p.error("hybrid tiers are UNet-engine compute tiers; FireNet "
+                "membrane tiers are bfloat16/mixed/int8")
     if args.resolution:
         # an explicit square override measures at that size with no pooling
         H = W = args.resolution
