@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--what", default="both", choices=["engine", "f32", "both"])
     ap.add_argument("--compute", default="hybrid", choices=["bfloat16", "int8", "hybrid", "hybrid8"],
                     help="engine conv compute tier (same integer arithmetic)")
+    ap.add_argument("--phase", action="store_true",
+                    help="phase-decomposed decoders (bilinear folded into "
+                         "4 low-res kernels; 1-2 px border divergence)")
     args = ap.parse_args()
 
     import jax
@@ -80,10 +83,11 @@ def main():
         return (T * B) / best
 
     if args.what in ("engine", "both"):
-        engine = Int8UNetEngine(model, variables, compute=args.compute)
+        engine = Int8UNetEngine(model, variables, compute=args.compute,
+                                phase_decoders=args.phase)
         v = measure(engine.apply, engine.params, engine.init_states(B, H, W))
-        print(f"int8 engine ({args.compute}): {v:.1f} win/s  "
-              f"(B={B} {H}x{W} C={args.channels})")
+        print(f"int8 engine ({args.compute}{'+phase' if args.phase else ''}): "
+              f"{v:.1f} win/s  (B={B} {H}x{W} C={args.channels})")
     if args.what in ("f32", "both"):
         def f32_apply(params, ev, cnt, st):
             return model.apply(params, ev, cnt, st, train=False)

@@ -39,6 +39,11 @@ def main():
                              "tier carrying the same integer arithmetic "
                              "(bf16 wins at <=128 res, s8 at 256 — "
                              "BENCH_NOTES)")
+    parser.add_argument("--phase_decoders", action="store_true",
+                        help="deploy mode, UNet engine only: fold the "
+                             "decoder bilinear x2 into 4 low-res kernels "
+                             "(2.4x f32 serving; 1-2 px border divergence "
+                             "— BENCH_NOTES)")
     parser.add_argument("--z_int8", action="store_true",
                         help="deploy mode: calibrated int8 GEMM intermediates")
     parser.add_argument("--calibration_batches", type=int, default=50)
@@ -175,7 +180,8 @@ def main():
             from evflow.deploy_unet import Int8UNetEngine
 
             engine = Int8UNetEngine(model, variables, input_scale=input_scale,
-                                    compute=args.compute)
+                                    compute=args.compute,
+                                    phase_decoders=args.phase_decoders)
         else:
             engine = Int8DeployEngine(
                 model, variables, mem_dtype=args.mem_dtype,

@@ -85,6 +85,53 @@ __all__ = [
 _UP_GRID = 16.0
 _PRED_GRID = 127.0  # tanh flow feedback in (-1, 1)
 
+# half-pixel bilinear x2 row weights: _PHASE_A[n + 1, m + 1] is the
+# coefficient of x[i + m] in the upsampled row at output index 2i + n
+# (U[2i-1] = .75 x[i-1] + .25 x[i]; U[2i] = .25 x[i-1] + .75 x[i]; ...)
+_PHASE_A = np.zeros((4, 3), np.float32)
+_PHASE_A[0, 0], _PHASE_A[0, 1] = 0.75, 0.25
+_PHASE_A[1, 0], _PHASE_A[1, 1] = 0.25, 0.75
+_PHASE_A[2, 1], _PHASE_A[2, 2] = 0.75, 0.25
+_PHASE_A[3, 1], _PHASE_A[3, 2] = 0.25, 0.75
+
+
+def _phase_decoder_params(du: Dict[str, Any], num_pred_channels: int,
+                          first: bool) -> Dict[str, Any]:
+    """Fold the bilinear x2 INTO the decoder kernel: 4 per-phase 3x3
+    kernels at the LOW (pre-upsample) resolution, dy-packed and int8
+    per-(phase, output-channel) quantized. conv3x3(bilinear_up2(x)) is
+    algebraically the interleave of these 4 phase convs on x
+    (benchmarks/probe_unet_phase.py verifies interior exactness); the
+    materialized upsampled tensor and the 1/16-grid requantize disappear
+    — the fractional bilinear taps live in the WEIGHTS instead. The only
+    semantic divergence is a 1-2 px border frame (resize edge-clamps and
+    the SAME conv zero-pads the upsampled map; the phase convs zero-pad
+    x), documented as a deploy-tier divergence and covered by the AEE
+    budget."""
+    k = np.asarray(du["w"], np.float32) * np.asarray(du["scale"])
+    k = k / np.asarray(du["in_scale"], np.float32)[None, None, :, None]
+    # pre-upsample channel grids: spike channels ride unit ints; the
+    # prediction feedback rides its 1/127 grid (pred_q)
+    s_pre = np.ones(k.shape[2], np.float32)
+    if not first:
+        s_pre[:num_pred_channels] = 1.0 / _PRED_GRID
+    k = k * s_pre[None, None, :, None]
+    out: Dict[str, Any] = {}
+    for p in range(2):
+        for q in range(2):
+            kp = np.zeros_like(k)
+            for dy in range(3):
+                for dx in range(3):
+                    for my in range(3):
+                        for mx in range(3):
+                            kp[my, mx] += (k[dy, dx]
+                                           * _PHASE_A[p + dy, my]
+                                           * _PHASE_A[q + dx, mx])
+            w8, sc = _quantize_per_channel(kp)
+            out[f"pw{p}{q}"] = pack_kernel_dy(jnp.asarray(w8))
+            out[f"ps{p}{q}"] = jnp.asarray(np.tile(sc, 3), jnp.bfloat16)
+    return out
+
 
 def quantize_unet_weights(model, params: Dict[str, Any],
                           input_scale: float = 1.0) -> Dict[str, Any]:
@@ -239,6 +286,7 @@ def save_unet_engine(engine: "Int8UNetEngine", path: str,
         "num_residual_blocks": engine.num_residual_blocks,
         "mem_dtype": engine.mem_dtype,
         "compute": engine.compute,
+        "phase_decoders": getattr(engine, "phase_decoders", False),
         "input_scale": engine.input_scale,
         "model": engine.model.__class__.__name__,
     }
@@ -262,7 +310,7 @@ class Int8UNetEngine:
 
     def __init__(self, model, variables: Optional[Dict[str, Any]],
                  mem_dtype: str = "bfloat16", input_scale: float = 1.0,
-                 compute: str = "hybrid",
+                 compute: str = "hybrid", phase_decoders: bool = False,
                  _prepared: Optional[Dict[str, Any]] = None):
         if variables is None and _prepared is None:
             raise ValueError("need trained variables or a prepared artifact")
@@ -293,15 +341,11 @@ class Int8UNetEngine:
         # 1x1/cols path the FireNet engine rides, not general 3x3).
         # Artifacts always store weights as int8 (save_unet_engine
         # normalizes), so the tier is a load-time choice.
-        # "hybrid" picks per conv: s8 where the input channel count packs
-        # the 128-lane int8 registers exactly (cin >= 128 and cin % 128 ==
-        # 0 — every spike-input conv at C=32; the pred-feedback decoders'
-        # odd cins defeat the s8 emitter), bf16 elsewhere. The 256² probe
-        # (probe_unet_conv.py EVRES=256) shows s8 winning ~25% exactly on
-        # the lane-aligned layers and losing up to 1.5x on the odd ones.
-        # "hybrid8" = hybrid routing with int8 spike carriers: the extra
-        # cast pairs cost ~10% at 128² but the carrier byte savings win
-        # ~5% back at 256² (BENCH_NOTES) — the autotuner sweeps all four.
+        # "hybrid" routes big-spatial stride-1 convs through the dy-pack
+        # s8 cols GEMM (see _conv_ff); "hybrid8" = same routing with int8
+        # spike carriers: the extra cast pairs cost ~10% at 128² but the
+        # carrier byte savings win ~5% back at 256² (BENCH_NOTES) — the
+        # autotuner sweeps all four tiers.
         if compute not in ("bfloat16", "int8", "hybrid", "hybrid8"):
             raise ValueError(
                 f"compute must be bfloat16/int8/hybrid/hybrid8, "
@@ -335,6 +379,19 @@ class Int8UNetEngine:
         self.params = (_prepared if _prepared is not None else
                        prepare_unet_int8_params(model, variables,
                                                 input_scale=input_scale))
+        # phase-decomposed decoders: fold bilinear x2 into 4 low-res
+        # kernels (see _phase_decoder_params) — derived here from the
+        # canonical int8 weights so artifacts stay unchanged
+        self.phase_decoders = bool(phase_decoders)
+        if self.phase_decoders:
+            npred = getattr(model, "num_output_channels", 2)
+            self.params = {
+                **self.params,
+                "dec": [
+                    {**du, **_phase_decoder_params(du, npred, first=(i == 0))}
+                    for i, du in enumerate(self.params["dec"])
+                ],
+            }
         # the hybrid tier's dy-pack crossover: stride-1 convs whose input
         # spatial dim is >= this ride the s8 cols GEMM (the FireNet-style
         # fast int8 emitter — 2-3x the NHWC conv paths on the big decoder
@@ -382,6 +439,7 @@ class Int8UNetEngine:
             )
         engine = cls(model, variables=None, mem_dtype=meta["mem_dtype"],
                      compute=meta.get("compute", "int8"),
+                     phase_decoders=meta.get("phase_decoders", False),
                      input_scale=meta["input_scale"], _prepared=params)
         engine.serving = meta.get("serving")
         return engine
@@ -509,16 +567,46 @@ class Int8UNetEngine:
             parts = [h, blocks[E - i - 1]]
             if i > 0:
                 parts.insert(0, pred_q)
-            cat = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
-            Bc, Hc, Wc, Cc = cat.shape
-            up = jax.image.resize(cat, (Bc, 2 * Hc, 2 * Wc, Cc), method="bilinear")
-            # exact requant onto the folded grids: spike channels land on
-            # the 1/16 bilinear grid (lossless); pred channels re-round to
-            # 1/127 (|err| <= 1/254, the engine's only lossy activation)
-            q_up = jnp.clip(
-                jnp.round(up / du["in_scale"]), -127, 127
-            ).astype(self._cdtype)
-            z, s = self._lif(self._conv_ff(q_up, du), du, states[si])
+            if self.phase_decoders:
+                # bilinear x2 folded into 4 per-phase kernels: one cols
+                # buffer at the LOW resolution feeds 4 s8 dots whose
+                # outputs interleave to the upsampled-conv result — no
+                # materialized up tensor, no requantize chain (the
+                # fractional taps live in the weights). 1-2 px border
+                # frame diverges from the resize path (docstring of
+                # _phase_decoder_params).
+                x8 = jnp.concatenate(
+                    [part.astype(jnp.int8) for part in parts], axis=-1)
+                Bc, Hc, Wc, _ = x8.shape
+                cout = du["w"].shape[3]
+                cols = cols_dx(x8).reshape(-1, 3 * x8.shape[-1])
+                ys = []
+                for pph in range(2):
+                    for qph in range(2):
+                        Z = jax.lax.dot_general(
+                            cols, du[f"pw{pph}{qph}"],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        ).astype(jnp.bfloat16).reshape(Bc, Hc, Wc, 3 * cout)
+                        Z = Z * du[f"ps{pph}{qph}"]
+                        ys.append(dy_epilogue(Z, Hc, cout))
+                ff = jnp.stack(ys, 0).reshape(2, 2, Bc, Hc, Wc, cout)
+                ff = ff.transpose(2, 3, 0, 4, 1, 5).reshape(
+                    Bc, 2 * Hc, 2 * Wc, cout).astype(jnp.float32)
+                z, s = self._lif(ff, du, states[si])
+            else:
+                cat = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
+                Bc, Hc, Wc, Cc = cat.shape
+                up = jax.image.resize(cat, (Bc, 2 * Hc, 2 * Wc, Cc),
+                                      method="bilinear")
+                # exact requant onto the folded grids: spike channels land
+                # on the 1/16 bilinear grid (lossless); pred channels
+                # re-round to 1/127 (|err| <= 1/254, the engine's only
+                # lossy activation)
+                q_up = jnp.clip(
+                    jnp.round(up / du["in_scale"]), -127, 127
+                ).astype(self._cdtype)
+                z, s = self._lif(self._conv_ff(q_up, du), du, states[si])
             new_states[si] = s
             si += 1
             h = z

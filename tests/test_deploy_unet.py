@@ -117,6 +117,42 @@ def test_unet_engine_hybrid_dypack_path():
             assert (d < 0.02).mean() > 0.99, f"step {t}: {(d < 0.02).mean()}"
 
 
+def test_unet_engine_phase_decoders_match_interior(tmp_path):
+    """Phase-decomposed decoders (bilinear x2 folded into 4 low-res
+    kernels) reproduce the resize-path engine away from the documented
+    1-2 px border frame, and the flag survives the artifact roundtrip
+    (phase kernels re-derive deterministically from the canonical int8
+    weights)."""
+    from evflow.deploy_unet import save_unet_engine
+
+    model = build_model(_model_cfg())
+    B = 1
+    v, _ = _init(model, B)
+    e_rs = Int8UNetEngine(model, v, mem_dtype="float32")
+    e_ph = Int8UNetEngine(model, v, mem_dtype="float32",
+                          phase_decoders=True)
+    s_rs, s_ph = e_rs.init_states(B, RES, RES), e_ph.init_states(B, RES, RES)
+    key = jax.random.PRNGKey(9)
+    for t in range(4):
+        key, k = jax.random.split(key)
+        cnt = jax.random.poisson(k, 0.4, (B, RES, RES, 2)).astype(jnp.float32)
+        o_rs, s_rs = e_rs.apply(e_rs.params, None, cnt, s_rs)
+        o_ph, s_ph = e_ph.apply(e_ph.params, None, cnt, s_ph)
+        for a, b in zip(o_rs["flow"], o_ph["flow"]):
+            d = np.abs(np.asarray(a) - np.asarray(b))[:, 8:-8, 8:-8]
+            assert (d < 0.02).mean() > 0.99, f"step {t}: {(d < 0.02).mean()}"
+
+    path = save_unet_engine(e_ph, str(tmp_path / "phase_engine"))
+    e2 = Int8UNetEngine.from_artifact(model, path)
+    assert e2.phase_decoders
+    cnt = jax.random.poisson(jax.random.PRNGKey(2), 0.4,
+                             (B, RES, RES, 2)).astype(jnp.float32)
+    o1, _ = e_ph.apply(e_ph.params, None, cnt, e_ph.init_states(B, RES, RES))
+    o2, _ = e2.apply(e2.params, None, cnt, e2.init_states(B, RES, RES))
+    for a, b in zip(o1["flow"], o2["flow"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unet_engine_bf16_membranes_close():
     """The serving tier (bf16 membranes) tracks the f32-membrane engine."""
     model = build_model(_model_cfg())
@@ -311,3 +347,16 @@ def test_unet_engine_aee_parity(trained):
                           max_windows=120, verbose=False))
     assert abs(aee_hy - aee_f32) / aee_f32 < 0.02, (
         f"hybrid tier AEE diverged: {aee_hy:.4f} vs {aee_f32:.4f}")
+
+    # phase-decomposed decoders (border-frame divergence + per-phase
+    # weight grids) must also hold the budget — at this toy 32² scale the
+    # border frame is a far LARGER fraction of pixels than in deployment,
+    # so this is the conservative check
+    eph = Int8UNetEngine(model, variables, compute="hybrid",
+                         phase_decoders=True)
+    eph.dypack_min_spatial = 2
+    aee_ph = aee(evaluate(cfg, path_results=os.path.join(root, "r", "ph"),
+                          debug=True, model=eph, variables=eph.params,
+                          max_windows=120, verbose=False))
+    assert abs(aee_ph - aee_f32) / aee_f32 < 0.05, (
+        f"phase-decoder AEE diverged: {aee_ph:.4f} vs {aee_f32:.4f}")

@@ -40,6 +40,9 @@ def main():
                    choices=["bfloat16", "int8", "hybrid", "hybrid8"],
                    help="UNet engine only: conv compute tier (same integer "
                         "arithmetic; bf16 wins at <=128 res, s8 at 256)")
+    p.add_argument("--phase_decoders", action="store_true",
+                   help="UNet engine only: phase-decomposed decoders "
+                        "(2.4x f32 serving; 1-2 px border divergence)")
     p.add_argument("--windows", type=int, default=200)
     p.add_argument("--chunk", type=int, default=None,
                    help="micro-batch K windows per device dispatch (one "
@@ -125,7 +128,8 @@ def main():
 
         if args.mem_dtype and args.mem_dtype != "bfloat16":
             p.error("the UNet engine carries bf16 membranes")
-        engine = Int8UNetEngine(model, variables, compute=args.compute)
+        engine = Int8UNetEngine(model, variables, compute=args.compute,
+                                phase_decoders=args.phase_decoders)
         tuned = {}
     else:
         # downsample pooling makes counts fractional in multiples of
