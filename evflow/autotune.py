@@ -153,13 +153,15 @@ def autotune_serving(
     is_unet = model.__class__.__name__ == "SpikingRecEVFlowNet"
     if is_unet:
         # the UNet engine's tier axis is the conv COMPUTE tier (membranes
-        # are bf16): same integer arithmetic, regime-dependent winner
-        # (BENCH_NOTES: bf16 at <=128 res, s8 at 256 on this chip)
+        # are bf16), optionally with phase-decomposed decoders ("+phase"
+        # suffix): same integer arithmetic, regime-dependent winner
+        # (BENCH_NOTES "UNet family deployed")
         for t in tiers:
-            if t not in ("bfloat16", "int8", "hybrid", "hybrid8"):
+            base = t[:-6] if t.endswith("+phase") else t
+            if base not in ("bfloat16", "int8", "hybrid", "hybrid8"):
                 raise ValueError(
-                    f"UNet engine tiers are compute tiers "
-                    f"bfloat16/int8/hybrid/hybrid8; got {t!r}")
+                    f"UNet engine tiers are compute tiers bfloat16/int8/"
+                    f"hybrid/hybrid8 (optionally '+phase'); got {t!r}")
     if chunks is None:
         chunks = (chunk,)
     table: Dict[str, float] = {}
@@ -169,8 +171,11 @@ def autotune_serving(
         if is_unet:
             from evflow.deploy_unet import Int8UNetEngine
 
-            engine = Int8UNetEngine(model, variables, compute=tier,
-                                    input_scale=input_scale)
+            phase = tier.endswith("+phase")
+            engine = Int8UNetEngine(
+                model, variables,
+                compute=tier[:-6] if phase else tier,
+                phase_decoders=phase, input_scale=input_scale)
         else:
             engine = Int8DeployEngine(
                 model, variables, mem_dtype=tier,

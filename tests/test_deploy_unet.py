@@ -237,10 +237,12 @@ def test_unet_autotune_and_serving_carry(tmp_path):
 
     model = build_model(_model_cfg())
     v, _ = _init(model, 1)
-    cfg = autotune_serving(model, v, RES, RES, tiers=("bfloat16", "int8"),
+    cfg = autotune_serving(model, v, RES, RES,
+                           tiers=("bfloat16", "int8", "hybrid+phase"),
                            batches=(1,), chunk=4, iters=1)
-    assert cfg.mem_dtype in ("bfloat16", "int8")
-    assert set(cfg.table) == {"bfloat16/B1/T4", "int8/B1/T4"}
+    assert cfg.mem_dtype in ("bfloat16", "int8", "hybrid+phase")
+    assert set(cfg.table) == {"bfloat16/B1/T4", "int8/B1/T4",
+                              "hybrid+phase/B1/T4"}
     assert cfg.windows_per_s > 0
 
     engine = Int8UNetEngine(model, v, compute=cfg.mem_dtype)

@@ -37,7 +37,8 @@ def main():
                         "loader.resolution from the config); implies "
                         "input_scale=1 (no pooling at the measured size)")
     p.add_argument("--tiers", nargs="+", default=["bfloat16", "mixed", "int8"],
-                   choices=["bfloat16", "mixed", "int8", "hybrid", "hybrid8"],
+                   choices=["bfloat16", "mixed", "int8", "hybrid", "hybrid8",
+                            "hybrid+phase", "hybrid8+phase"],
                    help="FireNet: membrane tiers (bfloat16/mixed/int8). "
                         "UNet configs: conv compute tiers "
                         "(bfloat16/int8/hybrid/hybrid8); the default grid "
@@ -92,11 +93,12 @@ def main():
         # (evflow/deploy_unet.py; membranes are bf16 — "mixed" is
         # FireNet-only)
         if args.tiers == ["bfloat16", "mixed", "int8"]:  # the default grid
-            args.tiers = ["bfloat16", "int8", "hybrid", "hybrid8"]
+            args.tiers = ["bfloat16", "int8", "hybrid", "hybrid8",
+                          "hybrid+phase"]
         elif "mixed" in args.tiers:
             p.error("the UNet engine has no mixed membrane tier; its tiers "
                     "are compute tiers bfloat16/int8/hybrid/hybrid8")
-    elif any(t in ("hybrid", "hybrid8") for t in args.tiers):
+    elif any(t.startswith(("hybrid", "hybrid8")) for t in args.tiers):
         p.error("hybrid tiers are UNet-engine compute tiers; FireNet "
                 "membrane tiers are bfloat16/mixed/int8")
     if args.resolution:
@@ -156,8 +158,11 @@ def main():
         if is_unet:
             from evflow.deploy_unet import Int8UNetEngine, save_unet_engine
 
-            engine = Int8UNetEngine(model, variables, compute=cfgk.mem_dtype,
-                                    input_scale=input_scale)
+            phase = cfgk.mem_dtype.endswith("+phase")
+            engine = Int8UNetEngine(
+                model, variables,
+                compute=(cfgk.mem_dtype[:-6] if phase else cfgk.mem_dtype),
+                phase_decoders=phase, input_scale=input_scale)
             engine.serving = cfgk.to_meta()
             path = save_unet_engine(engine, args.save)
         else:
