@@ -245,11 +245,13 @@ def test_unet_autotune_and_serving_carry(tmp_path):
                               "hybrid+phase/B1/T4"}
     assert cfg.windows_per_s > 0
 
-    engine = Int8UNetEngine(model, v, compute=cfg.mem_dtype)
+    phase = cfg.mem_dtype.endswith("+phase")
+    base = cfg.mem_dtype[:-6] if phase else cfg.mem_dtype
+    engine = Int8UNetEngine(model, v, compute=base, phase_decoders=phase)
     engine.serving = cfg.to_meta()
     path = save_unet_engine(engine, str(tmp_path / "tuned_unet"))
     e2 = Int8UNetEngine.from_artifact(model, path)
-    assert e2.compute == cfg.mem_dtype
+    assert e2.compute == base and e2.phase_decoders == phase
     assert e2.serving == cfg.to_meta()
     assert ServingConfig.from_meta(e2.serving).chunk == cfg.chunk
 
