@@ -70,7 +70,8 @@ import numpy as np
 
 from evflow.deploy import _quantize_per_channel
 from evflow.models.unet import CropParameters
-from evflow.ops.dypack import cols_dx, dy_epilogue, pack_kernel_dy
+from evflow.ops.dypack import (cols_dx, cols_dx_dual, dy_epilogue,
+                               pack_kernel_dy)
 from evflow.ops.lif import LIFState, sigmoid_lif_step
 
 __all__ = [
@@ -107,29 +108,60 @@ def _phase_decoder_params(du: Dict[str, Any], num_pred_channels: int,
     semantic divergence is a 1-2 px border frame (resize edge-clamps and
     the SAME conv zero-pads the upsampled map; the phase convs zero-pad
     x), documented as a deploy-tier divergence and covered by the AEE
-    budget."""
+    budget.
+
+    Layout (v2, measured on the full engine — see BENCH_NOTES): the two
+    SPIKE parts of the decoder input (h, skip — equal channel counts,
+    powers of two) ride the dy-packed cols GEMM with the prediction
+    feedback channels SPLIT OUT: keeping the 2 pred channels inside the
+    cols buffer made every concat segment lane-misaligned (130/258/514
+    wide), which ran the s8 concat ~4x below HBM bandwidth. The pred
+    contribution instead rides one small NHWC conv whose kernel stacks
+    the 4 phases on the output axis ([3,3,npred,4*cout]) — matching the
+    phase-stacked activation layout the engine carries (see apply). Both
+    parts are quantized per-output-channel int8 and summed after dequant;
+    the split scales are at least as tight as the joint one."""
     k = np.asarray(du["w"], np.float32) * np.asarray(du["scale"])
     k = k / np.asarray(du["in_scale"], np.float32)[None, None, :, None]
+    npred = 0 if first else num_pred_channels
     # pre-upsample channel grids: spike channels ride unit ints; the
     # prediction feedback rides its 1/127 grid (pred_q)
-    s_pre = np.ones(k.shape[2], np.float32)
-    if not first:
-        s_pre[:num_pred_channels] = 1.0 / _PRED_GRID
-    k = k * s_pre[None, None, :, None]
+    k_pred = k[:, :, :npred] / _PRED_GRID
+    k_spk = k[:, :, npred:]
+    ch = k_spk.shape[2] // 2  # h / skip parts have equal channel counts
+
+    def fold(kin: np.ndarray, p: int, q: int) -> np.ndarray:
+        kp = np.zeros_like(kin)
+        for dy in range(3):
+            for dx in range(3):
+                for my in range(3):
+                    for mx in range(3):
+                        kp[my, mx] += (kin[dy, dx]
+                                       * _PHASE_A[p + dy, my]
+                                       * _PHASE_A[q + dx, mx])
+        return kp
+
     out: Dict[str, Any] = {}
     for p in range(2):
         for q in range(2):
-            kp = np.zeros_like(k)
-            for dy in range(3):
-                for dx in range(3):
-                    for my in range(3):
-                        for mx in range(3):
-                            kp[my, mx] += (k[dy, dx]
-                                           * _PHASE_A[p + dy, my]
-                                           * _PHASE_A[q + dx, mx])
-            w8, sc = _quantize_per_channel(kp)
-            out[f"pw{p}{q}"] = pack_kernel_dy(jnp.asarray(w8))
+            w8, sc = _quantize_per_channel(fold(k_spk, p, q))
+            # row order matches cols_dx_dual(h, skip):
+            # [h-dx0|h-dx1|h-dx2|skip-dx0|skip-dx1|skip-dx2]
+            out[f"pw{p}{q}"] = jnp.concatenate(
+                [pack_kernel_dy(jnp.asarray(w8[:, :, :ch])),
+                 pack_kernel_dy(jnp.asarray(w8[:, :, ch:]))], axis=0)
             out[f"ps{p}{q}"] = jnp.asarray(np.tile(sc, 3), jnp.bfloat16)
+    if npred:
+        cout = k.shape[3]
+        kph = np.concatenate(
+            [fold(k_pred, p, q) for p in range(2) for q in range(2)], axis=3)
+        w8, sc = _quantize_per_channel(kph)
+        del cout  # channel index of the stacked output: ph * cout + co
+        out["pwp"] = jnp.asarray(w8)
+        out["psp"] = jnp.asarray(sc, jnp.float32)
+    # per-channel LIF params tiled over the 4 stacked phases
+    for name in ("leak", "thresh"):
+        out[f"p{name}"] = jnp.tile(jnp.asarray(du[name]), 4)
     return out
 
 
@@ -448,7 +480,9 @@ class Int8UNetEngine:
 
     def init_states(self, batch: int, height: int, width: int):
         """Flat LIFState tuple in the flax model's slot order (2/encoder +
-        2/resblock + 1/decoder), membranes in ``mem_dtype``, spikes int8."""
+        2/resblock + 1/decoder), membranes in ``mem_dtype``, spikes in the
+        carrier dtype. With ``phase_decoders`` the decoder slots carry the
+        phase-stacked layout (same slot order/count, see apply)."""
         crop = CropParameters(width, height, self.num_encoders)
         h, w = crop.height_crop, crop.width_crop
         C, E = self.model.base_num_channels, self.num_encoders
@@ -466,8 +500,17 @@ class Int8UNetEngine:
         for _ in range(2 * self.num_residual_blocks):
             states.append(zs(h, w, out_sizes[-1]))
         for c in reversed(in_sizes):
-            h, w = h * 2, w * 2
-            states.append(zs(h, w, c))
+            if self.phase_decoders:
+                # phase-stacked decoder carry [B, Hc, Wc, 4C]: same
+                # element count as the interleaved [B, 2Hc, 2Wc, C] map,
+                # laid out so the LIF runs without the phase-interleave
+                # transpose (see apply); rank-4 with leading batch, so
+                # slot-mask resets and data-mesh sharding work unchanged
+                states.append(zs(h, w, 4 * c))
+                h, w = h * 2, w * 2
+            else:
+                h, w = h * 2, w * 2
+                states.append(zs(h, w, c))
         return tuple(states)
 
     # -- inference --------------------------------------------------------
@@ -569,17 +612,26 @@ class Int8UNetEngine:
                 parts.insert(0, pred_q)
             if self.phase_decoders:
                 # bilinear x2 folded into 4 per-phase kernels: one cols
-                # buffer at the LOW resolution feeds 4 s8 dots whose
-                # outputs interleave to the upsampled-conv result — no
+                # buffer at the LOW resolution feeds 4 s8 dots — no
                 # materialized up tensor, no requantize chain (the
                 # fractional taps live in the weights). 1-2 px border
                 # frame diverges from the resize path (docstring of
-                # _phase_decoder_params).
-                x8 = jnp.concatenate(
-                    [part.astype(jnp.int8) for part in parts], axis=-1)
-                Bc, Hc, Wc, _ = x8.shape
+                # _phase_decoder_params). The phases stay STACKED on the
+                # channel axis ([B,Hc,Wc,4*cout], index ph*cout+co with
+                # ph = 2*p + q for output pixel (2i+p, 2j+q)): the LIF is
+                # elementwise and the flow tap a per-phase 1x1 conv, so
+                # only the 2-channel flow ever pays the interleave
+                # transpose — the f32 [2,2,B,Hc,Wc,C] interleave copy of
+                # the v1 phase path was the single most expensive op of
+                # the 256^2 step (benchmarks/profile_unet.py). The pred
+                # feedback rides its own small conv (kernel split in
+                # _phase_decoder_params) so the cols segments stay
+                # lane-aligned.
+                hq, sq = (part.astype(jnp.int8) for part in (h, blocks[E - i - 1]))
+                Bc, Hc, Wc, _ = hq.shape
                 cout = du["w"].shape[3]
-                cols = cols_dx(x8).reshape(-1, 3 * x8.shape[-1])
+                cols = cols_dx_dual(hq, sq)
+                cols = cols.reshape(-1, cols.shape[-1])
                 ys = []
                 for pph in range(2):
                     for qph in range(2):
@@ -590,10 +642,38 @@ class Int8UNetEngine:
                         ).astype(jnp.bfloat16).reshape(Bc, Hc, Wc, 3 * cout)
                         Z = Z * du[f"ps{pph}{qph}"]
                         ys.append(dy_epilogue(Z, Hc, cout))
-                ff = jnp.stack(ys, 0).reshape(2, 2, Bc, Hc, Wc, cout)
-                ff = ff.transpose(2, 3, 0, 4, 1, 5).reshape(
-                    Bc, 2 * Hc, 2 * Wc, cout).astype(jnp.float32)
-                z, s = self._lif(ff, du, states[si])
+                ff = jnp.concatenate(ys, axis=-1).astype(jnp.float32)
+                if i > 0:
+                    ff = ff + du["psp"] * jax.lax.conv_general_dilated(
+                        pred_q.astype(jnp.bfloat16),
+                        du["pwp"].astype(jnp.bfloat16),
+                        (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32,
+                    )
+                z_ph, s = self._lif(
+                    ff, {"leak": du["pleak"], "thresh": du["pthresh"]},
+                    states[si])
+                new_states[si] = s
+                si += 1
+                zf = z_ph.astype(jnp.float32).reshape(Bc, Hc, Wc, 4, cout)
+                flow = jnp.einsum(
+                    "bhwpc,co->bhwpo", zf, pu["kernel"][0, 0]) + pu["bias"]
+                flow = jnp.tanh(flow)
+                # interleave phases: only the 2 flow channels (and, for
+                # non-final decoders, the carrier-dtype spikes) pay it
+                flow = flow.reshape(Bc, Hc, Wc, 2, 2, -1).transpose(
+                    0, 1, 3, 2, 4, 5).reshape(Bc, 2 * Hc, 2 * Wc, -1)
+                if i < E - 1 or log:
+                    h = z_ph.reshape(Bc, Hc, Wc, 2, 2, cout).transpose(
+                        0, 1, 3, 2, 4, 5).reshape(Bc, 2 * Hc, 2 * Wc, cout)
+                predictions.append(flow)
+                pred_q = jnp.clip(
+                    jnp.round(flow * _PRED_GRID), -127, 127
+                ).astype(self._cdtype)
+                if log:
+                    taps[f"dec{i}"] = h.astype(jnp.float32)
+                continue
             else:
                 cat = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
                 Bc, Hc, Wc, Cc = cat.shape
