@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--phase", action="store_true",
                     help="phase-decomposed decoders (bilinear folded into "
                          "4 low-res kernels; 1-2 px border divergence)")
+    ap.add_argument("--dypack_min_spatial", type=int, default=128,
+                    help="hybrid tiers: stride-1 convs with input spatial "
+                         ">= this ride the dy-pack s8 cols GEMM")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +87,8 @@ def main():
 
     if args.what in ("engine", "both"):
         engine = Int8UNetEngine(model, variables, compute=args.compute,
-                                phase_decoders=args.phase)
+                                phase_decoders=args.phase,
+                                dypack_min_spatial=args.dypack_min_spatial)
         v = measure(engine.apply, engine.params, engine.init_states(B, H, W))
         print(f"int8 engine ({args.compute}{'+phase' if args.phase else ''}): "
               f"{v:.1f} win/s  (B={B} {H}x{W} C={args.channels})")

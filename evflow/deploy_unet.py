@@ -86,6 +86,18 @@ __all__ = [
 _UP_GRID = 16.0
 _PRED_GRID = 127.0  # tanh flow feedback in (-1, 1)
 
+def _phase_interleave(z_ph: jax.Array, cout: int) -> jax.Array:
+    """[B, Hc, Wc, 4*cout] phase-stacked -> [B, 2Hc, 2Wc, cout]
+    interleaved (phase index ph = 2*p + q -> output pixel (2i+p, 2j+q)).
+
+    The reshape/transpose formulation is the measured winner: a
+    pad-and-add variant (4 dilated lax.pads summed, no transpose)
+    benched 21% SLOWER end-to-end at 256^2 (BENCH_NOTES round 10)."""
+    Bc, Hc, Wc, _ = z_ph.shape
+    return z_ph.reshape(Bc, Hc, Wc, 2, 2, cout).transpose(
+        0, 1, 3, 2, 4, 5).reshape(Bc, 2 * Hc, 2 * Wc, cout)
+
+
 # half-pixel bilinear x2 row weights: _PHASE_A[n + 1, m + 1] is the
 # coefficient of x[i + m] in the upsampled row at output index 2i + n
 # (U[2i-1] = .75 x[i-1] + .25 x[i]; U[2i] = .25 x[i-1] + .75 x[i]; ...)
@@ -300,9 +312,12 @@ def save_unet_engine(engine: "Int8UNetEngine", path: str,
     defaults to the engine's own ``serving`` attribute when set."""
     arrays: Dict[str, np.ndarray] = {}
     dtypes: Dict[str, str] = {}
+    canonical = {"w", "scale", "leak", "thresh", "in_scale", "kernel", "bias"}
     flat = jax.tree_util.tree_flatten_with_path(engine.params)[0]
     for kp, v in flat:
         key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        if key.rsplit("/", 1)[-1] not in canonical:
+            continue  # derived (phase kernels etc.) — re-derived at load
         if key.endswith("/w"):
             # weights are canonically int8 on disk whatever the engine's
             # compute tier carries (bf16-tier values are exact small ints)
@@ -343,6 +358,7 @@ class Int8UNetEngine:
     def __init__(self, model, variables: Optional[Dict[str, Any]],
                  mem_dtype: str = "bfloat16", input_scale: float = 1.0,
                  compute: str = "hybrid", phase_decoders: bool = False,
+                 dypack_min_spatial: int = 128,
                  _prepared: Optional[Dict[str, Any]] = None):
         if variables is None and _prepared is None:
             raise ValueError("need trained variables or a prepared artifact")
@@ -429,7 +445,7 @@ class Int8UNetEngine:
         # fast int8 emitter — 2-3x the NHWC conv paths on the big decoder
         # layers, benchmarks/probe_unet_dypack.py); smaller layers use
         # bf16 NHWC. Tests lower it to exercise the path at toy sizes.
-        self.dypack_min_spatial = 128
+        self.dypack_min_spatial = int(dypack_min_spatial)
         if compute == "bfloat16":
             # one-time cast: int8 weight values are exact in bf16
             def cast_w(u):
@@ -630,6 +646,10 @@ class Int8UNetEngine:
                 hq, sq = (part.astype(jnp.int8) for part in (h, blocks[E - i - 1]))
                 Bc, Hc, Wc, _ = hq.shape
                 cout = du["w"].shape[3]
+                # cols_dx_dual is the measured-best build: a fused
+                # concat-then-cols_dx variant tied it (+1.9%, inside the
+                # min-of-4 spread) and a pad-and-add build lost 1.7%
+                # (BENCH_NOTES round 10)
                 cols = cols_dx_dual(hq, sq)
                 cols = cols.reshape(-1, cols.shape[-1])
                 ys = []
@@ -662,11 +682,11 @@ class Int8UNetEngine:
                 flow = jnp.tanh(flow)
                 # interleave phases: only the 2 flow channels (and, for
                 # non-final decoders, the carrier-dtype spikes) pay it
-                flow = flow.reshape(Bc, Hc, Wc, 2, 2, -1).transpose(
-                    0, 1, 3, 2, 4, 5).reshape(Bc, 2 * Hc, 2 * Wc, -1)
+                npred = flow.shape[-1]
+                flow = _phase_interleave(
+                    flow.reshape(Bc, Hc, Wc, 4 * npred), npred)
                 if i < E - 1 or log:
-                    h = z_ph.reshape(Bc, Hc, Wc, 2, 2, cout).transpose(
-                        0, 1, 3, 2, 4, 5).reshape(Bc, 2 * Hc, 2 * Wc, cout)
+                    h = _phase_interleave(z_ph, cout)
                 predictions.append(flow)
                 pred_q = jnp.clip(
                     jnp.round(flow * _PRED_GRID), -127, 127

@@ -94,7 +94,7 @@ def main():
         # FireNet-only)
         if args.tiers == ["bfloat16", "mixed", "int8"]:  # the default grid
             args.tiers = ["bfloat16", "int8", "hybrid", "hybrid8",
-                          "hybrid+phase"]
+                          "hybrid+phase", "hybrid8+phase"]
         elif "mixed" in args.tiers:
             p.error("the UNet engine has no mixed membrane tier; its tiers "
                     "are compute tiers bfloat16/int8/hybrid/hybrid8")
