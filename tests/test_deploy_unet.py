@@ -153,6 +153,39 @@ def test_unet_engine_phase_decoders_match_interior(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_unet_engine_phase_decoders_slot_independent():
+    """B=2 phase engine == two independent B=1 runs, bit-for-bit.
+
+    The phase step keeps decoder activations and LIF state phase-STACKED
+    on the channel axis and interleaves via reshape/transpose — exactly
+    where a wrong axis order would mix batch slots. Integer GEMMs are
+    order-exact and the elementwise membrane path is per-element, so the
+    slots must match their solo runs exactly."""
+    model = build_model(_model_cfg())
+    v, _ = _init(model, 2)
+    eng = Int8UNetEngine(model, v, mem_dtype="float32", phase_decoders=True)
+
+    key = jax.random.PRNGKey(11)
+    ka, kb = jax.random.split(key)
+    seq_a = [jax.random.poisson(k, 0.4, (1, RES, RES, 2)).astype(jnp.float32)
+             for k in jax.random.split(ka, 3)]
+    seq_b = [jax.random.poisson(k, 0.7, (1, RES, RES, 2)).astype(jnp.float32)
+             for k in jax.random.split(kb, 3)]
+
+    s2 = eng.init_states(2, RES, RES)
+    sa = eng.init_states(1, RES, RES)
+    sb = eng.init_states(1, RES, RES)
+    for cnt_a, cnt_b in zip(seq_a, seq_b):
+        o2, s2 = eng.apply(eng.params, None,
+                           jnp.concatenate([cnt_a, cnt_b], axis=0), s2)
+        oa, sa = eng.apply(eng.params, None, cnt_a, sa)
+        ob, sb = eng.apply(eng.params, None, cnt_b, sb)
+        for f2, f1 in zip(o2["flow"], oa["flow"]):
+            np.testing.assert_array_equal(np.asarray(f2)[0:1], np.asarray(f1))
+        for f2, f1 in zip(o2["flow"], ob["flow"]):
+            np.testing.assert_array_equal(np.asarray(f2)[1:2], np.asarray(f1))
+
+
 def test_unet_engine_bf16_membranes_close():
     """The serving tier (bf16 membranes) tracks the f32-membrane engine."""
     model = build_model(_model_cfg())
