@@ -93,6 +93,15 @@ def main():
     parser.add_argument("--quantized", action="store_true",
                         help="int8-grid weights + quant metadata "
                              "(Model_export_RealQuant.py equivalent)")
+    parser.add_argument("--compute", default="hybrid",
+                        choices=["bfloat16", "int8", "hybrid", "hybrid8"],
+                        help="UNet deploy export: conv compute tier "
+                             "(same integer arithmetic; pick the "
+                             "autotuner's winner for the target chip)")
+    parser.add_argument("--phase_decoders", action="store_true",
+                        help="UNet deploy export: phase-decomposed decoders "
+                             "(bilinear x2 folded into 4 low-res kernels; "
+                             "1-2 px border divergence, see DEPLOYMENT.md)")
     args = parser.parse_args()
 
     from evflow import export as E
@@ -146,12 +155,16 @@ def main():
 
             if args.mem_dtype not in ("bfloat16",):
                 raise SystemExit("the UNet engine carries bf16 membranes")
-            engine = Int8UNetEngine(model, variables)
+            engine = Int8UNetEngine(model, variables, compute=args.compute,
+                                    phase_decoders=args.phase_decoders)
             out = E.export_deploy_engine(engine, args.out, height=H, width=W)
             out["engine_params"] = save_unet_engine(
                 engine, os.path.join(args.out, "engine_int8.npz")
             )
         else:
+            if args.compute != "hybrid" or args.phase_decoders:
+                raise SystemExit("--compute/--phase_decoders are UNet-engine "
+                                 "tiers; FireNet deploys use --mem_dtype")
             from evflow.deploy import Int8DeployEngine, save_engine
 
             engine = Int8DeployEngine(model, variables, mem_dtype=args.mem_dtype)

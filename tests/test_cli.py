@@ -173,7 +173,8 @@ def test_model_export_deploy_unet_cli(workspace, tmp_path):
     out_dir = str(tmp_path / "exported_deploy_unet")
     run_cli(["model_export.py", "--config", ucfg,
              "--out", out_dir, "--height", "32", "--width", "32",
-             "--what", "deploy"])
+             "--what", "deploy", "--compute", "hybrid8",
+             "--phase_decoders"])
     assert os.path.exists(os.path.join(out_dir, "model_int8.stablehlo"))
     art = os.path.join(out_dir, "engine_int8.npz")
     assert os.path.exists(art)
@@ -183,6 +184,8 @@ def test_model_export_deploy_unet_cli(workspace, tmp_path):
     from evflow.registry import build_model
 
     eng = Int8UNetEngine.from_artifact(build_model(mc), art)
+    # the exported artifact carries the tuned serving tier
+    assert eng.compute == "hybrid8" and eng.phase_decoders
     cnt = jnp.ones((1, 32, 32, 2), jnp.float32)
     out2, _ = eng.apply(eng.params, None, cnt, eng.init_states(1, 32, 32))
     assert all(np.isfinite(np.asarray(f)).all() for f in out2["flow"])
