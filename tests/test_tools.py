@@ -272,3 +272,39 @@ def test_flow_to_vector_modes():
         assert img.shape == (32, 32, 3) and img.dtype == np.uint8
     # grid mode with nonzero flow must draw something
     assert viz.flow_to_vector(flow, step=4).any()
+
+
+def test_make_synthetic_cli_and_quickstart_configs(tmp_path):
+    """tools/make_synthetic.py writes reference-schema files with the
+    requested GT flows, and the quickstart configs drive the registry
+    (docs/GETTING_STARTED.md path)."""
+    import h5py
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    out = subprocess.run(
+        [sys.executable, "tools/make_synthetic.py", str(tmp_path / "ds"),
+         "-n", "2", "--flows", "12", "-8", "-10", "14", "--rate_mode", "motion"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    with h5py.File(str(tmp_path / "ds" / "seq_000.h5")) as f:
+        assert {"xs", "ys", "ts", "ps"} <= set(f["events"])
+        assert "flow_dt1" in f and "flow_dt4" in f
+        first = sorted(f["flow_dt1"])[1]
+        fm = np.asarray(f["flow_dt1"][first])
+        # GT displacement per dt1 frame: flow(px/s) * 0.1 s
+        np.testing.assert_allclose(fm[0].mean(), 1.2, atol=1e-5)
+        np.testing.assert_allclose(fm[1].mean(), -0.8, atol=1e-5)
+
+    from evflow import registry
+    from evflow.config import load_config
+
+    for name in ("configs/quickstart_train.yml", "configs/quickstart_eval.yml"):
+        cfg = load_config(os.path.join("/root/repo", name))
+        assert cfg["model"]["name"] == "LIFFireNet_short"
+        assert "spiking_neuron" in cfg["model"]
+        model = registry.build_model(cfg["model"])
+        assert model is not None
+    assert load_config("/root/repo/configs/quickstart_eval.yml")["data"]["mode"] == "gtflow_dt1"
