@@ -50,6 +50,16 @@ try:
 except ImportError:  # pragma: no cover
     h5py = None
 
+try:
+    # Registers the blosc/zstd HDF5 filters used by the standard
+    # MVSEC-to-HDF5 conversion (the reference unconditionally imports it,
+    # dataloader/h5.py:3). Optional here: synthetic/uncompressed files
+    # need no filters; _read_dataset raises a pointed error if a
+    # compressed file is opened without it.
+    import hdf5plugin  # noqa: F401  (import registers the filters)
+except ImportError:  # pragma: no cover
+    hdf5plugin = None
+
 from evflow.data import encodings as enc
 
 __all__ = ["H5EventStream", "Prefetcher", "bucket_size"]
@@ -265,7 +275,21 @@ class H5EventStream:
         else:
             self.open_files.append(h5py.File(path, "r"))
         f = self.open_files[b]
-        last = f["events/ts"][-1] - f.attrs["t0"]
+        try:
+            # first actual data read: a blosc/zstd-compressed file (the
+            # standard MVSEC conversion) fails HERE if its HDF5 filter
+            # plugin is unregistered — surface the fix, not h5py's
+            # opaque "required filter not available"
+            last = f["events/ts"][-1] - f.attrs["t0"]
+        except OSError as e:
+            if hdf5plugin is None and "filter" in str(e).lower():
+                raise OSError(
+                    f"{path}: reading failed with an HDF5 filter error and "
+                    "the 'hdf5plugin' package is not installed. Compressed "
+                    "MVSEC-format files (blosc/zstd) need it: "
+                    "pip install hdf5plugin"
+                ) from e
+            raise
         if len(self.batch_last_ts) > b:
             self.batch_last_ts[b] = last
         else:

@@ -419,3 +419,33 @@ def test_synthetic_motion_rate_mode(tmp_path):
     assert cf[0] == cf[1] == 10_000
     cm = counts(motion)
     assert cm[0] == 30_000 and cm[1] == 10_000  # rate scales with |v|/ref
+
+
+def test_compressed_file_filter_error_is_pointed(dataset, monkeypatch):
+    """A blosc/zstd-compressed MVSEC file opened without hdf5plugin fails on
+    the first data read with h5py's opaque filter OSError; the loader must
+    surface the `pip install hdf5plugin` fix (the reference imports the
+    plugin unconditionally, dataloader/h5.py:3)."""
+    import evflow.data.h5_stream as hs
+
+    root, _ = dataset
+
+    class FilterlessDataset:
+        def __getitem__(self, idx):
+            raise OSError(
+                "Can't read data (can't open directory: required filter "
+                "'blosc' is not registered)")
+
+    class FilterlessFile:
+        attrs = {"t0": 0.0}
+
+        def __getitem__(self, name):
+            return FilterlessDataset()
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(hs, "hdf5plugin", None)
+    monkeypatch.setattr(hs.h5py, "File", lambda *a, **k: FilterlessFile())
+    with pytest.raises(OSError, match="hdf5plugin"):
+        H5EventStream(events_cfg(root, window=500), num_bins=2)
