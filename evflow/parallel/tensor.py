@@ -1,0 +1,173 @@
+"""Tensor (channel) parallelism: shard network channels across the mesh.
+
+New capability vs. the reference (strictly single-GPU, SURVEY.md §2.9),
+completing evflow's parallelism matrix (data — mesh.py, spatial — spatial.py,
+pipeline — pipeline.py) with the TP axis: every conv's output channels, the
+per-channel LIF parameters (leak/thresh), the BN parameters/stats, and the
+[B, H, W, C] activation / membrane / spike tensors are sharded on a
+``model`` mesh axis.
+
+The TPU-idiomatic mechanics: annotate the *parameters* (last axis = output
+channels) and the step inputs (last axis = channels) with
+``PartitionSpec(..., "model")`` and let GSPMD propagate through the network
+and insert the collectives — for a conv whose input channels arrive sharded,
+XLA picks an all-gather of the activation shard or a partial-sum +
+reduce-scatter, riding ICI. Nothing in the model code changes; this module
+only computes the sharding pytrees and jits the step with them. Composes
+with data parallelism on a 2-D ``data x model`` mesh: batch slots shard over
+``data`` exactly as evflow.parallel.mesh does.
+
+When to use: the FireNet-family models (<=64 channels) never need TP — DP
+fan-out dominates (ROOFLINE.md §4). TP is for scaling the *channel* dimension
+past one chip's HBM/VMEM at high resolution (the same motivation as
+spatial.py for H): C channels over M chips keeps the per-chip conv working
+set C/M while the halo-free channel collectives replace spatial.py's row
+halos. Leaves whose channel count does not divide the mesh (the 2-channel
+flow prediction, the num_bins input) replicate / stay batch-only — GSPMD
+handles the mixed layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh_tp",
+    "param_shardings",
+    "channel_shardings",
+    "shard_channel_tree",
+    "tp_jit_step",
+]
+
+
+def make_mesh_tp(
+    data: int,
+    model: int,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Mesh:
+    """``data x model`` mesh over the first data*model local devices.
+
+    The ``model`` axis should map to the fastest ICI dimension — the
+    channel all-gathers/reduce-scatters are along it every layer.
+    """
+    devs = jax.devices()
+    if data * model > len(devs):
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices, "
+            f"have {len(devs)}"
+        )
+    grid = np.array(devs[: data * model]).reshape(data, model)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+def _leaf_param_spec(x, nm: int, model_axis: str) -> P:
+    """Per-parameter spec: shard the trailing (output-channel) axis when it
+    divides the ``model`` axis; replicate otherwise.
+
+    Covers flax conv kernels [kh, kw, Cin, Cout], biases [Cout], per-channel
+    LIF leak/thresh [C] (or [2, C] stacked), and BN scale/bias/stats [C].
+    The flow-prediction head (Cout=2) and any scalar hyperparameters fall
+    through to replication.
+    """
+    shape = getattr(x, "shape", ())
+    if len(shape) >= 1 and shape[-1] % nm == 0 and shape[-1] >= nm:
+        return P(*([None] * (len(shape) - 1)), model_axis)
+    return P()
+
+
+def param_shardings(
+    variables: Any,
+    mesh: Mesh,
+    model_axis: str = "model",
+) -> Any:
+    """NamedSharding pytree for a flax variables dict (params + batch_stats):
+    output channels over ``model``, everything non-divisible replicated."""
+    nm = mesh.shape[model_axis]
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, _leaf_param_spec(x, nm, model_axis)),
+        variables,
+    )
+
+
+def _leaf_act_spec(x, nd: int, nm: int, data_axis, model_axis) -> P:
+    """Per-activation spec for [B, ...spatial..., C] tensors: batch over
+    ``data`` when divisible, channels over ``model`` when divisible."""
+    shape = getattr(x, "shape", ())
+    if len(shape) == 0:
+        return P()
+    batch = data_axis if (nd > 1 and shape[0] % nd == 0) else None
+    if len(shape) >= 2 and shape[-1] % nm == 0 and shape[-1] >= nm:
+        return P(batch, *([None] * (len(shape) - 2)), model_axis)
+    return P(batch, *([None] * (len(shape) - 1)))
+
+
+def channel_shardings(
+    tree: Any,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Any:
+    """NamedSharding pytree for step inputs / LIF state carries."""
+    nd = mesh.shape.get(data_axis, 1)
+    nm = mesh.shape[model_axis]
+    return jax.tree.map(
+        lambda x: NamedSharding(
+            mesh, _leaf_act_spec(x, nd, nm, data_axis, model_axis)
+        ),
+        tree,
+    )
+
+
+def shard_channel_tree(
+    tree: Any,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Any:
+    """Device-put a pytree of activations/states with channel sharding."""
+    shardings = channel_shardings(tree, mesh, data_axis, model_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(np.asarray(x), s), tree, shardings
+    )
+
+
+def tp_jit_step(
+    step_fn,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """jit ``step_fn(variables, window, states) -> (out, states)`` with
+    parameters channel-sharded over ``model`` and the window/state tensors
+    sharded (batch over ``data``, channels over ``model``).
+
+    GSPMD propagates the shardings through convs, norms, and the LIF
+    updates, inserting the channel collectives. The returned callable
+    accepts unplaced (host) pytrees too — jit re-shards at the boundary.
+    Like :func:`evflow.parallel.spatial.spatial_jit_step`, compiled
+    executables are cached per pytree structure + shard choice.
+    """
+    cache = {}
+
+    def jitted(variables, window, states):
+        vspec = param_shardings(variables, mesh, model_axis)
+        wspec = channel_shardings(window, mesh, data_axis, model_axis)
+        sspec = channel_shardings(states, mesh, data_axis, model_axis)
+        key = (
+            jax.tree.structure((variables, window, states)),
+            tuple(s.spec for s in jax.tree.leaves(vspec)),
+            tuple(s.spec for s in jax.tree.leaves(wspec)),
+            tuple(s.spec for s in jax.tree.leaves(sspec)),
+        )
+        if key not in cache:
+            cache[key] = jax.jit(
+                step_fn, in_shardings=(vspec, wspec, sspec)
+            )
+        return cache[key](variables, window, states)
+
+    return jitted

@@ -1,0 +1,122 @@
+"""Tensor (channel) parallelism on the forced 8-CPU mesh.
+
+The TP axis shards conv output channels, per-channel LIF params, and the
+[B, H, W, C] activation/state tensors over a ``model`` mesh axis
+(evflow/parallel/tensor.py); GSPMD inserts the channel collectives. These
+tests pin numerical parity with the unsharded forward/backward — a new
+capability vs. the reference (strictly single-GPU, SURVEY.md §2.9).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from evflow.parallel.tensor import (
+    channel_shardings,
+    make_mesh_tp,
+    param_shardings,
+    shard_channel_tree,
+    tp_jit_step,
+)
+from evflow.registry import build_model
+
+CFG = {
+    "name": "LIFFireNet",
+    "num_bins": 2,
+    "base_num_channels": 32,
+    "kernel_size": 3,
+    "encoding": "cnt",
+    "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
+}
+
+
+def _setup(B=2, H=16, W=16):
+    model = build_model(CFG)
+    rng = np.random.default_rng(0)
+    cnt = rng.poisson(0.3, (B, H, W, 2)).astype(np.float32)
+    states = model.init_states(B, H, W)
+    variables = model.init(jax.random.PRNGKey(0), None, jnp.asarray(cnt), states)
+
+    def step(variables, window, states):
+        out, new_states = model.apply(variables, None, window, states, train=False)
+        return out["flow"][0], new_states
+
+    return model, variables, cnt, states, step
+
+
+def test_param_shardings_channel_axis():
+    mesh = make_mesh_tp(1, 8)
+    _, variables, _, _, _ = _setup()
+    specs = param_shardings(variables, mesh)
+    kern = specs["params"]["head"]["ff"]["kernel"].spec
+    assert kern == P(None, None, None, "model")  # [3,3,Cin,Cout] -> Cout sharded
+    pred = specs["params"]["pred"]["conv2d"]["kernel"].spec
+    assert pred == P()  # Cout=2 does not divide the model axis -> replicated
+
+
+def test_state_shardings_batch_and_channel():
+    mesh = make_mesh_tp(2, 4)
+    model, _, _, states, _ = _setup(B=2)
+    placed = shard_channel_tree(states, mesh)
+    leaf = jax.tree.leaves(placed)[0]
+    assert leaf.sharding.spec == P("data", None, None, "model")
+
+
+@pytest.mark.parametrize("data,model_ax", [(1, 8), (2, 4)])
+def test_tp_forward_matches_replicated(data, model_ax):
+    """Channel-sharded forward == unsharded forward, state carried 3 steps."""
+    _, variables, cnt, states, step = _setup(B=2)
+    ref = jax.jit(step)
+    mesh = make_mesh_tp(data, model_ax)
+    tp = tp_jit_step(step, mesh)
+
+    st_ref, st_tp = states, shard_channel_tree(states, mesh)
+    for k in range(3):
+        w = cnt * (1.0 + 0.25 * k)
+        flow_ref, st_ref = ref(variables, w, st_ref)
+        flow_tp, st_tp = tp(variables, w, st_tp)
+        # f32 collective reassociation: ~1e-4 relative on membrane carries
+        np.testing.assert_allclose(
+            np.asarray(flow_tp), np.asarray(flow_ref), rtol=2e-4, atol=1e-5
+        )
+    for a, b in zip(jax.tree.leaves(st_tp), jax.tree.leaves(st_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
+
+
+def test_tp_grads_match_replicated():
+    """Parameter gradients under TP sharding == unsharded gradients."""
+    model, variables, cnt, states, _ = _setup(B=2)
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def gstep(variables, window, states):
+        def loss(p):
+            out, _ = model.apply(
+                {**rest, "params": p}, None, window, states, train=False
+            )
+            return out["flow"][0].sum()
+
+        return jax.grad(loss)(variables["params"]), states
+
+    ref_grads, _ = jax.jit(gstep)(variables, cnt, states)
+    mesh = make_mesh_tp(2, 4)
+    tp = tp_jit_step(gstep, mesh)
+    tp_grads, _ = tp(variables, cnt, shard_channel_tree(states, mesh))
+
+    flat_ref = jax.tree.leaves(ref_grads)
+    flat_tp = jax.tree.leaves(tp_grads)
+    assert len(flat_ref) == len(flat_tp)
+    for a, b in zip(flat_tp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_channel_shardings_replicate_indivisible():
+    mesh = make_mesh_tp(1, 8)
+    specs = channel_shardings({"x": np.zeros((2, 8, 8, 2))}, mesh)
+    # num_bins=2 channels don't divide the 8-way model axis -> batch-only
+    assert specs["x"].spec == P(None, None, None, None)
