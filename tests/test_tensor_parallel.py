@@ -115,6 +115,34 @@ def test_tp_grads_match_replicated():
         )
 
 
+def test_tp_int8_engine_states_exact():
+    """The int8 deploy engine under TP: spike/membrane carries bit-exact
+    (integer dataflow shards without reassociation), flow within f32
+    psum noise of the unsharded engine."""
+    from evflow.deploy import Int8DeployEngine
+
+    model, variables, cnt, states, _ = _setup(B=2)
+    eng = Int8DeployEngine(model, variables, mem_dtype="bfloat16")
+    est = eng.init_states(2, 16, 16)
+
+    def step(params, window, st):
+        out, new_st = eng.apply(params, None, window, st)
+        return out["flow"][0], new_st
+
+    flow_ref, st_ref = jax.jit(step)(eng.params, cnt, est)
+    mesh = make_mesh_tp(2, 4)
+    tp = tp_jit_step(step, mesh)
+    flow_tp, st_tp = tp(eng.params, cnt, shard_channel_tree(est, mesh))
+
+    np.testing.assert_allclose(
+        np.asarray(flow_tp), np.asarray(flow_ref), rtol=1e-3, atol=1e-3
+    )
+    for a, b in zip(jax.tree.leaves(st_tp), jax.tree.leaves(st_ref)):
+        assert np.array_equal(
+            np.asarray(a).astype(np.float32), np.asarray(b).astype(np.float32)
+        ), "TP engine state carries must be bit-exact"
+
+
 def test_channel_shardings_replicate_indivisible():
     mesh = make_mesh_tp(1, 8)
     specs = channel_shardings({"x": np.zeros((2, 8, 8, 2))}, mesh)
