@@ -143,6 +143,43 @@ def test_tp_int8_engine_states_exact():
         ), "TP engine state carries must be bit-exact"
 
 
+def test_tp_unet_phase_engine_bit_exact():
+    """The UNet phase engine under TP: flows AND carries bit-exact.
+
+    (SPMD logs 'involuntary full rematerialization' warnings on the
+    phase-interleave transposes — the resharding is inefficient but
+    semantics-preserving; TP on the phase tier is a correctness
+    capability, not a perf recommendation.)"""
+    from evflow.deploy_unet import Int8UNetEngine
+
+    cfg = dict(CFG, name="SpikingRecEVFlowNet")
+    model = build_model(cfg)
+    B, H, W = 1, 32, 32
+    states = model.init_states(B, H, W)
+    variables = model.init(
+        jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states
+    )
+    eng = Int8UNetEngine(model, variables, compute="hybrid", phase_decoders=True)
+    est = eng.init_states(B, H, W)
+    rng = np.random.default_rng(0)
+    win = rng.poisson(0.3, (B, H, W, 2)).astype(np.float32)
+
+    def step(params, window, st):
+        out, new_st = eng.apply(params, None, window, st)
+        return out["flow"][-1], new_st
+
+    flow_ref, st_ref = jax.jit(step)(eng.params, win, est)
+    mesh = make_mesh_tp(1, 4)
+    tp = tp_jit_step(step, mesh)
+    flow_tp, st_tp = tp(eng.params, win, shard_channel_tree(est, mesh))
+
+    assert np.array_equal(np.asarray(flow_tp), np.asarray(flow_ref))
+    for a, b in zip(jax.tree.leaves(st_tp), jax.tree.leaves(st_ref)):
+        assert np.array_equal(
+            np.asarray(a).astype(np.float32), np.asarray(b).astype(np.float32)
+        )
+
+
 def test_channel_shardings_replicate_indivisible():
     mesh = make_mesh_tp(1, 8)
     specs = channel_shardings({"x": np.zeros((2, 8, 8, 2))}, mesh)
