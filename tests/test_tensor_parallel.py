@@ -180,6 +180,95 @@ def test_tp_unet_phase_engine_bit_exact():
         )
 
 
+def test_tp_full_train_step_matches_replicated():
+    """The FULL TBPTT train step (forward scan + warp loss + backward +
+    Adam) under TP param/state sharding: loss and gradients match the
+    replicated step. GSPMD propagates the channel sharding through the
+    scan, the event gather/scatter (event tensors replicate — their
+    trailing axes don't divide the model axis), and the optimizer."""
+    import optax
+
+    from evflow.loss.warp_loss import EventWarpingConfig
+    from evflow.registry import build_optimizer
+    from evflow.train import make_train_step, stack_window
+
+    cfg = dict(CFG, base_num_channels=8)
+    model = build_model(cfg)
+    B, H, W, Pn, N = 2, 16, 16, 2, 32
+    states = model.init_states(B, H, W)
+    cnt0 = jnp.zeros((B, H, W, 2), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), None, cnt0, states)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0), build_optimizer({"name": "Adam", "lr": 2e-4})
+    )
+    warp_cfg = EventWarpingConfig(
+        {
+            "loader": {"resolution": [H, W]},
+            "loss": {"flow_regul_weight": 0.001},
+            "model": {"mask_output": True},
+        }
+    )
+    step_fn = make_train_step(model, tx, warp_cfg)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(Pn):
+        ys = rng.integers(0, H, (B, N)).astype(np.float32)
+        xs = rng.integers(0, W, (B, N)).astype(np.float32)
+        ts = np.sort(rng.uniform(0, 1, (B, N)), axis=1).astype(np.float32)
+        ps = rng.choice([-1.0, 1.0], (B, N)).astype(np.float32)
+        c = rng.poisson(0.1, (B, H, W, 2)).astype(np.float32)
+        batches.append(
+            {
+                "event_list": np.stack([ts, ys, xs, ps], -1),
+                "event_list_pol_mask": np.stack(
+                    [(ps > 0).astype(np.float32), (ps < 0).astype(np.float32)], -1
+                ),
+                "event_valid": np.ones((B, N), np.float32),
+                "event_cnt": c,
+                "event_voxel": c.copy(),
+                "event_mask": (c.sum(-1, keepdims=True) > 0).astype(np.float32),
+            }
+        )
+    window = stack_window(batches)
+
+    # the jitted step donates args 0-3 — rebuild fresh device buffers from
+    # host snapshots for each invocation
+    variables_np = jax.device_get(variables)
+    states_np = jax.device_get(states)
+
+    def fresh():
+        v = jax.tree.map(jnp.asarray, variables_np)
+        return (
+            v["params"],
+            v.get("batch_stats", {}),
+            tx.init(v["params"]),
+            jax.tree.map(jnp.asarray, states_np),
+            jax.tree.map(np.asarray, window),
+        )
+
+    p, bs, opt, st, w = fresh()
+    loss_ref, _, _, _, _, grads_ref = step_fn(p, bs, opt, st, w)
+    grads_ref = jax.device_get(grads_ref)
+    loss_ref = float(loss_ref)
+
+    mesh = make_mesh_tp(1, 4)
+    p, bs, opt, st, w = fresh()
+    put = lambda tree, specs: jax.tree.map(jax.device_put, tree, specs)
+    p = put(p, param_shardings(p, mesh))
+    bs = put(bs, param_shardings(bs, mesh))
+    opt = put(opt, param_shardings(opt, mesh))
+    st = shard_channel_tree(st, mesh)
+    loss_tp, _, _, _, _, grads_tp = step_fn(p, bs, opt, st, w)
+
+    assert abs(float(loss_tp) - loss_ref) < 1e-5 * max(1.0, abs(loss_ref))
+    for a, b in zip(jax.tree.leaves(grads_tp), jax.tree.leaves(grads_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
 def test_channel_shardings_replicate_indivisible():
     mesh = make_mesh_tp(1, 8)
     specs = channel_shardings({"x": np.zeros((2, 8, 8, 2))}, mesh)
