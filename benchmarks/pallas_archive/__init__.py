@@ -17,7 +17,7 @@ toolchain improves:
   fused_net_batch.py v8  grid=(B,) decisive overhead-vs-compute probe
   common.py          shared in-kernel dy-patch + LIF helpers
 
-The SUPPORTED Pallas kernels live one level up (conv_lif.py / the models'
+The SUPPORTED Pallas kernels live in evflow/ops/pallas/ (conv_lif.py / the models'
 fused.py path). Tests: tests/test_pallas.py keeps these archival kernels
 interpret-correct so the evidence stays reproducible.
 """

@@ -38,7 +38,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from evflow.ops.pallas.archive.common import lif_update
+from benchmarks.pallas_archive.common import lif_update
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -29,7 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from evflow.ops.pallas.archive.common import (
+from benchmarks.pallas_archive.common import (
     dy_group_patches as _dy_group_patches, lif_update)
 import numpy as np
 from jax.experimental import pallas as pl

@@ -5,7 +5,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 from evflow.registry import build_model
-from evflow.ops.pallas.archive.fused_net_batch import BatchFusedFireNet
+from benchmarks.pallas_archive.fused_net_batch import BatchFusedFireNet
 
 B,H,W,T = 8,256,256,32
 cfg = {"name":"LIFFireNet","num_bins":2,"base_num_channels":32,"kernel_size":3,

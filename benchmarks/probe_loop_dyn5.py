@@ -103,7 +103,7 @@ except Exception as e:
 
 # ---- 17: full v7 structure at small scale via the real module
 from evflow.registry import build_model
-from evflow.ops.pallas.archive.fused_net_loop2 import LoopFusedFireNet2
+from benchmarks.pallas_archive.fused_net_loop2 import LoopFusedFireNet2
 B, H = 2, 16
 cfg = {"name": "LIFFireNet", "num_bins": 2, "base_num_channels": 32,
        "kernel_size": 3, "encoding": "cnt",

@@ -1,7 +1,7 @@
 import sys; sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-from evflow.ops.pallas.archive.fused_net import fused_firenet_step
+from benchmarks.pallas_archive.fused_net import fused_firenet_step
 
 B, H, W, C, TH = 2, 64, 256, 32, 16
 Hp = H + 2 * TH

@@ -71,11 +71,13 @@ def _leaf_param_spec(x, nm: int, model_axis: str) -> P:
 
     Covers flax conv kernels [kh, kw, Cin, Cout], biases [Cout], per-channel
     LIF leak/thresh [C] (or [2, C] stacked), and BN scale/bias/stats [C].
-    The flow-prediction head (Cout=2) and any scalar hyperparameters fall
-    through to replication.
+    A minimum-width floor (``shape[-1] >= 2*nm``) keeps tiny heads — the
+    Cout=2 flow prediction, the num_bins input convs — replicated even when
+    the model axis happens to divide them (e.g. nm=2): a 1-channel-per-chip
+    shard of a 2-wide head is a perf trap, not a win.
     """
     shape = getattr(x, "shape", ())
-    if len(shape) >= 1 and shape[-1] % nm == 0 and shape[-1] >= nm:
+    if len(shape) >= 1 and shape[-1] % nm == 0 and shape[-1] >= 2 * nm:
         return P(*([None] * (len(shape) - 1)), model_axis)
     return P()
 
@@ -96,12 +98,26 @@ def param_shardings(
 
 def _leaf_act_spec(x, nd: int, nm: int, data_axis, model_axis) -> P:
     """Per-activation spec for [B, ...spatial..., C] tensors: batch over
-    ``data`` when divisible, channels over ``model`` when divisible."""
+    ``data`` when divisible, channels over ``model`` for image-like leaves.
+
+    Channel sharding applies only to rank>=3 [B, spatial..., C] leaves with
+    a trailing axis >= max(2*nm, 8) (the 2*nm floor matches
+    :func:`_leaf_param_spec`; the absolute floor of 8 is below every real
+    channel count but above coordinate-style trailing axes). Rank-2 leaves
+    and coordinate tensors — e.g. an event_list [B, N, 4] whose 4 columns
+    are (t, y, x, p) — must NOT be channel-sharded even when divisible
+    (semantically wrong layout that forces gathers); they replicate across
+    ``model`` and shard only over ``data``.
+    """
     shape = getattr(x, "shape", ())
     if len(shape) == 0:
         return P()
     batch = data_axis if (nd > 1 and shape[0] % nd == 0) else None
-    if len(shape) >= 2 and shape[-1] % nm == 0 and shape[-1] >= nm:
+    if (
+        len(shape) >= 3
+        and shape[-1] % nm == 0
+        and shape[-1] >= max(2 * nm, 8)
+    ):
         return P(batch, *([None] * (len(shape) - 2)), model_axis)
     return P(batch, *([None] * (len(shape) - 1)))
 

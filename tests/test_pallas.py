@@ -193,9 +193,9 @@ def test_fused_firenet_cmajor_layout():
 def test_wholenet_kernels_match_layer_grid():
     """v7 (layer fori_loop) and v8 (batch-grid) whole-net kernels are
     bit-identical to the v5 layer-grid kernel across steps."""
-    from evflow.ops.pallas.archive.fused_net_batch import BatchFusedFireNet
-    from evflow.ops.pallas.archive.fused_net_lgrid import LayerGridFusedFireNet
-    from evflow.ops.pallas.archive.fused_net_loop2 import LoopFusedFireNet2
+    from benchmarks.pallas_archive.fused_net_batch import BatchFusedFireNet
+    from benchmarks.pallas_archive.fused_net_lgrid import LayerGridFusedFireNet
+    from benchmarks.pallas_archive.fused_net_loop2 import LoopFusedFireNet2
 
     cfg = {"name": "LIFFireNet", "num_bins": 2, "base_num_channels": 8,
            "kernel_size": 3, "encoding": "cnt",

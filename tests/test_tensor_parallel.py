@@ -53,7 +53,7 @@ def test_param_shardings_channel_axis():
     kern = specs["params"]["head"]["ff"]["kernel"].spec
     assert kern == P(None, None, None, "model")  # [3,3,Cin,Cout] -> Cout sharded
     pred = specs["params"]["pred"]["conv2d"]["kernel"].spec
-    assert pred == P()  # Cout=2 does not divide the model axis -> replicated
+    assert pred == P()  # Cout=2 is under the 2*nm width floor -> replicated
 
 
 def test_state_shardings_batch_and_channel():
@@ -184,8 +184,9 @@ def test_tp_full_train_step_matches_replicated():
     """The FULL TBPTT train step (forward scan + warp loss + backward +
     Adam) under TP param/state sharding: loss and gradients match the
     replicated step. GSPMD propagates the channel sharding through the
-    scan, the event gather/scatter (event tensors replicate — their
-    trailing axes don't divide the model axis), and the optimizer."""
+    scan, the event gather/scatter (event tensors replicate — coordinate
+    leaves are excluded from channel sharding by the rank/width floor in
+    _leaf_act_spec), and the optimizer."""
     import optax
 
     from evflow.loss.warp_loss import EventWarpingConfig
