@@ -167,6 +167,14 @@ def import_torch_checkpoint(path: str, variables: Dict[str, Any]) -> Dict[str, A
             thr = take(f"{unit}.threshold")
         if thr is not None and "threshold" in p:
             p["threshold"] = np.asarray(thr, np.float32).reshape(-1)
+        # original sigmoid-family cells (spiking_submodules.py:89-96) store
+        # per-channel [C,1,1] 'leak'/'thresh' parameters directly on the unit
+        lk = take(f"{unit}.leak")
+        if lk is not None and "leak" in p:
+            p["leak"] = np.asarray(lk, np.float32).reshape(-1)
+        th = take(f"{unit}.thresh")
+        if th is not None and "thresh" in p:
+            p["thresh"] = np.asarray(th, np.float32).reshape(-1)
         # BatchNorm: torch {weight, bias, running_mean, running_var}
         g = take(f"{unit}.bn.weight")
         b = take(f"{unit}.bn.bias")

@@ -1,0 +1,269 @@
+"""Plain-torch mirrors of the reference's SNN cells and FireNet model.
+
+These are independent reimplementations of the reference's *documented
+update equations* in stock PyTorch (no snntorch / brevitas, neither of
+which is installed here), used as the cross-framework oracle for
+tests/test_reference_parity.py and as the real-layout checkpoint source
+for tests/test_torch_import.py-style fixtures:
+
+* ``MirrorConvLIF`` / ``MirrorConvLIFRecurrent`` — the original autograd
+  cells: sigmoid-stabilised leak, ``(1 - leak)`` input scaling, detached
+  hard/soft reset, arctan surrogate. Behavioral reference:
+  models/spiking_submodules.py:121-151 (ff) and :267-300 (recurrent);
+  surrogate per models/spiking_util.py:82-93.
+* ``MirrorLeaky`` — snntorch ``snn.Leaky`` dynamics as configured by the
+  reference cells (learn beta/threshold, reset_mechanism zero/subtract,
+  ``reset_delay=False``, ATan surrogate alpha=2): beta clamped to [0, 1],
+  previous-step reset folded into the state function, immediate reset of
+  the new membrane by ``(spk - reset_prev)``. Behavioral reference:
+  SNNtorch_spiking_submodules.py:232-239 (construction) and the snntorch
+  Leaky update it delegates to.
+* ``MirrorSNNConvLIF`` / ``MirrorSNNConvLIFRecurrent`` — conv (no bias)
+  -> BatchNorm2d(momentum=0.1, eps=1e-5) -> Leaky, with the per-forward
+  in-place threshold clamp to >= 0.01 and the per-step membrane detach.
+  Behavioral reference: SNNtorch_spiking_submodules.py:283-322, :515-567.
+* ``MirrorFireNet`` — head/G1/R1a[/R1b]/G2/R2a[/R2b]/pred wiring with
+  module attribute names matching the reference exactly (``ff``, ``rec``,
+  ``bn``, ``lif.beta``, ``lif.threshold``, ``pred.conv2d``), so its
+  ``state_dict()`` / pickled-module checkpoints have the genuine
+  reference layout. Behavioral reference: models/model.py:210-384
+  (LIFFireNet_short) and :29-207 (full variant).
+
+``SPIKE_MARGINS`` records min |membrane - threshold| at every firing so
+parity tests can assert the chosen seed keeps all spikes far from the
+threshold (no epsilon-level spike flips between frameworks).
+"""
+
+from __future__ import annotations
+
+import math
+
+import torch
+import torch.nn as nn
+
+# min |u - theta| at each fire() call, for seed-safety guards in tests
+SPIKE_MARGINS: list[float] = []
+
+
+def _track_margin(shifted: torch.Tensor) -> None:
+    SPIKE_MARGINS.append(float(shifted.detach().abs().min()))
+
+
+class _ArctanSurrogate(torch.autograd.Function):
+    """H(x > 0) forward; 1 / (1 + width x^2) backward
+    (spiking_util.py:13-25, 82-93)."""
+
+    @staticmethod
+    def forward(ctx, x, width):
+        ctx.save_for_backward(x, width)
+        return (x > 0).to(x.dtype)
+
+    @staticmethod
+    def backward(ctx, g):
+        x, width = ctx.saved_tensors
+        return g / (1.0 + width * x * x), None
+
+
+class _ATanSNN(torch.autograd.Function):
+    """snntorch.surrogate.atan: H(x > 0) forward;
+    (alpha/2) / (1 + (pi/2 * alpha * x)^2) backward."""
+
+    @staticmethod
+    def forward(ctx, x, alpha):
+        ctx.save_for_backward(x)
+        ctx.alpha = alpha
+        return (x > 0).to(x.dtype)
+
+    @staticmethod
+    def backward(ctx, g):
+        (x,) = ctx.saved_tensors
+        a = ctx.alpha
+        return g * (a / 2.0) / (1.0 + (math.pi / 2.0 * a * x) ** 2), None
+
+
+class MirrorConvLIF(nn.Module):
+    """Original feedforward cell (spiking_submodules.py:29-151)."""
+
+    def __init__(self, input_size, hidden_size, kernel_size=3,
+                 act_width=10.0, hard_reset=True, detach=True):
+        super().__init__()
+        self.ff = nn.Conv2d(input_size, hidden_size, kernel_size,
+                            padding=kernel_size // 2, bias=False)
+        self.leak = nn.Parameter(torch.full((hidden_size, 1, 1), -4.0))
+        self.thresh = nn.Parameter(torch.full((hidden_size, 1, 1), 0.8))
+        self.register_buffer("act_width", torch.tensor(float(act_width)))
+        self.hard_reset = hard_reset
+        self.detach = detach
+
+    def _lif(self, current, prev_state):
+        if prev_state is None:
+            prev_state = torch.zeros(2, *current.shape, dtype=current.dtype)
+        v, z = prev_state
+        theta = self.thresh.clamp_min(0.01)
+        lam = torch.sigmoid(self.leak)
+        if self.detach:
+            z = z.detach()
+        if self.hard_reset:
+            v_out = v * lam * (1.0 - z) + (1.0 - lam) * current
+        else:
+            v_out = v * lam + (1.0 - lam) * current - z * theta
+        _track_margin(v_out - theta)
+        z_out = _ArctanSurrogate.apply(v_out - theta, self.act_width)
+        return z_out, torch.stack([v_out, z_out])
+
+    def forward(self, x, prev_state, residual=0):
+        z_out, state = self._lif(self.ff(x), prev_state)
+        return z_out + residual, state
+
+
+class MirrorConvLIFRecurrent(MirrorConvLIF):
+    """Original recurrent cell (spiking_submodules.py:154-300): adds a
+    conv over the previous spikes to the input current."""
+
+    def __init__(self, input_size, hidden_size, kernel_size=3, **kw):
+        super().__init__(input_size, hidden_size, kernel_size, **kw)
+        self.rec = nn.Conv2d(hidden_size, hidden_size, kernel_size,
+                             padding=kernel_size // 2, bias=False)
+
+    def forward(self, x, prev_state):
+        ff = self.ff(x)
+        prev_spk = (torch.zeros_like(ff) if prev_state is None
+                    else prev_state[1])
+        return self._lif(ff + self.rec(prev_spk), prev_state)
+
+
+class MirrorLeaky(nn.Module):
+    """snn.Leaky(learn_beta, learn_threshold, reset_delay=False) dynamics."""
+
+    def __init__(self, beta, threshold, reset_mechanism="zero", alpha=2.0):
+        super().__init__()
+        self.beta = nn.Parameter(beta.clone())
+        self.threshold = nn.Parameter(threshold.clone())
+        if reset_mechanism not in ("zero", "subtract"):
+            raise ValueError(reset_mechanism)
+        self.reset_mechanism = reset_mechanism
+        self.alpha = alpha
+
+    def forward(self, input_, mem):
+        if mem is None:
+            mem = torch.zeros_like(input_)
+        # previous-step reset, detached (snntorch mem_reset)
+        reset = (mem - self.threshold > 0).to(input_.dtype).detach()
+        u = self.beta.clamp(0.0, 1.0) * mem + input_
+        if self.reset_mechanism == "zero":
+            u = u - reset * u
+        else:
+            u = u - reset * self.threshold
+        _track_margin(u - self.threshold)
+        spk = _ATanSNN.apply(u - self.threshold, self.alpha)
+        # reset_delay=False: apply the NEW spike's reset immediately
+        # (gradient flows through the surrogate spk)
+        if self.reset_mechanism == "zero":
+            u = u - (spk - reset) * u
+        else:
+            u = u - (spk - reset) * self.threshold
+        return spk, u
+
+
+class MirrorSNNConvLIF(nn.Module):
+    """conv -> BN -> Leaky feedforward cell
+    (SNNtorch_spiking_submodules.py:124-322)."""
+
+    def __init__(self, input_size, hidden_size, kernel_size=3,
+                 leak=(0.0, 1.0), thresh=(0.0, 0.8), hard_reset=True,
+                 detach=True):
+        super().__init__()
+        self.ff = nn.Conv2d(input_size, hidden_size, kernel_size,
+                            padding=kernel_size // 2, bias=False)
+        w = math.sqrt(1.0 / input_size)
+        nn.init.uniform_(self.ff.weight, -w, w)
+        self.bn = nn.BatchNorm2d(hidden_size, momentum=0.1, eps=1e-5)
+        beta = torch.empty(hidden_size, 1, 1).uniform_(*leak)
+        theta = torch.empty(hidden_size, 1, 1).uniform_(*thresh)
+        self.lif = MirrorLeaky(beta, theta,
+                               "zero" if hard_reset else "subtract")
+        self.detach = detach
+
+    def _fire(self, current, prev_state):
+        mem = None if prev_state is None else prev_state[0]
+        spk, mem_out = self.lif(current, mem)
+        if self.detach:
+            mem_out = mem_out.detach()
+        return spk, torch.stack([mem_out, spk])
+
+    def forward(self, x, prev_state):
+        self.lif.threshold.data.clamp_(min=0.01)
+        return self._fire(self.bn(self.ff(x)), prev_state)
+
+
+class MirrorSNNConvLIFRecurrent(MirrorSNNConvLIF):
+    """conv_ff + conv_rec(prev spikes) -> BN -> Leaky
+    (SNNtorch_spiking_submodules.py:324-567)."""
+
+    def __init__(self, input_size, hidden_size, kernel_size=3, **kw):
+        super().__init__(input_size, hidden_size, kernel_size, **kw)
+        self.rec = nn.Conv2d(hidden_size, hidden_size, kernel_size,
+                             padding=kernel_size // 2, bias=False)
+        w = math.sqrt(1.0 / hidden_size)
+        nn.init.uniform_(self.rec.weight, -w, w)
+
+    def forward(self, x, prev_state):
+        self.lif.threshold.data.clamp_(min=0.01)
+        ff = self.ff(x)
+        prev_spk = (torch.zeros_like(ff) if prev_state is None
+                    else prev_state[1])
+        return self._fire(self.bn(ff + self.rec(prev_spk)), prev_state)
+
+
+class MirrorPred(nn.Module):
+    """Flow head: 1x1 conv (bias) + tanh, U(-0.01, 0.01) weights
+    (submodules.py ConvLayer, models/model.py:105-107)."""
+
+    def __init__(self, in_channels, out_channels=2):
+        super().__init__()
+        self.conv2d = nn.Conv2d(in_channels, out_channels, 1)
+        nn.init.uniform_(self.conv2d.weight, -0.01, 0.01)
+        nn.init.zeros_(self.conv2d.bias)
+
+    def forward(self, x):
+        return torch.tanh(self.conv2d(x))
+
+
+class MirrorFireNet(nn.Module):
+    """LIFFireNet[_short] wiring with reference attribute names
+    (models/model.py:29-384). ``forward`` takes NCHW event counts and
+    returns the NCHW flow tensor; recurrent state is held in ``_states``
+    exactly like the reference (None = zeros at sequence start)."""
+
+    def __init__(self, num_bins=2, base_num_channels=8, kernel_size=3,
+                 short=True, leak=(0.0, 1.0), thresh=(0.0, 0.8)):
+        super().__init__()
+        C = base_num_channels
+        cell_kw = dict(kernel_size=kernel_size, leak=leak, thresh=thresh)
+        self.head = MirrorSNNConvLIF(num_bins, C, **cell_kw)
+        self.G1 = MirrorSNNConvLIFRecurrent(C, C, **cell_kw)
+        self.R1a = MirrorSNNConvLIF(C, C, **cell_kw)
+        if not short:
+            self.R1b = MirrorSNNConvLIF(C, C, **cell_kw)
+        self.G2 = MirrorSNNConvLIFRecurrent(C, C, **cell_kw)
+        self.R2a = MirrorSNNConvLIF(C, C, **cell_kw)
+        if not short:
+            self.R2b = MirrorSNNConvLIF(C, C, **cell_kw)
+        self.pred = MirrorPred(C)
+        self.short = short
+        self.unit_names = (("head", "G1", "R1a", "G2", "R2a") if short else
+                           ("head", "G1", "R1a", "R1b", "G2", "R2a", "R2b"))
+        self.reset_states()
+
+    def reset_states(self):
+        self._states = [None] * len(self.unit_names)
+
+    def detach_states(self):
+        self._states = [None if s is None else s.detach()
+                        for s in self._states]
+
+    def forward(self, event_cnt):
+        x = event_cnt
+        for i, name in enumerate(self.unit_names):
+            x, self._states[i] = getattr(self, name)(x, self._states[i])
+        return self.pred(x)

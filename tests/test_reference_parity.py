@@ -1,0 +1,371 @@
+"""Cross-framework numeric parity: evflow (JAX) vs the reference's cell
+dynamics re-run in plain PyTorch (tests/_torch_ref.py mirrors).
+
+This is the strongest obtainable "AEE within 1% of reference" evidence
+absent real MVSEC data: identical weights are loaded into both frameworks
+(through ``import_torch_checkpoint`` from a *genuine* ``torch.save`` of a
+real ``nn.Module`` tree — no hand-synthesized dicts), identical multi-step
+event windows drive both, and membranes / spikes / flows / TBPTT gradients
+must agree to f32 tolerance. Any semantic drift in the LIF updates, the
+detach structure, BN conventions, surrogate gradients, or the checkpoint
+key mapping fails these tests.
+
+Seed safety: both frameworks compute convolutions with different kernels
+(torch conv vs evflow im2col matmul), so values differ at the 1e-6 level.
+A spike would flip if any membrane ever landed within that noise of its
+threshold; ``SPIKE_MARGINS`` (recorded by the torch mirrors) is asserted
+to stay >= 10x that noise so the chosen seeds cannot produce epsilon
+flips.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+import tests._torch_ref as tref
+from evflow.models.cells import (
+    ConvLIF,
+    ConvLIFRecurrent,
+    SNNConvLIF,
+    SNNConvLIFRecurrent,
+)
+from evflow.ops.lif import export_lif_step
+from evflow.registry import build_model
+from evflow.utils.checkpoint import import_torch_checkpoint
+
+B, H, W, C = 2, 16, 16, 8
+MARGIN = 1e-5  # ~10x the measured cross-framework conv noise (~1e-6)
+
+
+def _margin_guard():
+    m = min(tref.SPIKE_MARGINS) if tref.SPIKE_MARGINS else 1.0
+    assert m > MARGIN, (
+        f"spike margin {m:.2e} too small for cross-framework comparison — "
+        "pick a different seed"
+    )
+
+
+def _k2t(kernel):
+    """flax HWIO kernel from a torch OIHW weight."""
+    return jnp.asarray(kernel.detach().numpy().transpose(2, 3, 1, 0))
+
+
+def _nchw(x):
+    return torch.tensor(np.moveaxis(np.asarray(x), -1, 1))
+
+
+def _nhwc(t):
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+def _drive_cells(tcell, jcell, jvars, steps, recurrent, seed=0):
+    """Run both cells over identical random input streams; compare spikes
+    and membranes every step."""
+    rng = np.random.default_rng(seed)
+    tstate, jstate = None, None
+    tref.SPIKE_MARGINS.clear()
+    for t in range(steps):
+        x = rng.normal(0.0, 1.0, (B, H, W, tcell.ff.in_channels)).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            tspk, tstate = tcell(_nchw(x), tstate)
+        jspk, jstate = jcell.apply(jvars, jnp.asarray(x), jstate, train=False)
+        np.testing.assert_allclose(
+            np.asarray(jspk), _nhwc(tspk), atol=1e-5,
+            err_msg=f"spikes diverge at step {t}")
+        np.testing.assert_allclose(
+            np.asarray(jstate.mem), _nhwc(tstate[0]), atol=1e-5,
+            err_msg=f"membrane diverges at step {t}")
+    _margin_guard()
+
+
+@pytest.mark.parametrize("reset", ["zero", "subtract"])
+def test_snn_convlif_cell_parity(reset):
+    """SNNtorch-family feedforward cell: conv -> BN (running stats) ->
+    snn.Leaky(reset_delay=False) vs evflow SNNConvLIF
+    (SNNtorch_spiking_submodules.py:283-322)."""
+    torch.manual_seed(3)
+    hard = reset == "zero"
+    tcell = tref.MirrorSNNConvLIF(C, C, thresh=(0.1, 0.8), hard_reset=hard)
+    rng = np.random.default_rng(3)
+    with torch.no_grad():
+        tcell.bn.running_mean.copy_(
+            torch.tensor(rng.normal(0, 0.2, C).astype(np.float32)))
+        tcell.bn.running_var.copy_(
+            torch.tensor(rng.uniform(0.5, 2.0, C).astype(np.float32)))
+        tcell.bn.weight.copy_(
+            torch.tensor(rng.uniform(0.5, 1.5, C).astype(np.float32)))
+        tcell.bn.bias.copy_(
+            torch.tensor(rng.normal(0, 0.1, C).astype(np.float32)))
+    tcell.eval()
+
+    jcell = SNNConvLIF(input_size=C, features=C, hard_reset=hard,
+                       thresh=(0.1, 0.8))
+    jvars = jcell.init(jax.random.PRNGKey(0),
+                       jnp.zeros((B, H, W, C)), None)
+    params = jax.tree.map(np.asarray, jvars["params"])
+    params["ff"]["kernel"] = _k2t(tcell.ff.weight)
+    params["beta"] = tcell.lif.beta.detach().numpy().reshape(-1)
+    params["threshold"] = tcell.lif.threshold.detach().numpy().reshape(-1)
+    params["bn"]["BatchNorm_0"]["scale"] = tcell.bn.weight.detach().numpy()
+    params["bn"]["BatchNorm_0"]["bias"] = tcell.bn.bias.detach().numpy()
+    stats = {"bn": {"BatchNorm_0": {
+        "mean": tcell.bn.running_mean.numpy(),
+        "var": tcell.bn.running_var.numpy()}}}
+    _drive_cells(tcell, jcell, {"params": params, "batch_stats": stats},
+                 steps=6, recurrent=False, seed=13 if hard else 16)
+
+
+def test_snn_convlif_recurrent_cell_parity():
+    """Recurrent variant: ff + rec(prev spikes) -> BN -> Leaky
+    (SNNtorch_spiking_submodules.py:515-567)."""
+    torch.manual_seed(4)
+    tcell = tref.MirrorSNNConvLIFRecurrent(C, C, thresh=(0.1, 0.8))
+    tcell.eval()
+    jcell = SNNConvLIFRecurrent(input_size=C, features=C, thresh=(0.1, 0.8))
+    jvars = jcell.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, C)), None)
+    params = jax.tree.map(np.asarray, jvars["params"])
+    params["ff"]["kernel"] = _k2t(tcell.ff.weight)
+    params["rec"]["kernel"] = _k2t(tcell.rec.weight)
+    params["beta"] = tcell.lif.beta.detach().numpy().reshape(-1)
+    params["threshold"] = tcell.lif.threshold.detach().numpy().reshape(-1)
+    params["bn"]["BatchNorm_0"]["scale"] = tcell.bn.weight.detach().numpy()
+    params["bn"]["BatchNorm_0"]["bias"] = tcell.bn.bias.detach().numpy()
+    stats = {"bn": {"BatchNorm_0": {
+        "mean": tcell.bn.running_mean.numpy(),
+        "var": tcell.bn.running_var.numpy()}}}
+    _drive_cells(tcell, jcell, {"params": params, "batch_stats": stats},
+                 steps=6, recurrent=True, seed=14)
+
+
+@pytest.mark.parametrize("hard_reset", [True, False])
+def test_sigmoid_convlif_cell_parity(hard_reset):
+    """Original autograd cell: sigmoid leak, (1-leak) input scaling,
+    detached reset (spiking_submodules.py:121-151)."""
+    torch.manual_seed(5)
+    tcell = tref.MirrorConvLIF(C, C, hard_reset=hard_reset)
+    with torch.no_grad():
+        tcell.leak.copy_(torch.randn(C, 1, 1) * 0.5 - 1.0)
+        tcell.thresh.copy_(torch.rand(C, 1, 1) * 0.5 + 0.2)
+    tcell.eval()
+    jcell = ConvLIF(input_size=C, features=C, hard_reset=hard_reset)
+    jvars = jcell.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, C)), None)
+    params = jax.tree.map(np.asarray, jvars["params"])
+    params["ff"]["kernel"] = _k2t(tcell.ff.weight)
+    params["leak"] = tcell.leak.detach().numpy().reshape(-1)
+    params["thresh"] = tcell.thresh.detach().numpy().reshape(-1)
+    _drive_cells(tcell, jcell, {"params": params}, steps=6,
+                 recurrent=False, seed=15)
+
+
+def test_sigmoid_convlif_recurrent_cell_parity():
+    torch.manual_seed(6)
+    tcell = tref.MirrorConvLIFRecurrent(C, C)
+    with torch.no_grad():
+        tcell.leak.copy_(torch.randn(C, 1, 1) * 0.5 - 1.0)
+        tcell.thresh.copy_(torch.rand(C, 1, 1) * 0.5 + 0.2)
+    tcell.eval()
+    jcell = ConvLIFRecurrent(input_size=C, features=C)
+    jvars = jcell.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, C)), None)
+    params = jax.tree.map(np.asarray, jvars["params"])
+    params["ff"]["kernel"] = _k2t(tcell.ff.weight)
+    params["rec"]["kernel"] = _k2t(tcell.rec.weight)
+    params["leak"] = tcell.leak.detach().numpy().reshape(-1)
+    params["thresh"] = tcell.thresh.detach().numpy().reshape(-1)
+    _drive_cells(tcell, jcell, {"params": params}, steps=6,
+                 recurrent=True, seed=16)
+
+
+def test_export_lif_kernel_parity():
+    """evflow's export LIF vs a numpy transliteration of the C++ kernel's
+    NCHW loop semantics (ONNX_LIF_operator/src/lif_op.cpp:41-49):
+    u = beta*mem + x; spike at u >= theta; hard zero reset."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, (B, C, H, W)).astype(np.float32)
+    mem = rng.normal(0, 1, (B, C, H, W)).astype(np.float32)
+    beta = rng.uniform(0, 1, C).astype(np.float32)
+    theta = rng.uniform(0.1, 0.9, C).astype(np.float32)
+
+    u = beta[None, :, None, None] * mem + x
+    spike_np = (u >= theta[None, :, None, None]).astype(np.float32)
+    mem_np = np.where(spike_np > 0, 0.0, u)
+
+    spk, mem_out = export_lif_step(
+        jnp.asarray(np.moveaxis(x, 1, -1)),
+        jnp.asarray(np.moveaxis(mem, 1, -1)),
+        jnp.asarray(beta), jnp.asarray(theta))
+    np.testing.assert_array_equal(
+        np.asarray(spk), np.moveaxis(spike_np, 1, -1))
+    np.testing.assert_array_equal(
+        np.asarray(mem_out), np.moveaxis(mem_np, 1, -1))
+
+
+# ---------------------------------------------------------------------------
+# full-model parity through a genuine torch checkpoint
+# ---------------------------------------------------------------------------
+
+CFG = {
+    "name": "LIFFireNet_short", "num_bins": 2, "base_num_channels": C,
+    "kernel_size": 3, "encoding": "cnt", "mask_output": True,
+    "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.1, 0.8],
+                       "learn_leak": True, "learn_thresh": True,
+                       "hard_reset": True},
+}
+
+
+def _mirror_and_import(tmp_path, seed=11, save_mode="dict"):
+    """Build a MirrorFireNet, torch.save it the way the reference does
+    (utils/utils.py:9-87 tolerates dict / module-pickle / PTQ layouts),
+    and import the file into evflow variables."""
+    torch.manual_seed(seed)
+    tmodel = tref.MirrorFireNet(num_bins=2, base_num_channels=C,
+                                thresh=(0.1, 0.8))
+    path = os.path.join(str(tmp_path), "ckpt.pth")
+    if save_mode == "dict":
+        torch.save({"model_state_dict": tmodel.state_dict(),
+                    "optimizer_state_dict": {}, "epoch": 3,
+                    "loss": 0.5}, path)
+    elif save_mode == "module":
+        torch.save(tmodel, path)
+    elif save_mode == "ptq":
+        sd = {k.replace(".lif.beta", ".beta")
+               .replace(".lif.threshold", ".threshold"): v
+              for k, v in tmodel.state_dict().items()}
+        torch.save({"model_state_dict": sd}, path)
+    jmodel = build_model(CFG)
+    jstates = jmodel.init_states(B, H, W)
+    jvars = jmodel.init(jax.random.PRNGKey(0), None,
+                        jnp.zeros((B, H, W, 2)), jstates)
+    imported, leftover = import_torch_checkpoint(path, jvars)
+    return tmodel, jmodel, imported, leftover
+
+
+@pytest.mark.parametrize("save_mode", ["dict", "module", "ptq"])
+def test_firenet_short_forward_parity(tmp_path, save_mode):
+    """Full LIFFireNet_short forward over a multi-window stream: identical
+    weights via a genuine reference-layout checkpoint, flows agree to f32
+    tolerance. Covers dict, module-pickle, and PTQ checkpoint layouts
+    (utils/utils.py:44-70)."""
+    tmodel, jmodel, jvars, leftover = _mirror_and_import(
+        tmp_path, save_mode=save_mode)
+    # every mirror tensor must land somewhere except BN bookkeeping
+    assert all("num_batches_tracked" in k for k in leftover), leftover
+
+    tmodel.eval()
+    tmodel.reset_states()
+    jstates = None
+    rng = np.random.default_rng(21)
+    tref.SPIKE_MARGINS.clear()
+    for t in range(5):
+        cnt = rng.poisson(0.4, (B, H, W, 2)).astype(np.float32)
+        with torch.no_grad():
+            tflow = tmodel(_nchw(cnt))
+        out, jstates = jmodel.apply(jvars, None, jnp.asarray(cnt),
+                                    jstates, train=False)
+        jflow = np.asarray(out["flow"][0])
+        np.testing.assert_allclose(
+            jflow, _nhwc(tflow), atol=1e-5,
+            err_msg=f"flow diverges at window {t} ({save_mode})")
+    _margin_guard()
+
+
+def test_firenet_short_tbptt_gradient_parity(tmp_path):
+    """TBPTT gradients: a P-pass loss window backpropagated through both
+    frameworks produces matching gradients for every parameter — conv
+    kernels, LIF beta/threshold, BN scale/bias, pred weights. Exercises
+    the per-step membrane detach (SNNtorch_spiking_submodules.py:307-311),
+    the NON-detached recurrent spike carry, surrogate gradients, and BN
+    train-mode statistics."""
+    P = 3
+    tmodel, jmodel, jvars, _ = _mirror_and_import(tmp_path, seed=12)
+
+    rng = np.random.default_rng(22)
+    cnts = [rng.poisson(0.4, (B, H, W, 2)).astype(np.float32)
+            for _ in range(P)]
+
+    # torch side
+    tmodel.train()
+    tmodel.reset_states()
+    tref.SPIKE_MARGINS.clear()
+    tloss = 0.0
+    for p in range(P):
+        tflow = tmodel(_nchw(cnts[p]))
+        tloss = tloss + (tflow ** 2).mean() + 0.5 * tflow.mean()
+    tloss.backward()
+    _margin_guard()
+    tgrads = {n: p.grad.detach().numpy()
+              for n, p in tmodel.named_parameters() if p.grad is not None}
+
+    # jax side
+    batch_stats0 = jvars.get("batch_stats", {})
+
+    def loss_fn(params):
+        bs, states, loss = batch_stats0, None, 0.0
+        for p in range(P):
+            (out, states), mut = jmodel.apply(
+                {"params": params, "batch_stats": bs}, None,
+                jnp.asarray(cnts[p]), states, train=True,
+                mutable=["batch_stats"])
+            bs = mut["batch_stats"]
+            flow = out["flow"][0]
+            loss = loss + (flow ** 2).mean() + 0.5 * flow.mean()
+        return loss
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jvars["params"])
+    np.testing.assert_allclose(float(jloss), float(tloss.detach()), rtol=1e-5)
+
+    def check(tname, jgrad, transform=lambda x: x):
+        tg = transform(tgrads[tname])
+        np.testing.assert_allclose(
+            np.asarray(jgrad), tg, rtol=2e-4, atol=1e-7,
+            err_msg=f"gradient mismatch for {tname}")
+
+    for unit in ("head", "G1", "R1a", "G2", "R2a"):
+        g = jgrads[unit]
+        check(f"{unit}.ff.weight", g["ff"]["kernel"],
+              lambda x: x.transpose(2, 3, 1, 0))
+        if unit in ("G1", "G2"):
+            check(f"{unit}.rec.weight", g["rec"]["kernel"],
+                  lambda x: x.transpose(2, 3, 1, 0))
+        check(f"{unit}.lif.beta", g["beta"], lambda x: x.reshape(-1))
+        check(f"{unit}.lif.threshold", g["threshold"],
+              lambda x: x.reshape(-1))
+        check(f"{unit}.bn.weight", g["bn"]["BatchNorm_0"]["scale"])
+        check(f"{unit}.bn.bias", g["bn"]["BatchNorm_0"]["bias"])
+    check("pred.conv2d.weight", jgrads["pred"]["conv2d"]["kernel"],
+          lambda x: x.transpose(2, 3, 1, 0))
+    check("pred.conv2d.bias", jgrads["pred"]["conv2d"]["bias"])
+
+
+def test_imported_checkpoint_evaluates(tmp_path):
+    """End-to-end: a genuine torch checkpoint imports and runs the full
+    gtflow evaluation protocol (evflow/eval.py) with finite AEE."""
+    from evflow.data.synthetic import make_dataset
+    from evflow.eval import evaluate
+
+    _, jmodel, jvars, _ = _mirror_and_import(tmp_path, seed=30)
+    root = os.path.join(str(tmp_path), "data")
+    make_dataset(root, num_sequences=1, resolution=(16, 16),
+                 events_per_sec=8_000, duration=0.4,
+                 flows=[(5.0, -2.0)], gt_hz=10.0)
+    cfg = {
+        "data": {"path": root, "mode": "gtflow_dt1", "window": 1},
+        "model": dict(CFG, mask_output=True),
+        "loader": {"resolution": [16, 16], "std_resolution": [16, 16],
+                   "batch_size": 1, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False},
+        "vis": {"bars": False},
+        "metrics": {"name": ["AEE"], "flow_scaling": 16},
+        "loss": {},
+    }
+    res = evaluate(cfg, model=jmodel, variables=jvars, debug=True,
+                   verbose=False, max_windows=3)
+    vals = [float(v) for v in res.get("AEE", {}).values()]
+    assert vals and all(np.isfinite(v) for v in vals)
