@@ -38,7 +38,12 @@ flows = [(30.0, -20.0), (-25.0, 15.0), (45.0, 10.0),
 # camera / the reference's UZH-FPV data) so event density encodes speed;
 # rate_ref=36 ≈ the mean speed keeps the average rate at events_per_sec
 RATE_MODE = "motion" if "--motion" in sys.argv else "fixed"
-sys.argv = [a for a in sys.argv if a != "--motion"]
+# --norm_input: enable the reference's nonzero-mean/std input normalization
+# (models/model.py:164-169) — the designed density conditioner; round-3
+# verdict asks whether it yields ONE checkpoint below the zero-flow
+# baseline at BOTH the matched (0.04) and full-frame (1.0) eval spans.
+NORM_INPUT = "--norm_input" in sys.argv
+sys.argv = [a for a in sys.argv if a not in ("--motion", "--norm_input")]
 make_dataset(root, num_sequences=6, resolution=(64, 64),
              events_per_sec=250_000, duration=1.0, flows=flows, gt_hz=10.0,
              rate_mode=RATE_MODE, rate_ref=36.0)
@@ -55,7 +60,7 @@ cfg = {
     "data": {"path": root, "mode": "events", "window": 1000, "window_loss": 10000},
     "model": {"name": "LIFFireNet_short", "encoding": "cnt", "round_encoding": False,
               "num_bins": 2, "base_num_channels": 16, "kernel_size": 3,
-              "mask_output": True},
+              "mask_output": True, "norm_input": NORM_INPUT},
     "spiking_neuron": {"leak": [0.0, 1.0], "thresh": [0.0, 0.8]},
     "loss": {"flow_regul_weight": 0.001, "clip_grad": 1.0},
     "optimizer": {"name": "Adam", "lr": 0.0002},

@@ -18,7 +18,11 @@ with data parallelism on a 2-D ``data x model`` mesh: batch slots shard over
 ``data`` exactly as evflow.parallel.mesh does.
 
 When to use: the FireNet-family models (<=64 channels) never need TP — DP
-fan-out dominates (ROOFLINE.md §4). TP is for scaling the *channel* dimension
+fan-out dominates (ROOFLINE.md §4). On the UNet phase-decoder tier, avoid
+a model-axis size of 4: the phase-interleave transposes then trigger
+SPMD involuntary-full-remat reshards (measured cell in ROOFLINE §4 /
+benchmarks/probe_tp_phase_cost.py; sizes 2 and 8 compile clean and the
+collective volume is in family with the other engines). TP is for scaling the *channel* dimension
 past one chip's HBM/VMEM at high resolution (the same motivation as
 spatial.py for H): C channels over M chips keeps the per-chip conv working
 set C/M while the halo-free channel collectives replace spatial.py's row

@@ -147,9 +147,10 @@ def test_tp_unet_phase_engine_bit_exact():
     """The UNet phase engine under TP: flows AND carries bit-exact.
 
     (SPMD logs 'involuntary full rematerialization' warnings on the
-    phase-interleave transposes — the resharding is inefficient but
-    semantics-preserving; TP on the phase tier is a correctness
-    capability, not a perf recommendation.)"""
+    phase-interleave transposes at model-axis size 4 (measured cell:
+    ROOFLINE §4, benchmarks/probe_tp_phase_cost.py — sizes 2 and 8
+    compile clean) — any resharding is semantics-preserving; TP on the
+    phase tier is a correctness capability, not a perf recommendation.)"""
     from evflow.deploy_unet import Int8UNetEngine
 
     cfg = dict(CFG, name="SpikingRecEVFlowNet")
