@@ -175,19 +175,33 @@ def import_torch_checkpoint(path: str, variables: Dict[str, Any]) -> Dict[str, A
         th = take(f"{unit}.thresh")
         if th is not None and "thresh" in p:
             p["thresh"] = np.asarray(th, np.float32).reshape(-1)
-        # BatchNorm: torch {weight, bias, running_mean, running_var}
-        g = take(f"{unit}.bn.weight")
-        b = take(f"{unit}.bn.bias")
-        rm = take(f"{unit}.bn.running_mean")
-        rv = take(f"{unit}.bn.running_var")
-        if g is not None and "bn" in p:
-            bn_params = p["bn"]["BatchNorm_0"]
+        # BatchNorm: torch {weight, bias, running_mean, running_var}.
+        # TEBN modules nest theirs one level deeper ({unit}.bn.bn.* —
+        # SNNtorch_spiking_submodules.py:33) — same flax destination.
+        def import_bn(src: str, dst_p, dst_bs):
+            g = take(f"{src}.weight")
+            if g is None:
+                src = f"{src}.bn"
+                g = take(f"{src}.weight")
+            if g is None or dst_p is None:
+                return
+            bn_params = dst_p["BatchNorm_0"]
             bn_params["scale"] = np.asarray(g, np.float32)
-            bn_params["bias"] = np.asarray(b, np.float32)
-            if unit in batch_stats:
-                bs = batch_stats[unit]["bn"]["BatchNorm_0"]
+            b = take(f"{src}.bias")
+            if b is not None:
+                bn_params["bias"] = np.asarray(b, np.float32)
+            rm = take(f"{src}.running_mean")
+            rv = take(f"{src}.running_var")
+            if dst_bs is not None and rm is not None:
+                bs = dst_bs["BatchNorm_0"]
                 bs["mean"] = np.asarray(rm, np.float32)
                 bs["var"] = np.asarray(rv, np.float32)
+
+        import_bn(f"{unit}.bn", p.get("bn"),
+                  batch_stats.get(unit, {}).get("bn"))
+        # MPBN (membrane-potential BN, {unit}.mpbn.bn.* in torch)
+        import_bn(f"{unit}.mpbn", p.get("mpbn"),
+                  batch_stats.get(unit, {}).get("mpbn"))
         # TEBN temporal weights
         tp = take(f"{unit}.bn.p")
         if tp is not None and "bn" in p and "p" in p["bn"]:

@@ -165,35 +165,77 @@ class MirrorLeaky(nn.Module):
         return spk, u
 
 
+class MirrorTEBN(nn.Module):
+    """Temporal Effective BN: BN2d then a learnable per-timestep,
+    per-channel scale p[t]; mean over p when no timestep is given
+    (SNNtorch_spiking_submodules.py:18-63)."""
+
+    def __init__(self, num_features, num_timesteps=4):
+        super().__init__()
+        self.bn = nn.BatchNorm2d(num_features, momentum=0.1, eps=1e-5)
+        self.p = nn.Parameter(torch.ones(num_timesteps, num_features, 1, 1))
+        self.num_timesteps = num_timesteps
+
+    def forward(self, x, timestep=None):
+        x_bn = self.bn(x)
+        if timestep is not None and 0 <= timestep < self.num_timesteps:
+            return x_bn * self.p[timestep : timestep + 1]
+        return x_bn * self.p.mean(dim=0, keepdim=True)
+
+
+class MirrorMPBN(nn.Module):
+    """Membrane Potential BN, applied to mem_out after the per-step
+    detach (SNNtorch_spiking_submodules.py:66-121)."""
+
+    def __init__(self, num_features):
+        super().__init__()
+        self.bn = nn.BatchNorm2d(num_features, momentum=0.1, eps=1e-5)
+
+    def forward(self, mem):
+        return self.bn(mem)
+
+
 class MirrorSNNConvLIF(nn.Module):
-    """conv -> BN -> Leaky feedforward cell
-    (SNNtorch_spiking_submodules.py:124-322)."""
+    """conv -> BN (or TEBN) -> Leaky feedforward cell, optional MPBN on
+    the detached membrane (SNNtorch_spiking_submodules.py:124-322)."""
 
     def __init__(self, input_size, hidden_size, kernel_size=3,
                  leak=(0.0, 1.0), thresh=(0.0, 0.8), hard_reset=True,
-                 detach=True):
+                 detach=True, tebn=False, num_timesteps=4, mpbn=False):
         super().__init__()
         self.ff = nn.Conv2d(input_size, hidden_size, kernel_size,
                             padding=kernel_size // 2, bias=False)
         w = math.sqrt(1.0 / input_size)
         nn.init.uniform_(self.ff.weight, -w, w)
-        self.bn = nn.BatchNorm2d(hidden_size, momentum=0.1, eps=1e-5)
+        if tebn:
+            self.bn = MirrorTEBN(hidden_size, num_timesteps)
+        else:
+            self.bn = nn.BatchNorm2d(hidden_size, momentum=0.1, eps=1e-5)
+        self.mpbn = MirrorMPBN(hidden_size) if mpbn else None
         beta = torch.empty(hidden_size, 1, 1).uniform_(*leak)
         theta = torch.empty(hidden_size, 1, 1).uniform_(*thresh)
         self.lif = MirrorLeaky(beta, theta,
                                "zero" if hard_reset else "subtract")
         self.detach = detach
+        self.tebn = tebn
+
+    def _norm(self, current, timestep):
+        if self.tebn:
+            return self.bn(current, timestep)
+        return self.bn(current)
 
     def _fire(self, current, prev_state):
         mem = None if prev_state is None else prev_state[0]
         spk, mem_out = self.lif(current, mem)
         if self.detach:
             mem_out = mem_out.detach()
+        if self.mpbn is not None:
+            mem_out = self.mpbn(mem_out)
         return spk, torch.stack([mem_out, spk])
 
-    def forward(self, x, prev_state):
+    def forward(self, x, prev_state, timestep=None):
         self.lif.threshold.data.clamp_(min=0.01)
-        return self._fire(self.bn(self.ff(x)), prev_state)
+        return self._fire(self._norm(self.ff(x), timestep), prev_state)
 
 
 class MirrorSNNConvLIFRecurrent(MirrorSNNConvLIF):
@@ -207,12 +249,13 @@ class MirrorSNNConvLIFRecurrent(MirrorSNNConvLIF):
         w = math.sqrt(1.0 / hidden_size)
         nn.init.uniform_(self.rec.weight, -w, w)
 
-    def forward(self, x, prev_state):
+    def forward(self, x, prev_state, timestep=None):
         self.lif.threshold.data.clamp_(min=0.01)
         ff = self.ff(x)
         prev_spk = (torch.zeros_like(ff) if prev_state is None
                     else prev_state[1])
-        return self._fire(self.bn(ff + self.rec(prev_spk)), prev_state)
+        return self._fire(
+            self._norm(ff + self.rec(prev_spk), timestep), prev_state)
 
 
 class MirrorPred(nn.Module):

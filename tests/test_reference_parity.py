@@ -80,8 +80,10 @@ def _drive_cells(tcell, jcell, jvars, steps, recurrent, seed=0):
         np.testing.assert_allclose(
             np.asarray(jspk), _nhwc(tspk), atol=1e-5,
             err_msg=f"spikes diverge at step {t}")
+        # rtol covers MPBN-scaled membranes (1/std amplifies conv noise
+        # on large-magnitude values; the error stays relative)
         np.testing.assert_allclose(
-            np.asarray(jstate.mem), _nhwc(tstate[0]), atol=1e-5,
+            np.asarray(jstate.mem), _nhwc(tstate[0]), atol=1e-5, rtol=2e-5,
             err_msg=f"membrane diverges at step {t}")
     _margin_guard()
 
@@ -183,6 +185,83 @@ def test_sigmoid_convlif_recurrent_cell_parity():
                  recurrent=True, seed=16)
 
 
+def test_tebn_cell_parity():
+    """TEBN cell: conv -> BN -> per-timestep scale p[t] -> Leaky, with the
+    out-of-range/None fallback to mean(p)
+    (SNNtorch_spiking_submodules.py:18-63)."""
+    torch.manual_seed(8)
+    tcell = tref.MirrorSNNConvLIF(C, C, thresh=(0.1, 0.8), tebn=True)
+    with torch.no_grad():
+        tcell.bn.p.copy_(torch.rand(4, C, 1, 1) * 1.5 + 0.25)
+        tcell.bn.bn.running_mean.copy_(torch.randn(C) * 0.2)
+        tcell.bn.bn.running_var.copy_(torch.rand(C) + 0.5)
+    tcell.eval()
+
+    jcell = SNNConvLIF(input_size=C, features=C, thresh=(0.1, 0.8),
+                       tebn=True, num_timesteps=4)
+    jvars = jcell.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, C)), None)
+    params = jax.tree.map(np.asarray, jvars["params"])
+    params["ff"]["kernel"] = _k2t(tcell.ff.weight)
+    params["beta"] = tcell.lif.beta.detach().numpy().reshape(-1)
+    params["threshold"] = tcell.lif.threshold.detach().numpy().reshape(-1)
+    params["bn"]["BatchNorm_0"]["scale"] = tcell.bn.bn.weight.detach().numpy()
+    params["bn"]["BatchNorm_0"]["bias"] = tcell.bn.bn.bias.detach().numpy()
+    params["bn"]["p"] = tcell.bn.p.detach().numpy().reshape(4, C)
+    stats = {"bn": {"BatchNorm_0": {
+        "mean": tcell.bn.bn.running_mean.numpy(),
+        "var": tcell.bn.bn.running_var.numpy()}}}
+    jv = {"params": params, "batch_stats": stats}
+
+    rng = np.random.default_rng(17)
+    tstate, jstate = None, None
+    tref.SPIKE_MARGINS.clear()
+    for t, ts in enumerate([0, 1, 2, 3, None, 2]):
+        x = rng.normal(0, 1, (B, H, W, C)).astype(np.float32)
+        with torch.no_grad():
+            tspk, tstate = tcell(_nchw(x), tstate, timestep=ts)
+        jspk, jstate = jcell.apply(jv, jnp.asarray(x), jstate,
+                                   train=False, timestep=ts)
+        np.testing.assert_allclose(np.asarray(jspk), _nhwc(tspk), atol=1e-5,
+                                   err_msg=f"TEBN spikes diverge, step {t}")
+        np.testing.assert_allclose(np.asarray(jstate.mem), _nhwc(tstate[0]),
+                                   atol=1e-5,
+                                   err_msg=f"TEBN membrane diverges, step {t}")
+    _margin_guard()
+
+
+def test_mpbn_cell_parity():
+    """MPBN cell: membrane BN applied after the per-step detach
+    (SNNtorch_spiking_submodules.py:66-121, :314-319)."""
+    torch.manual_seed(9)
+    tcell = tref.MirrorSNNConvLIF(C, C, thresh=(0.1, 0.8), mpbn=True)
+    with torch.no_grad():
+        tcell.mpbn.bn.running_mean.copy_(torch.randn(C) * 0.05)
+        tcell.mpbn.bn.running_var.copy_(torch.rand(C) * 0.2 + 0.05)
+    tcell.eval()
+
+    jcell = SNNConvLIF(input_size=C, features=C, thresh=(0.1, 0.8),
+                       mpbn=True)
+    jvars = jcell.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, C)), None)
+    params = jax.tree.map(np.asarray, jvars["params"])
+    params["ff"]["kernel"] = _k2t(tcell.ff.weight)
+    params["beta"] = tcell.lif.beta.detach().numpy().reshape(-1)
+    params["threshold"] = tcell.lif.threshold.detach().numpy().reshape(-1)
+    params["bn"]["BatchNorm_0"]["scale"] = tcell.bn.weight.detach().numpy()
+    params["bn"]["BatchNorm_0"]["bias"] = tcell.bn.bias.detach().numpy()
+    params["mpbn"]["BatchNorm_0"]["scale"] = (
+        tcell.mpbn.bn.weight.detach().numpy())
+    params["mpbn"]["BatchNorm_0"]["bias"] = (
+        tcell.mpbn.bn.bias.detach().numpy())
+    stats = {
+        "bn": {"BatchNorm_0": {"mean": tcell.bn.running_mean.numpy(),
+                               "var": tcell.bn.running_var.numpy()}},
+        "mpbn": {"BatchNorm_0": {"mean": tcell.mpbn.bn.running_mean.numpy(),
+                                 "var": tcell.mpbn.bn.running_var.numpy()}},
+    }
+    _drive_cells(tcell, jcell, {"params": params, "batch_stats": stats},
+                 steps=6, recurrent=False, seed=18)
+
+
 def test_export_lif_kernel_parity():
     """evflow's export LIF vs a numpy transliteration of the C++ kernel's
     NCHW loop semantics (ONNX_LIF_operator/src/lif_op.cpp:41-49):
@@ -220,13 +299,13 @@ CFG = {
 }
 
 
-def _mirror_and_import(tmp_path, seed=11, save_mode="dict"):
+def _mirror_and_import(tmp_path, seed=11, save_mode="dict", short=True):
     """Build a MirrorFireNet, torch.save it the way the reference does
     (utils/utils.py:9-87 tolerates dict / module-pickle / PTQ layouts),
     and import the file into evflow variables."""
     torch.manual_seed(seed)
     tmodel = tref.MirrorFireNet(num_bins=2, base_num_channels=C,
-                                thresh=(0.1, 0.8))
+                                thresh=(0.1, 0.8), short=short)
     path = os.path.join(str(tmp_path), "ckpt.pth")
     if save_mode == "dict":
         torch.save({"model_state_dict": tmodel.state_dict(),
@@ -239,7 +318,7 @@ def _mirror_and_import(tmp_path, seed=11, save_mode="dict"):
                .replace(".lif.threshold", ".threshold"): v
               for k, v in tmodel.state_dict().items()}
         torch.save({"model_state_dict": sd}, path)
-    jmodel = build_model(CFG)
+    jmodel = build_model(CFG if short else dict(CFG, name="LIFFireNet"))
     jstates = jmodel.init_states(B, H, W)
     jvars = jmodel.init(jax.random.PRNGKey(0), None,
                         jnp.zeros((B, H, W, 2)), jstates)
@@ -273,6 +352,29 @@ def test_firenet_short_forward_parity(tmp_path, save_mode):
         np.testing.assert_allclose(
             jflow, _nhwc(tflow), atol=1e-5,
             err_msg=f"flow diverges at window {t} ({save_mode})")
+    _margin_guard()
+
+
+def test_firenet_full_forward_parity(tmp_path):
+    """Full 7-unit LIFFireNet (R1b/R2b present, models/model.py:29-207):
+    same genuine-checkpoint forward parity as the short variant."""
+    tmodel, jmodel, jvars, leftover = _mirror_and_import(
+        tmp_path, seed=26, short=False)
+    assert all("num_batches_tracked" in k for k in leftover), leftover
+    tmodel.eval()
+    tmodel.reset_states()
+    jstates = None
+    rng = np.random.default_rng(27)
+    tref.SPIKE_MARGINS.clear()
+    for t in range(4):
+        cnt = rng.poisson(0.4, (B, H, W, 2)).astype(np.float32)
+        with torch.no_grad():
+            tflow = tmodel(_nchw(cnt))
+        out, jstates = jmodel.apply(jvars, None, jnp.asarray(cnt),
+                                    jstates, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out["flow"][0]), _nhwc(tflow), atol=1e-5,
+            err_msg=f"full-model flow diverges at window {t}")
     _margin_guard()
 
 
