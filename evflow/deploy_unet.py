@@ -294,8 +294,12 @@ def _conv_q(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     (a no-op on uniform tiers, an exact small-int cast at hybrid-tier
     boundaries)."""
     acc = jnp.int32 if w.dtype == jnp.int8 else jnp.float32
+    # symmetric k//2 padding to match the flax model / torch reference
+    # (flax-style "SAME" misaligns taps at stride 2)
+    pad = w.shape[0] // 2
     return jax.lax.conv_general_dilated(
-        x.astype(w.dtype), w, (stride, stride), "SAME",
+        x.astype(w.dtype), w, (stride, stride),
+        ((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=acc,
     )

@@ -70,11 +70,14 @@ class ConvLayer(nn.Module):
             kwargs["bias_init"] = nn.initializers.zeros
         if self.conv_fake_quant is not None:
             x = self.conv_fake_quant(x, "input")
+        pad = self.kernel_size // 2
         out = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=self.stride,
-            padding="SAME",
+            # symmetric k//2 padding = torch Conv2d(padding=k//2); flax
+            # "SAME" misaligns taps at stride 2 (submodules.py:39,59)
+            padding=((pad, pad), (pad, pad)),
             use_bias=use_bias,
             dtype=self.dtype,
             name="conv2d",
@@ -109,11 +112,12 @@ class ConvLayerStateful(nn.Module):
 
     @nn.compact
     def __call__(self, x, prev_state=None, train: bool = False, residual=0.0):
+        pad = self.kernel_size // 2
         out = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=self.stride,
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=self.norm != "BN",
             dtype=self.dtype,
             name="conv2d",
@@ -343,7 +347,7 @@ class ResidualBlock(nn.Module):
             self.features,
             (3, 3),
             strides=self.stride,
-            padding="SAME",
+            padding=((1, 1), (1, 1)),  # torch padding=1 alignment at stride 2
             use_bias=use_bias,
             dtype=self.dtype,
             name="conv1",

@@ -165,11 +165,17 @@ def make_conv(
             name=name,
             impl="im2col" if conv_impl == "auto" else conv_impl,
         )
+    # explicit symmetric padding k//2: torch Conv2d(padding=k//2) and flax
+    # "SAME" agree at stride 1 (odd k) but MISALIGN taps at stride 2 — the
+    # reference's strided encoder convs (spiking_submodules.py:29-151 with
+    # stride=2 in unet encoders) pad symmetrically. Caught by
+    # tests/test_reference_parity.py.
+    pad = kernel_size // 2
     return nn.Conv(
         features,
         (kernel_size, kernel_size),
         strides=stride,
-        padding="SAME",
+        padding=((pad, pad), (pad, pad)),
         use_bias=False,
         kernel_init=kernel_init,
         dtype=dtype,

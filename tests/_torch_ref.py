@@ -84,10 +84,11 @@ class _ATanSNN(torch.autograd.Function):
 class MirrorConvLIF(nn.Module):
     """Original feedforward cell (spiking_submodules.py:29-151)."""
 
-    def __init__(self, input_size, hidden_size, kernel_size=3,
+    def __init__(self, input_size, hidden_size, kernel_size=3, stride=1,
                  act_width=10.0, hard_reset=True, detach=True):
         super().__init__()
         self.ff = nn.Conv2d(input_size, hidden_size, kernel_size,
+                            stride=stride,
                             padding=kernel_size // 2, bias=False)
         self.leak = nn.Parameter(torch.full((hidden_size, 1, 1), -4.0))
         self.thresh = nn.Parameter(torch.full((hidden_size, 1, 1), 0.8))
@@ -256,6 +257,126 @@ class MirrorSNNConvLIFRecurrent(MirrorSNNConvLIF):
                     else prev_state[1])
         return self._fire(
             self._norm(ff + self.rec(prev_spk), timestep), prev_state)
+
+
+class _MirrorRecEncoder(nn.Module):
+    """SpikingRecurrentConvLayer: strided ConvLIF ('conv') + recurrent
+    cell ('recurrent_block') (spiking_submodules.py:303-346)."""
+
+    def __init__(self, cin, cout, kernel_size=3, stride=2):
+        super().__init__()
+        self.conv = MirrorConvLIF(cin, cout, kernel_size, stride=stride)
+        self.recurrent_block = MirrorConvLIFRecurrent(cout, cout,
+                                                      kernel_size)
+
+    def forward(self, x, prev_state):
+        if prev_state is None:
+            prev_state = [None, None]
+        ff, rec = prev_state
+        x1, ff = self.conv(x, ff)
+        x2, rec = self.recurrent_block(x1, rec)
+        return x2, [ff, rec]
+
+
+class _MirrorResBlock(nn.Module):
+    """SpikingResidualBlock: two ConvLIFs, input spikes added to the
+    second cell's output (spiking_submodules.py:349-385)."""
+
+    def __init__(self, ch):
+        super().__init__()
+        self.conv1 = MirrorConvLIF(ch, ch, 3)
+        self.conv2 = MirrorConvLIF(ch, ch, 3)
+
+    def forward(self, x, prev_state):
+        if prev_state is None:
+            prev_state = [None, None]
+        s1, s2 = prev_state
+        x1, s1 = self.conv1(x, s1)
+        x2, s2 = self.conv2(x1, s2, residual=x)
+        return x2, [s1, s2]
+
+
+class _MirrorUpDecoder(nn.Module):
+    """SpikingUpsampleConvLayer: bilinear x2 (align_corners=False) then
+    ConvLIF 'conv2d' (spiking_submodules.py:388-417)."""
+
+    def __init__(self, cin, cout, kernel_size=3):
+        super().__init__()
+        self.conv2d = MirrorConvLIF(cin, cout, kernel_size)
+
+    def forward(self, x, prev_state):
+        up = torch.nn.functional.interpolate(
+            x, scale_factor=2, mode="bilinear", align_corners=False)
+        return self.conv2d(up, prev_state)
+
+
+class _MirrorMultiResUNetRec(nn.Module):
+    """SpikingMultiResUNetRecurrent wiring (unet.py:414-461): 4 recurrent
+    encoders (channel x2 each), 2 residual blocks, 4 upsample decoders
+    with concat skips (+ previous multires prediction), per-scale tanh
+    flow preds."""
+
+    def __init__(self, num_bins=2, C=4, kernel_size=3, E=4, R=2):
+        super().__init__()
+        ins = [C * 2 ** i for i in range(E)]
+        outs = [C * 2 ** (i + 1) for i in range(E)]
+        self.encoders = nn.ModuleList(
+            _MirrorRecEncoder(num_bins if i == 0 else ins[i], outs[i],
+                              kernel_size)
+            for i in range(E))
+        self.resblocks = nn.ModuleList(
+            _MirrorResBlock(outs[-1]) for _ in range(R))
+        self.decoders = nn.ModuleList(
+            _MirrorUpDecoder(2 * cin + (0 if i == 0 else 2), cout,
+                             kernel_size)
+            for i, (cin, cout) in enumerate(
+                zip(reversed(outs), reversed(ins))))
+        self.preds = nn.ModuleList(
+            MirrorPred(cout) for cout in reversed(ins))
+        self.E, self.R = E, R
+        self.states = [None] * (2 * E + R)
+
+    def forward(self, x):
+        blocks = []
+        for i, enc in enumerate(self.encoders):
+            x, self.states[i] = enc(x, self.states[i])
+            blocks.append(x)
+        off = self.E
+        for i, res in enumerate(self.resblocks):
+            x, self.states[off + i] = res(x, self.states[off + i])
+        off += self.R
+        predictions = []
+        for i, (dec, pred) in enumerate(zip(self.decoders, self.preds)):
+            x = torch.cat([x, blocks[self.E - i - 1]], dim=1)
+            if i > 0:
+                x = torch.cat([predictions[-1], x], dim=1)
+            x, self.states[off + i] = dec(x, self.states[off + i])
+            predictions.append(pred(x))
+        return predictions
+
+
+class MirrorEVFlowNet(nn.Module):
+    """SpikingRecEVFlowNet (models/model.py:723-858): the multires UNet
+    plus nearest-upsampling of every scale to the finest prediction
+    resolution. NCHW counts in, list of NCHW flows out."""
+
+    def __init__(self, num_bins=2, base_num_channels=4, kernel_size=3):
+        super().__init__()
+        self.multires_unetrec = _MirrorMultiResUNetRec(
+            num_bins, base_num_channels, kernel_size)
+
+    def reset_states(self):
+        self.multires_unetrec.states = [None] * len(
+            self.multires_unetrec.states)
+
+    def forward(self, event_cnt):
+        flows = self.multires_unetrec(event_cnt)
+        fh, fw = flows[-1].shape[2:]
+        return [
+            torch.nn.functional.interpolate(
+                f, scale_factor=(fh / f.shape[2], fw / f.shape[3]))
+            for f in flows
+        ]
 
 
 class MirrorPred(nn.Module):
