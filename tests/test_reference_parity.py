@@ -523,3 +523,98 @@ def test_unet_flagship_forward_parity(tmp_path):
                 np.asarray(jf), _nhwc(tf), atol=2e-5,
                 err_msg=f"UNet flow scale {s} diverges at window {t}")
     _margin_guard()
+
+
+def test_unet_tbptt_gradient_parity(tmp_path):
+    """UNet flagship TBPTT gradients: a 2-pass loss window over all four
+    multires flow scales backpropagated in both frameworks. The sigmoid
+    cells do NOT detach membranes per step (unlike the snn family), so
+    gradients flow through time within the window — this pins that
+    difference, the detached hard reset, and the arctan surrogate
+    (spiking_util.py:82-93) across every UNet parameter."""
+    Hc = Wc = 32
+    P = 2
+    torch.manual_seed(43)
+    tmodel = tref.MirrorEVFlowNet(num_bins=2, base_num_channels=4)
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tref.MirrorConvLIF):
+                m.leak.copy_(torch.randn_like(m.leak) * 0.5 - 2.0)
+                m.thresh.copy_(torch.rand_like(m.thresh) * 0.5 + 0.3)
+    path = os.path.join(str(tmp_path), "unet.pth")
+    torch.save({"model_state_dict": tmodel.state_dict()}, path)
+
+    cfg = {"name": "SpikingRecEVFlowNet", "num_bins": 2,
+           "base_num_channels": 4, "kernel_size": 3, "encoding": "cnt",
+           "mask_output": True,
+           "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.0]}}
+    jmodel = build_model(cfg)
+    jstates0 = jmodel.init_states(1, Hc, Wc)
+    jvars = jmodel.init(jax.random.PRNGKey(0), None,
+                        jnp.zeros((1, Hc, Wc, 2)), jstates0)
+    jvars, _ = import_torch_checkpoint(path, jvars)
+
+    rng = np.random.default_rng(44)
+    cnts = [rng.poisson(0.4, (1, Hc, Wc, 2)).astype(np.float32)
+            for _ in range(P)]
+
+    tmodel.reset_states()
+    tref.SPIKE_MARGINS.clear()
+    tloss = 0.0
+    for p in range(P):
+        for tf in tmodel(_nchw(cnts[p])):
+            tloss = tloss + (tf ** 2).mean() + 0.5 * tf.mean()
+    tloss.backward()
+    _margin_guard()
+    tgrads = {n: g.grad.detach().numpy()
+              for n, g in tmodel.named_parameters() if g.grad is not None}
+
+    def loss_fn(params):
+        states, loss = None, 0.0
+        for p in range(P):
+            out, states = jmodel.apply(
+                {"params": params}, None, jnp.asarray(cnts[p]), states,
+                train=True)
+            for f in out["flow"]:
+                loss = loss + (f ** 2).mean() + 0.5 * f.mean()
+        return loss
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jvars["params"])
+    np.testing.assert_allclose(float(jloss), float(tloss.detach()),
+                               rtol=1e-5)
+    u = jgrads["multires_unetrec"]
+
+    def check(tname, jgrad, conv=False):
+        tg = tgrads[tname]
+        if conv:
+            tg = tg.transpose(2, 3, 1, 0)
+        else:
+            tg = tg.reshape(np.asarray(jgrad).shape)
+        np.testing.assert_allclose(
+            np.asarray(jgrad), tg, rtol=3e-4, atol=2e-7,
+            err_msg=f"UNet gradient mismatch for {tname}")
+
+    def check_cell(dst, src, rec=False):
+        check(f"{src}.ff.weight", dst["ff"]["kernel"], conv=True)
+        if rec:
+            check(f"{src}.rec.weight", dst["rec"]["kernel"], conv=True)
+        check(f"{src}.leak", dst["leak"])
+        check(f"{src}.thresh", dst["thresh"])
+
+    for i in range(4):
+        check_cell(u[f"encoder{i}"]["conv"],
+                   f"multires_unetrec.encoders.{i}.conv")
+        check_cell(u[f"encoder{i}"]["recurrent_block"],
+                   f"multires_unetrec.encoders.{i}.recurrent_block",
+                   rec=True)
+        check_cell(u[f"decoder{i}"]["conv2d"],
+                   f"multires_unetrec.decoders.{i}.conv2d")
+        check(f"multires_unetrec.preds.{i}.conv2d.weight",
+              u[f"pred{i}"]["conv2d"]["kernel"], conv=True)
+        check(f"multires_unetrec.preds.{i}.conv2d.bias",
+              u[f"pred{i}"]["conv2d"]["bias"])
+    for i in range(2):
+        check_cell(u[f"resblock{i}"]["conv1"],
+                   f"multires_unetrec.resblocks.{i}.conv1")
+        check_cell(u[f"resblock{i}"]["conv2"],
+                   f"multires_unetrec.resblocks.{i}.conv2")
