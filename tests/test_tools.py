@@ -308,3 +308,83 @@ def test_make_synthetic_cli_and_quickstart_configs(tmp_path):
         model = registry.build_model(cfg["model"])
         assert model is not None
     assert load_config("/root/repo/configs/quickstart_eval.yml")["data"]["mode"] == "gtflow_dt1"
+
+
+def test_convert_mvsec_roundtrip(tmp_path):
+    """tools/convert_mvsec.py: a fake raw-MVSEC pair (davis/left layout of
+    the public Zhu et al. distribution) converts into a reference-schema
+    sequence that streams through the FULL gtflow eval protocol; dt4
+    composition of constant-flow frames is exact (K identical constant
+    maps compose to K*d)."""
+    h5py = pytest.importorskip("h5py")
+    from tools.convert_mvsec import compose_flow, convert
+
+    H = W = 16
+    rng = np.random.default_rng(0)
+    n = 6000
+    vx, vy = 5.0, -2.0
+    dur = 0.5
+    t0 = 1000.0
+    ts = np.sort(rng.uniform(0, dur, n)) + t0
+    raw = str(tmp_path / "seq_data.hdf5")
+    gt = str(tmp_path / "seq_gt.hdf5")
+    ev = np.stack([
+        rng.uniform(0, W - 1, n), rng.uniform(0, H - 1, n), ts,
+        rng.choice([-1.0, 1.0], n)], axis=1)
+    with h5py.File(raw, "w") as f:
+        f.create_dataset("davis/left/events", data=ev)
+        imgs = rng.integers(0, 255, (5, H, W)).astype(np.uint8)
+        f.create_dataset("davis/left/image_raw", data=imgs)
+        f.create_dataset("davis/left/image_raw_ts",
+                         data=np.linspace(t0, t0 + dur, 5))
+    n_gt = 6
+    gt_ts = np.linspace(t0, t0 + dur, n_gt)
+    dt = gt_ts[1] - gt_ts[0]
+    flow = np.zeros((n_gt, 2, H, W), np.float32)
+    flow[:, 0] = vx * dt
+    flow[:, 1] = vy * dt
+    with h5py.File(gt, "w") as f:
+        f.create_dataset("davis/left/flow_dist", data=flow)
+        f.create_dataset("davis/left/flow_dist_ts", data=gt_ts)
+
+    out = str(tmp_path / "converted" / "seq_000.h5")
+    info = convert(raw, out, gt_path=gt)
+    assert info["events"] == n and info["gt_frames"] == n_gt
+    assert info["dt4_frames"] == n_gt - 3
+
+    # constant-field composition is exact
+    comp = compose_flow(flow[:4])
+    np.testing.assert_allclose(comp[0], 4 * vx * dt, rtol=1e-6)
+    np.testing.assert_allclose(comp[1], 4 * vy * dt, rtol=1e-6)
+
+    with h5py.File(out, "r") as f:
+        assert f.attrs["t0"] == ts[0]
+        assert set(f["events"]) == {"xs", "ys", "ts", "ps"}
+        assert set(np.unique(f["events/ps"][:])) <= {0.0, 1.0}
+        fr = f["flow_dt1/frame_000002"]
+        assert fr.shape == (2, H, W)
+        assert abs(fr.attrs["timestamp"] - gt_ts[2]) < 1e-9
+        assert len(f["images"]) == 5
+
+    # the converted file runs the full gtflow eval protocol
+    from evflow.eval import evaluate
+    from evflow.registry import build_model
+
+    cfg = {
+        "data": {"path": os.path.dirname(out), "mode": "gtflow_dt1",
+                 "window": 1},
+        "model": {"name": "LIFFireNet_short", "num_bins": 2,
+                  "base_num_channels": 8, "kernel_size": 3,
+                  "encoding": "cnt", "mask_output": True,
+                  "spiking_neuron": {"leak": [0.0, 1.0],
+                                     "thresh": [0.1, 0.8]}},
+        "loader": {"resolution": [H, W], "std_resolution": [H, W],
+                   "batch_size": 1, "augment": [], "seed": 0},
+        "hot_filter": {"enabled": False},
+        "vis": {"bars": False},
+        "metrics": {"name": ["AEE"], "flow_scaling": W},
+        "loss": {},
+    }
+    res = evaluate(cfg, debug=True, verbose=False, max_windows=3)
+    vals = [float(v) for v in res.get("AEE", {}).values()]
+    assert vals and all(np.isfinite(v) for v in vals)
