@@ -134,10 +134,42 @@ class MirrorConvLIFRecurrent(MirrorConvLIF):
         return self._lif(ff + self.rec(prev_spk), prev_state)
 
 
+class _STEQuant(torch.autograd.Function):
+    """Straight-through uniform quantizer (snntorch quant.state_quant's
+    backward: gradient passes unchanged)."""
+
+    @staticmethod
+    def forward(ctx, x, qmin, qmax, step):
+        xc = x.clamp(qmin, qmax)
+        return qmin + torch.round((xc - qmin) / step) * step
+
+    @staticmethod
+    def backward(ctx, g):
+        return g, None, None, None
+
+
+def mirror_state_quant(num_bits=8, threshold=1.0, lower_limit=249.0,
+                       upper_limit=0.0):
+    """snntorch ``quant.state_quant(uniform=True, thr_centered=False)``:
+    2^bits evenly spaced levels over
+    [-threshold*(1+lower_limit), threshold*(1+upper_limit)] (the cells'
+    default is [-250, 1], SNNtorch_spiking_submodules.py:190-208),
+    nearest-level rounding, straight-through gradient."""
+    qmin = -threshold * (1.0 + lower_limit)
+    qmax = threshold * (1.0 + upper_limit)
+    step = (qmax - qmin) / (2 ** num_bits - 1)
+
+    def q(mem):
+        return _STEQuant.apply(mem, qmin, qmax, step)
+
+    return q
+
+
 class MirrorLeaky(nn.Module):
     """snn.Leaky(learn_beta, learn_threshold, reset_delay=False) dynamics."""
 
-    def __init__(self, beta, threshold, reset_mechanism="zero", alpha=2.0):
+    def __init__(self, beta, threshold, reset_mechanism="zero", alpha=2.0,
+                 state_quant=None):
         super().__init__()
         self.beta = nn.Parameter(beta.clone())
         self.threshold = nn.Parameter(threshold.clone())
@@ -145,6 +177,7 @@ class MirrorLeaky(nn.Module):
             raise ValueError(reset_mechanism)
         self.reset_mechanism = reset_mechanism
         self.alpha = alpha
+        self.state_quant = state_quant
 
     def forward(self, input_, mem):
         if mem is None:
@@ -156,6 +189,8 @@ class MirrorLeaky(nn.Module):
             u = u - reset * u
         else:
             u = u - reset * self.threshold
+        if self.state_quant is not None:
+            u = self.state_quant(u)
         _track_margin(u - self.threshold)
         spk = _ATanSNN.apply(u - self.threshold, self.alpha)
         # reset_delay=False: apply the NEW spike's reset immediately
@@ -203,7 +238,8 @@ class MirrorSNNConvLIF(nn.Module):
 
     def __init__(self, input_size, hidden_size, kernel_size=3,
                  leak=(0.0, 1.0), thresh=(0.0, 0.8), hard_reset=True,
-                 detach=True, tebn=False, num_timesteps=4, mpbn=False):
+                 detach=True, tebn=False, num_timesteps=4, mpbn=False,
+                 state_quant=None):
         super().__init__()
         self.ff = nn.Conv2d(input_size, hidden_size, kernel_size,
                             padding=kernel_size // 2, bias=False)
@@ -217,7 +253,8 @@ class MirrorSNNConvLIF(nn.Module):
         beta = torch.empty(hidden_size, 1, 1).uniform_(*leak)
         theta = torch.empty(hidden_size, 1, 1).uniform_(*thresh)
         self.lif = MirrorLeaky(beta, theta,
-                               "zero" if hard_reset else "subtract")
+                               "zero" if hard_reset else "subtract",
+                               state_quant=state_quant)
         self.detach = detach
         self.tebn = tebn
 

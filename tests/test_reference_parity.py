@@ -756,3 +756,40 @@ def test_firenet_train_window_gradient_parity_real_loss(tmp_path):
     check("pred.conv2d.weight", jgrads["pred"]["conv2d"]["kernel"],
           lambda x: x.transpose(2, 3, 1, 0))
     check("pred.conv2d.bias", jgrads["pred"]["conv2d"]["bias"])
+
+
+def test_state_quant_cell_parity():
+    """Int8 membrane quantization inside the cell: the snntorch
+    state_quant grid ([-250, 1] default, 256 uniform levels, nearest
+    rounding, straight-through grad) mirrored in torch vs evflow's
+    state_quant_fn — full-cell spike/membrane parity with quantized
+    carries (SNNtorch_spiking_submodules.py:190-208)."""
+    from evflow.quant.fake_quant import state_quant_fn
+
+    torch.manual_seed(10)
+    tq = tref.mirror_state_quant(threshold=1.0, lower_limit=249.0,
+                                 upper_limit=0.0)
+    tcell = tref.MirrorSNNConvLIF(C, C, thresh=(0.1, 0.8), state_quant=tq)
+    tcell.eval()
+    jq = state_quant_fn(threshold=1.0, lower_limit=249.0, upper_limit=0.0)
+    jcell = SNNConvLIF(input_size=C, features=C, thresh=(0.1, 0.8),
+                       state_quant=jq)
+    jvars = jcell.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, C)), None)
+    params = jax.tree.map(np.asarray, jvars["params"])
+    params["ff"]["kernel"] = _k2t(tcell.ff.weight)
+    params["beta"] = tcell.lif.beta.detach().numpy().reshape(-1)
+    params["threshold"] = tcell.lif.threshold.detach().numpy().reshape(-1)
+    params["bn"]["BatchNorm_0"]["scale"] = tcell.bn.weight.detach().numpy()
+    params["bn"]["BatchNorm_0"]["bias"] = tcell.bn.bias.detach().numpy()
+    stats = {"bn": {"BatchNorm_0": {
+        "mean": tcell.bn.running_mean.numpy(),
+        "var": tcell.bn.running_var.numpy()}}}
+
+    # direct grid agreement on values spanning (and exceeding) the range
+    xs = np.linspace(-260.0, 3.0, 2001).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(jq(jnp.asarray(xs))),
+        tq(torch.tensor(xs)).numpy(), atol=1e-4)
+
+    _drive_cells(tcell, jcell, {"params": params, "batch_stats": stats},
+                 steps=6, recurrent=False, seed=19)
