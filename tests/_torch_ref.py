@@ -438,16 +438,20 @@ class MirrorFireNet(nn.Module):
     exactly like the reference (None = zeros at sequence start)."""
 
     def __init__(self, num_bins=2, base_num_channels=8, kernel_size=3,
-                 short=True, leak=(0.0, 1.0), thresh=(0.0, 0.8)):
+                 short=True, leak=(0.0, 1.0), thresh=(0.0, 0.8),
+                 recurrent=True):
         super().__init__()
         C = base_num_channels
         cell_kw = dict(kernel_size=kernel_size, leak=leak, thresh=thresh)
+        # LIFFireFlowNet variants swap the recurrent G units for
+        # feedforward cells (models/model.py:387-720, rec_neuron = ff)
+        Mid = MirrorSNNConvLIFRecurrent if recurrent else MirrorSNNConvLIF
         self.head = MirrorSNNConvLIF(num_bins, C, **cell_kw)
-        self.G1 = MirrorSNNConvLIFRecurrent(C, C, **cell_kw)
+        self.G1 = Mid(C, C, **cell_kw)
         self.R1a = MirrorSNNConvLIF(C, C, **cell_kw)
         if not short:
             self.R1b = MirrorSNNConvLIF(C, C, **cell_kw)
-        self.G2 = MirrorSNNConvLIFRecurrent(C, C, **cell_kw)
+        self.G2 = Mid(C, C, **cell_kw)
         self.R2a = MirrorSNNConvLIF(C, C, **cell_kw)
         if not short:
             self.R2b = MirrorSNNConvLIF(C, C, **cell_kw)

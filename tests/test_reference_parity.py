@@ -793,3 +793,35 @@ def test_state_quant_cell_parity():
 
     _drive_cells(tcell, jcell, {"params": params, "batch_stats": stats},
                  steps=6, recurrent=False, seed=19)
+
+
+def test_fireflownet_short_forward_parity(tmp_path):
+    """LIFFireFlowNet_short: the feedforward-G variant of the zoo
+    (models/model.py:557-720) — genuine-checkpoint forward parity."""
+    torch.manual_seed(61)
+    tmodel = tref.MirrorFireNet(num_bins=2, base_num_channels=C,
+                                thresh=(0.1, 0.8), recurrent=False)
+    path = os.path.join(str(tmp_path), "ffn.pth")
+    torch.save({"model_state_dict": tmodel.state_dict()}, path)
+    jmodel = build_model(dict(CFG, name="LIFFireFlowNet_short"))
+    jstates = jmodel.init_states(B, H, W)
+    jvars = jmodel.init(jax.random.PRNGKey(0), None,
+                        jnp.zeros((B, H, W, 2)), jstates)
+    jvars, leftover = import_torch_checkpoint(path, jvars)
+    assert all("num_batches_tracked" in k for k in leftover), leftover
+
+    tmodel.eval()
+    tmodel.reset_states()
+    jstates = None
+    rng = np.random.default_rng(62)
+    tref.SPIKE_MARGINS.clear()
+    for t in range(4):
+        cnt = rng.poisson(0.4, (B, H, W, 2)).astype(np.float32)
+        with torch.no_grad():
+            tflow = tmodel(_nchw(cnt))
+        out, jstates = jmodel.apply(jvars, None, jnp.asarray(cnt),
+                                    jstates, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out["flow"][0]), _nhwc(tflow), atol=1e-5,
+            err_msg=f"FireFlowNet flow diverges at window {t}")
+    _margin_guard()
