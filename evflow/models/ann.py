@@ -142,11 +142,18 @@ class TransposedConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # torch ConvTranspose2d(stride=2, padding=k//2, output_padding=1)
+        # alignment: flax needs transpose_kernel=True with asymmetric
+        # (k//2, k//2+1) padding — empirically exact vs torch (flax "SAME"
+        # produces the same 2x shape but shifted taps, like the stride-2
+        # forward-conv case caught by tests/test_reference_parity.py)
+        p = self.kernel_size // 2
         out = nn.ConvTranspose(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(2, 2),
-            padding="SAME",
+            padding=((p, p + 1), (p, p + 1)),
+            transpose_kernel=True,
             use_bias=self.norm != "BN",
             dtype=self.dtype,
         )(x)

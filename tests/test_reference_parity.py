@@ -825,3 +825,31 @@ def test_fireflownet_short_forward_parity(tmp_path):
             np.asarray(out["flow"][0]), _nhwc(tflow), atol=1e-5,
             err_msg=f"FireFlowNet flow diverges at window {t}")
     _margin_guard()
+
+
+def test_transposed_conv_layer_matches_torch():
+    """ANN decoder TransposedConvLayer vs torch
+    ConvTranspose2d(stride=2, padding=k//2, output_padding=1)
+    (submodules.py:138-189): exact tap alignment, both kernel sizes."""
+    from evflow.models.ann import TransposedConvLayer
+
+    rng = np.random.default_rng(63)
+    for k in (3, 5):
+        x = rng.normal(0, 1, (1, 6, 6, 3)).astype(np.float32)
+        kw = rng.normal(0, 0.2, (3, 4, k, k)).astype(np.float32)  # [in,out,kh,kw]
+        tc = torch.nn.ConvTranspose2d(3, 4, k, stride=2, padding=k // 2,
+                                      output_padding=1, bias=False)
+        with torch.no_grad():
+            tc.weight.copy_(torch.tensor(kw))
+        ty = np.tanh(tc(_nchw(x)).detach().numpy())
+
+        layer = TransposedConvLayer(4, kernel_size=k, activation="tanh")
+        v = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = jax.tree.map(np.asarray, v["params"])
+        # transpose_kernel=True stores [kh, kw, out, in]
+        params["ConvTranspose_0"]["kernel"] = kw.transpose(2, 3, 1, 0)
+        # bias present (norm != BN): zero it to isolate the conv
+        params["ConvTranspose_0"]["bias"] = np.zeros(4, np.float32)
+        jy = np.asarray(layer.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(np.moveaxis(jy, -1, 1), ty, atol=1e-5,
+                                   err_msg=f"k={k}")
