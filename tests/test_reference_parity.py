@@ -853,3 +853,128 @@ def test_transposed_conv_layer_matches_torch():
         jy = np.asarray(layer.apply({"params": params}, jnp.asarray(x)))
         np.testing.assert_allclose(np.moveaxis(jy, -1, 1), ty, atol=1e-5,
                                    err_msg=f"k={k}")
+
+
+def test_ann_recurrent_cells_match_torch():
+    """ANN recurrent cells (submodules.py:366-502): ConvLSTM gate order
+    (in/remember/out/cell chunks), ConvGRU reset-gated out conv, and the
+    vanilla ConvRecurrent — multi-step parity against plain-torch
+    implementations of the documented updates."""
+    import torch.nn.functional as F
+
+    from evflow.models.ann import ConvGRU, ConvLSTM, ConvRecurrent
+
+    rng = np.random.default_rng(64)
+    Cf = 6
+    k = 3
+
+    def tconv(cin, cout):
+        w = rng.normal(0, 0.2, (cout, cin, k, k)).astype(np.float32)
+        b = rng.normal(0, 0.05, cout).astype(np.float32)
+        return torch.tensor(w), torch.tensor(b)
+
+    def jk(w):
+        return w.numpy().transpose(2, 3, 1, 0)
+
+    xs = [rng.normal(0, 1, (2, 8, 8, Cf)).astype(np.float32)
+          for _ in range(4)]
+
+    # --- ConvLSTM ---
+    gw, gb = tconv(2 * Cf, 4 * Cf)
+    cell = ConvLSTM(Cf, k)
+    v = cell.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]), None)
+    params = jax.tree.map(np.asarray, v["params"])
+    params["gates"]["kernel"] = jk(gw)
+    params["gates"]["bias"] = gb.numpy()
+    th = tc = None
+    jstate = None
+    for x in xs:
+        xt = _nchw(x)
+        if th is None:
+            th = torch.zeros(2, Cf, 8, 8)
+            tc = torch.zeros(2, Cf, 8, 8)
+        gates = F.conv2d(torch.cat([xt, th], 1), gw, gb, padding=k // 2)
+        i, r, o, c = gates.chunk(4, 1)
+        tc = torch.sigmoid(r) * tc + torch.sigmoid(i) * torch.tanh(c)
+        th = torch.sigmoid(o) * torch.tanh(tc)
+        jh, jstate = cell.apply({"params": params}, jnp.asarray(x), jstate)
+        np.testing.assert_allclose(np.asarray(jh), _nhwc(th), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jstate[1]), _nhwc(tc),
+                                   atol=1e-5)
+
+    # --- ConvGRU ---
+    uw, ub = tconv(2 * Cf, Cf)
+    rw, rb = tconv(2 * Cf, Cf)
+    ow, ob = tconv(2 * Cf, Cf)
+    cell = ConvGRU(Cf, k)
+    v = cell.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]), None)
+    params = jax.tree.map(np.asarray, v["params"])
+    params["update_gate"]["kernel"] = jk(uw)
+    params["update_gate"]["bias"] = ub.numpy()
+    params["reset_gate"]["kernel"] = jk(rw)
+    params["reset_gate"]["bias"] = rb.numpy()
+    params["out_gate"]["kernel"] = jk(ow)
+    params["out_gate"]["bias"] = ob.numpy()
+    ts = torch.zeros(2, Cf, 8, 8)
+    jstate = None
+    for x in xs:
+        xt = _nchw(x)
+        stacked = torch.cat([xt, ts], 1)
+        upd = torch.sigmoid(F.conv2d(stacked, uw, ub, padding=k // 2))
+        rst = torch.sigmoid(F.conv2d(stacked, rw, rb, padding=k // 2))
+        out = torch.tanh(F.conv2d(torch.cat([xt, ts * rst], 1), ow, ob,
+                                  padding=k // 2))
+        ts = ts * (1 - upd) + out * upd
+        jh, jstate = cell.apply({"params": params}, jnp.asarray(x), jstate)
+        np.testing.assert_allclose(np.asarray(jh), _nhwc(ts), atol=1e-5)
+
+    # --- ConvRecurrent ---
+    fw, fb = tconv(Cf, Cf)
+    rw2, rb2 = tconv(Cf, Cf)
+    ow2, ob2 = tconv(Cf, Cf)
+    cell = ConvRecurrent(Cf, k)
+    v = cell.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]), None)
+    params = jax.tree.map(np.asarray, v["params"])
+    params["ff"]["kernel"] = jk(fw)
+    params["ff"]["bias"] = fb.numpy()
+    params["rec"]["kernel"] = jk(rw2)
+    params["rec"]["bias"] = rb2.numpy()
+    params["out"]["kernel"] = jk(ow2)
+    params["out"]["bias"] = ob2.numpy()
+    ts = torch.zeros(2, Cf, 8, 8)
+    jstate = None
+    for x in xs:
+        xt = _nchw(x)
+        ts = torch.tanh(F.conv2d(xt, fw, fb, padding=k // 2)
+                        + F.conv2d(ts, rw2, rb2, padding=k // 2))
+        tout = torch.relu(F.conv2d(ts, ow2, ob2, padding=k // 2))
+        jout, jstate = cell.apply({"params": params}, jnp.asarray(x), jstate)
+        np.testing.assert_allclose(np.asarray(jout), _nhwc(tout), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jstate), _nhwc(ts), atol=1e-5)
+
+
+def test_upsample_conv_layer_matches_torch():
+    """UpsampleConvLayer: bilinear x2 (align_corners=False) + conv + act
+    (submodules.py:192-237) — jax.image.resize 'bilinear' uses the same
+    half-pixel convention as torch F.interpolate(align_corners=False)."""
+    import torch.nn.functional as F
+
+    from evflow.models.ann import UpsampleConvLayer
+
+    rng = np.random.default_rng(65)
+    x = rng.normal(0, 1, (1, 7, 9, 3)).astype(np.float32)
+    w = rng.normal(0, 0.2, (4, 3, 3, 3)).astype(np.float32)
+    b = rng.normal(0, 0.05, 4).astype(np.float32)
+
+    up = F.interpolate(_nchw(x), scale_factor=2, mode="bilinear",
+                       align_corners=False)
+    ty = torch.relu(F.conv2d(up, torch.tensor(w), torch.tensor(b),
+                             padding=1))
+
+    layer = UpsampleConvLayer(4, kernel_size=3, activation="relu")
+    v = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree.map(np.asarray, v["params"])
+    params["Conv_0"]["kernel"] = w.transpose(2, 3, 1, 0)
+    params["Conv_0"]["bias"] = b
+    jy = np.asarray(layer.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(np.moveaxis(jy, -1, 1), ty.numpy(), atol=1e-5)
