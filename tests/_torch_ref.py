@@ -508,8 +508,8 @@ def mirror_warp_loss(flow_maps, events, pol_mask, event_mask, valid,
     polf, validf = flat(pol_mask), flat(valid)
 
     total = flow_maps.new_zeros(())
-    for tref, tw in ((max_ts, None), (0.0, None)):
-        tw = tsf if tref else (max_ts - tsf)
+    for tref in (max_ts, 0.0):
+        tw = tsf if tref else (max_ts - tsf)  # fw: ts image; bw: max_ts - ts
         wy = ysf + (tref - tsf) * fyf * flow_scaling
         wx = xsf + (tref - tsf) * fxf * flow_scaling
         cnt = [flow_maps.new_zeros(B, H * W) for _ in range(2)]
