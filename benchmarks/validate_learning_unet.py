@@ -13,6 +13,14 @@ unchanged). Matches the reference's flagship training claim
 Success bar (VERDICT.md round 3, item 5): trained beats the zero-flow
 AEE baseline at the matched span on every sequence.
 
+Result of record (round 4): 8000 steps reach mean AEE 2.907 (-23.7% vs
+the 3.811 zero-flow baseline, 5/6 sequences below); resuming via
+train(prev_ckpt=<most_recent>) for a further 9000 steps (fresh loader
+seed) closes the last sequence — mean AEE 1.762, -53.8%, 6/6 below
+baseline (benchmarks/VALIDATION.md "UNet flagship end-to-end learning").
+For a one-shot reproduction pass steps=17000 (or run twice with
+prev_ckpt, which is what the recorded run did across a session break).
+
 Usage: python benchmarks/validate_learning_unet.py [steps]
 """
 import os
