@@ -43,11 +43,22 @@ RATE_MODE = "motion" if "--motion" in sys.argv else "fixed"
 # verdict asks whether it yields ONE checkpoint below the zero-flow
 # baseline at BOTH the matched (0.04) and full-frame (1.0) eval spans.
 NORM_INPUT = "--norm_input" in sys.argv
+# --seed N: one knob for an INDEPENDENT, reproducible draw — seeds the
+# synthetic dataset instance, the loader's augmentation stream, and the
+# model init (train() keys off loader.seed). Used for the n>=3 seeds
+# table in benchmarks/VALIDATION.md (round-5 verdict item 3).
+SEED = 0
+for a in list(sys.argv):
+    if a.startswith("--seed"):
+        SEED = int(a.split("=")[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+        if "=" not in a:
+            sys.argv.remove(sys.argv[sys.argv.index(a) + 1])
+        sys.argv.remove(a)
 sys.argv = [a for a in sys.argv if a not in ("--motion", "--norm_input")]
 make_dataset(root, num_sequences=6, resolution=(64, 64),
              events_per_sec=250_000, duration=1.0, flows=flows, gt_hz=10.0,
-             rate_mode=RATE_MODE, rate_ref=36.0)
-print(f"synthetic rate_mode={RATE_MODE}", flush=True)
+             rate_mode=RATE_MODE, rate_ref=36.0, seed=SEED)
+print(f"synthetic rate_mode={RATE_MODE} seed={SEED}", flush=True)
 
 cfg = {
     "experiment": "validate3",
@@ -67,7 +78,7 @@ cfg = {
     "loader": {"n_epochs": 10000, "batch_size": 4, "resolution": [64, 64],
                "std_resolution": [64, 64],
                "augment": ["Horizontal", "Vertical", "Polarity"],
-               "augment_prob": [0.5, 0.5, 0.5], "seed": 0},
+               "augment_prob": [0.5, 0.5, 0.5], "seed": SEED},
     "vis": {"verbose": True, "store_grads": False, "bars": False},
     "hot_filter": {"enabled": False},
 }

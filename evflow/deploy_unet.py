@@ -574,6 +574,26 @@ class Int8UNetEngine:
         zi = z.astype(self._cdtype)
         return zi, LIFState(v.astype(self._mem_jdtype), zi)
 
+    def tp_jit_step(self, mesh, data_axis: str = "data",
+                    model_axis: str = "model"):
+        """Tensor-parallel jitted engine step over ``mesh``.
+
+        Wraps :func:`evflow.parallel.tensor.tp_jit_step` around
+        :meth:`apply`, forwarding this engine's own ``phase_decoders``
+        flag so the measured-bad model-axis-4 x phase configuration is
+        refused at construction (guard_tp_phase; round-5 verdict item 4)
+        instead of silently compiling with 3 full-tensor remats/step.
+        Returns ``step(params, window, states) -> (flow_list, states)``.
+        """
+        from evflow.parallel.tensor import tp_jit_step as _tp_jit_step
+
+        def step(params, window, states):
+            out, new_states = self.apply(params, None, window, states)
+            return out["flow"], new_states
+
+        return _tp_jit_step(step, mesh, data_axis, model_axis,
+                            phase_decoders=self.phase_decoders)
+
     def apply(self, variables: Dict[str, Any], event_voxel, event_cnt,
               states: Sequence[LIFState], train: bool = False,
               timestep=None, log: bool = False):

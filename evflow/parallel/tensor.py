@@ -18,9 +18,12 @@ with data parallelism on a 2-D ``data x model`` mesh: batch slots shard over
 ``data`` exactly as evflow.parallel.mesh does.
 
 When to use: the FireNet-family models (<=64 channels) never need TP — DP
-fan-out dominates (ROOFLINE.md §4). On the UNet phase-decoder tier, avoid
-a model-axis size of 4: the phase-interleave transposes then trigger
-SPMD involuntary-full-remat reshards (measured cell in ROOFLINE §4 /
+fan-out dominates (ROOFLINE.md §4). On the UNet phase-decoder tier, a
+model-axis size of 4 is REFUSED (:func:`guard_tp_phase`, enforced by
+``make_mesh_tp(phase_decoders=True)``, ``tp_jit_step(phase_decoders=...)``
+and ``Int8UNetEngine.tp_jit_step``): the phase-interleave transposes then
+trigger SPMD involuntary-full-remat reshards — 3 full-tensor remats per
+step, the measured-bad cell in ROOFLINE §4 /
 benchmarks/probe_tp_phase_cost.py; sizes 2 and 8 compile clean and the
 collective volume is in family with the other engines). TP is for scaling the *channel* dimension
 past one chip's HBM/VMEM at high resolution (the same motivation as
@@ -41,11 +44,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh_tp",
+    "guard_tp_phase",
     "param_shardings",
     "channel_shardings",
     "shard_channel_tree",
     "tp_jit_step",
 ]
+
+# model-axis size measured to trigger SPMD involuntary-full-remat reshards
+# (3 full-tensor remats/step) under the UNet phase-interleave transposes —
+# benchmarks/probe_tp_phase_cost.py; sizes 2 and 8 compile clean
+TP_PHASE_BAD_MODEL_AXIS = 4
+
+
+def guard_tp_phase(
+    mesh: Mesh, phase_decoders: bool, model_axis: str = "model"
+) -> None:
+    """Refuse the measured-bad TP x phase-decoder configuration.
+
+    A ``model`` axis of size 4 combined with phase-decomposed decoders
+    makes GSPMD insert involuntary full-rematerialization reshards around
+    every phase-interleave transpose (3 full-tensor remats per step —
+    benchmarks/probe_tp_phase_cost.py). Sizes 2 and 8 are clean. Callers
+    that want the bad cell anyway must build the mesh by hand — the
+    public TP API refuses it loudly rather than letting a user silently
+    hit the measured pathology (round-5 verdict item 4).
+    """
+    if not phase_decoders:
+        return
+    nm = mesh.shape.get(model_axis, 1)
+    if nm == TP_PHASE_BAD_MODEL_AXIS:
+        raise ValueError(
+            f"model axis {nm} with phase_decoders=True is the measured-bad "
+            f"TP configuration: the phase-interleave transposes trigger "
+            f"SPMD involuntary-full-remat reshards (3 full-tensor remats "
+            f"per step, benchmarks/probe_tp_phase_cost.py). Use model axis "
+            f"2 or 8, or disable phase decoders on this mesh."
+        )
 
 
 def make_mesh_tp(
@@ -53,11 +88,15 @@ def make_mesh_tp(
     model: int,
     data_axis: str = "data",
     model_axis: str = "model",
+    phase_decoders: bool = False,
 ) -> Mesh:
     """``data x model`` mesh over the first data*model local devices.
 
     The ``model`` axis should map to the fastest ICI dimension — the
     channel all-gathers/reduce-scatters are along it every layer.
+    Pass ``phase_decoders=True`` when the mesh will drive a
+    phase-decomposed UNet engine: the measured-bad model-axis size 4 is
+    refused (:func:`guard_tp_phase`).
     """
     devs = jax.devices()
     if data * model > len(devs):
@@ -66,7 +105,9 @@ def make_mesh_tp(
             f"have {len(devs)}"
         )
     grid = np.array(devs[: data * model]).reshape(data, model)
-    return Mesh(grid, (data_axis, model_axis))
+    mesh = Mesh(grid, (data_axis, model_axis))
+    guard_tp_phase(mesh, phase_decoders, model_axis)
+    return mesh
 
 
 def _leaf_param_spec(x, nm: int, model_axis: str) -> P:
@@ -161,6 +202,7 @@ def tp_jit_step(
     mesh: Mesh,
     data_axis: str = "data",
     model_axis: str = "model",
+    phase_decoders: bool = False,
 ):
     """jit ``step_fn(variables, window, states) -> (out, states)`` with
     parameters channel-sharded over ``model`` and the window/state tensors
@@ -171,7 +213,13 @@ def tp_jit_step(
     accepts unplaced (host) pytrees too — jit re-shards at the boundary.
     Like :func:`evflow.parallel.spatial.spatial_jit_step`, compiled
     executables are cached per pytree structure + shard choice.
+
+    ``phase_decoders``: set True when ``step_fn`` wraps a phase-decomposed
+    UNet engine — the measured-bad model-axis size 4 is refused
+    (:func:`guard_tp_phase`; engines pass their own flag through
+    ``Int8UNetEngine.tp_jit_step``).
     """
+    guard_tp_phase(mesh, phase_decoders, model_axis)
     cache = {}
 
     def jitted(variables, window, states):

@@ -170,6 +170,10 @@ def test_tp_unet_phase_engine_bit_exact():
         return out["flow"][-1], new_st
 
     flow_ref, st_ref = jax.jit(step)(eng.params, win, est)
+    # the raw (guard-off) API: this test PURPOSELY compiles the
+    # measured-bad model-axis-4 cell to pin that the reshards are
+    # semantics-preserving; the public engine path refuses it
+    # (test_tp_phase_guard below)
     mesh = make_mesh_tp(1, 4)
     tp = tp_jit_step(step, mesh)
     flow_tp, st_tp = tp(eng.params, win, shard_channel_tree(est, mesh))
@@ -179,6 +183,55 @@ def test_tp_unet_phase_engine_bit_exact():
         assert np.array_equal(
             np.asarray(a).astype(np.float32), np.asarray(b).astype(np.float32)
         )
+
+
+def test_tp_phase_guard():
+    """The measured-bad TP x phase configuration (model axis 4 with phase
+    decoders — 3 involuntary-full-remat reshards/step,
+    benchmarks/probe_tp_phase_cost.py) is REFUSED by every public entry:
+    make_mesh_tp(phase_decoders=True), tp_jit_step(phase_decoders=True),
+    and Int8UNetEngine.tp_jit_step; sizes 2 and 8 pass, and non-phase
+    engines are unaffected (round-5 verdict item 4)."""
+    from evflow.deploy_unet import Int8UNetEngine
+
+    # mesh construction refuses model=4 only when phase_decoders is set
+    with pytest.raises(ValueError, match="phase"):
+        make_mesh_tp(2, 4, phase_decoders=True)
+    with pytest.raises(ValueError, match="phase"):
+        make_mesh_tp(1, 4, phase_decoders=True)
+    assert make_mesh_tp(2, 4).shape["model"] == 4  # guard off by default
+    assert make_mesh_tp(4, 2, phase_decoders=True).shape["model"] == 2
+    assert make_mesh_tp(1, 8, phase_decoders=True).shape["model"] == 8
+
+    # tp_jit_step refuses at wrap time (before any compile)
+    mesh4 = make_mesh_tp(1, 4)
+    with pytest.raises(ValueError, match="phase"):
+        tp_jit_step(lambda v, w, s: (w, s), mesh4, phase_decoders=True)
+    assert tp_jit_step(lambda v, w, s: (w, s), mesh4) is not None
+
+    # the engine hook forwards its own flag
+    cfg = dict(CFG, name="SpikingRecEVFlowNet")
+    model = build_model(cfg)
+    B, H, W = 1, 32, 32
+    states = model.init_states(B, H, W)
+    variables = model.init(
+        jax.random.PRNGKey(0), None, jnp.zeros((B, H, W, 2)), states
+    )
+    eng_phase = Int8UNetEngine(
+        model, variables, compute="hybrid", phase_decoders=True
+    )
+    with pytest.raises(ValueError, match="phase"):
+        eng_phase.tp_jit_step(mesh4)
+    assert eng_phase.tp_jit_step(make_mesh_tp(1, 2)) is not None
+
+    eng_plain = Int8UNetEngine(
+        model, variables, compute="hybrid", phase_decoders=False
+    )
+    step = eng_plain.tp_jit_step(mesh4)  # non-phase engine: model=4 is fine
+    est = eng_plain.init_states(B, H, W)
+    win = np.random.default_rng(0).poisson(0.3, (B, H, W, 2)).astype(np.float32)
+    flows, _ = step(eng_plain.params, win, shard_channel_tree(est, mesh4))
+    assert np.isfinite(np.asarray(flows[-1])).all()
 
 
 def test_tp_full_train_step_matches_replicated():
