@@ -33,49 +33,83 @@ __all__ = [
 ]
 
 
-def flow_to_image(flow: np.ndarray, percentile: float = 99.0, gamma: float = 0.6) -> np.ndarray:
-    """HSV color-wheel flow rendering (visualization.py:648-709).
+def flow_to_image(flow: np.ndarray, uniform_v: Optional[float] = None) -> np.ndarray:
+    """HSV color-wheel flow rendering — the reference's exact formula
+    (visualization.py:648-709, pinned by tests/test_reference_direct.py):
+    hue = atan2(fy, fx) wrapped to [0, 1]; value = P5–P95
+    percentile-normalized magnitude with a sqrt boost, scaled ×1.3 with a
+    0.15 brightness floor; true-zero flow stays black; uniform nonzero
+    fields take the ``uniform_v`` scale.
 
-    flow: [H, W, 2] (x, y). Hue = direction, value = magnitude normalized by
-    a high percentile with a gamma boost for visibility.
+    flow: [H, W, 2] (x, y). Returns uint8 RGB.
     """
-    fx, fy = flow[..., 0], flow[..., 1]
-    mag = np.sqrt(fx**2 + fy**2)
-    ang = np.arctan2(fy, fx)  # [-pi, pi]
-    hue = ((ang + np.pi) / (2 * np.pi) * 179).astype(np.uint8)
-    p = np.percentile(mag, percentile)
-    val = np.clip(mag / (p + 1e-9), 0, 1) ** gamma
-    hsv = np.stack(
-        [hue, np.full_like(hue, 255), (val * 255).astype(np.uint8)], axis=-1
-    )
-    if cv2 is not None:
-        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
-    # minimal fallback conversion
-    import colorsys
+    import matplotlib.colors
 
-    out = np.zeros(hsv.shape, np.uint8)
-    for i in range(hsv.shape[0]):
-        for j in range(hsv.shape[1]):
-            r, g, b = colorsys.hsv_to_rgb(hsv[i, j, 0] / 179, 1.0, hsv[i, j, 2] / 255)
-            out[i, j] = (int(r * 255), int(g * 255), int(b * 255))
-    return out
+    fx = np.asarray(flow[..., 0], dtype=float)
+    fy = np.asarray(flow[..., 1], dtype=float)
+    mag = np.sqrt(fx * fx + fy * fy)
+    max_mag = float(np.max(mag))
+    mag_range = max_mag - float(np.min(mag))
+
+    ang = (np.arctan2(fy, fx) + np.pi) / (2.0 * np.pi)
+    hsv = np.zeros((*fx.shape, 3), dtype=float)
+    hsv[..., 0] = ang
+    hsv[..., 1] = 1.0
+
+    if mag_range > 0.0:
+        p5 = float(np.percentile(mag, 5))
+        p95 = float(np.percentile(mag, 95))
+        norm = np.clip((mag - p5) / (p95 - p5 + 1e-8), 0.0, 1.0) ** 0.5
+        hsv[..., 2] = np.where(
+            mag > 0, np.clip(norm * 1.3 + 0.15, 0.15, 1.0), 0.0
+        )
+    elif max_mag > 0.0:
+        v = mag / max_mag
+        if uniform_v is not None:
+            v = v * float(uniform_v)
+        v = v**0.5 * 1.3 + 0.15
+        hsv[..., 2] = np.where(mag > 0, np.clip(v, 0.15, 1.0), 0.0)
+
+    return (255 * matplotlib.colors.hsv_to_rgb(hsv)).astype(np.uint8)
 
 
 def events_to_image(event_cnt: np.ndarray) -> np.ndarray:
-    """Green(+)/red(−) event count rendering (visualization.py:1036-1084).
+    """Green(+)/red(−) event count rendering — the reference's exact
+    formula (visualization.py:1036-1084 ``green_red`` scheme, pinned by
+    tests/test_reference_direct.py): per-polarity P1–P99 normalization
+    against the shared max, positive events on the green channel,
+    negative on red, overlap keeping both.
 
-    event_cnt: [H, W, 2] per-polarity counts."""
-    pos, neg = event_cnt[..., 0], event_cnt[..., 1]
-    img = np.zeros((*pos.shape, 3), np.uint8)
-    scale = max(1.0, np.percentile(pos + neg, 99))
-    img[..., 1] = np.clip(pos / scale * 255, 0, 255).astype(np.uint8)
-    img[..., 0] = np.clip(neg / scale * 255, 0, 255).astype(np.uint8)
-    return img
+    event_cnt: [H, W, 2] per-polarity counts. Returns uint8 RGB.
+    """
+    pos = np.asarray(event_cnt[..., 0], dtype=float)
+    neg = np.asarray(event_cnt[..., 1], dtype=float)
+    pos_max, pos_min = np.percentile(pos, 99), np.percentile(pos, 1)
+    neg_max, neg_min = np.percentile(neg, 99), np.percentile(neg, 1)
+    mx = pos_max if pos_max > neg_max else neg_max
+    if pos_min != mx:
+        pos = (pos - pos_min) / (mx - pos_min)
+    if neg_min != mx:
+        neg = (neg - neg_min) / (mx - neg_min)
+    pos = np.clip(pos, 0, 1)
+    neg = np.clip(neg, 0, 1)
+
+    img = np.zeros((*pos.shape, 3), dtype=float)
+    mask_pos = pos > 0
+    mask_neg = neg > 0
+    img[..., 1][mask_pos] = pos[mask_pos]
+    img[..., 0][mask_neg] = neg[mask_neg]
+    return (255 * img).astype(np.uint8)
 
 
 def error_to_image(error: np.ndarray, mask: Optional[np.ndarray] = None,
                    rad_to_deg: bool = False) -> np.ndarray:
-    """Red error heatmap (visualization.py:617-645)."""
+    """Red error-gradient heatmap (visualization.py:617-645).
+
+    ``rad_to_deg=True`` is the reference's exact path (radians → degrees,
+    fixed [0°, 180°] scale — pinned by tests/test_reference_direct.py);
+    the default percentile normalization is an evflow extension for
+    non-angular errors (AEE px maps have no fixed natural scale)."""
     e = error.astype(np.float32).copy()
     if rad_to_deg:
         e = np.degrees(e) / 180.0

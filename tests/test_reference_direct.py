@@ -766,6 +766,61 @@ def test_window_accumulators_direct(rng, round_idx):
 
 
 # ---------------------------------------------------------------------------
+# utils/visualization.py — rendering formulas
+# ---------------------------------------------------------------------------
+
+def _load_ref_viz():
+    return _direct_load("ref_visualization", f"{REF_ROOT}/utils/visualization.py")
+
+
+def test_flow_to_image_direct(rng):
+    """Flow color wheel vs the genuine Visualization.flow_to_image
+    (visualization.py:648-709): random fields, a field with true zeros,
+    and the uniform-magnitude branch."""
+    ref_viz = pytest.importorskip("cv2") and _load_ref_viz()
+    import evflow.utils.viz as viz
+
+    cases = []
+    f = rng.normal(0, 1.5, (24, 24, 2)).astype(np.float32)
+    cases.append(f)
+    fz = f.copy()
+    fz[:8] = 0.0  # true zeros stay black
+    cases.append(fz)
+    cases.append(np.full((8, 8, 2), 0.7, np.float32))  # uniform branch
+    for i, flow in enumerate(cases):
+        r = ref_viz.Visualization.flow_to_image(
+            flow[..., 0].astype(float), flow[..., 1].astype(float)
+        )
+        j = viz.flow_to_image(flow)
+        np.testing.assert_array_equal(j, r, f"case {i}")
+
+
+def test_events_to_image_direct(rng):
+    """Green/red event rendering vs the genuine Visualization.events_to_image
+    (visualization.py:1036-1084), including pos/neg overlap pixels."""
+    ref_viz = pytest.importorskip("cv2") and _load_ref_viz()
+    import evflow.utils.viz as viz
+
+    cnt = rng.poisson(0.4, (24, 24, 2)).astype(np.float32)
+    cnt[3, 3] = (4.0, 5.0)  # overlap pixel
+    r = ref_viz.Visualization.events_to_image(cnt.astype(float))
+    j = viz.events_to_image(cnt)
+    np.testing.assert_array_equal(j, (255 * r).astype(np.uint8))
+
+
+def test_error_to_image_direct(rng):
+    """Angular-error red gradient vs the genuine Visualization.error_to_image
+    (visualization.py:617-645)."""
+    ref_viz = pytest.importorskip("cv2") and _load_ref_viz()
+    import evflow.utils.viz as viz
+
+    err = rng.uniform(0, np.pi, (16, 16)).astype(np.float32)
+    r = ref_viz.Visualization.error_to_image(err)
+    j = viz.error_to_image(err, rad_to_deg=True)
+    np.testing.assert_array_equal(j, r)
+
+
+# ---------------------------------------------------------------------------
 # configs/parser.py — YAMLParser defaults / merge / combine_entries
 # ---------------------------------------------------------------------------
 
