@@ -766,6 +766,47 @@ def test_window_accumulators_direct(rng, round_idx):
 
 
 # ---------------------------------------------------------------------------
+# models/model_util.py — crop/pad geometry
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "width,height,encoders",
+    [(240, 180, 4), (346, 260, 4), (33, 17, 3), (64, 64, 4), (31, 97, 2)],
+)
+def test_crop_parameters_direct(rng, width, height, encoders):
+    """CropParameters pad/crop geometry vs the genuine model_util.py:30-79
+    on MVSEC-like and awkward odd sizes: identical pad amounts, crop
+    indices, and an exact pad→crop roundtrip on the same random image."""
+    ref_mu = _direct_load("ref_model_util", f"{REF_ROOT}/models/model_util.py")
+    from evflow.models.unet import CropParameters, optimal_crop_size
+
+    rcp = ref_mu.CropParameters(width, height, encoders)
+    jcp = CropParameters(width, height, encoders)
+
+    assert optimal_crop_size(height, encoders) == rcp.height_crop_size
+    assert optimal_crop_size(width, encoders) == rcp.width_crop_size
+    assert (jcp.pad_top, jcp.pad_bottom, jcp.pad_left, jcp.pad_right) == (
+        rcp.padding_top, rcp.padding_bottom, rcp.padding_left, rcp.padding_right
+    )
+    assert (jcp.iy0, jcp.iy1, jcp.ix0, jcp.ix1) == (
+        rcp.iy0, rcp.iy1, rcp.ix0, rcp.ix1
+    )
+
+    img = rng.normal(0, 1, (1, height, width, 3)).astype(np.float32)
+    rpad = rcp.pad(torch.tensor(np.moveaxis(img, -1, 1)))
+    jpad = jcp.pad(jnp.asarray(img))
+    np.testing.assert_array_equal(
+        np.asarray(jpad), np.moveaxis(rpad.numpy(), 1, -1)
+    )
+    rcropped = rcp.crop(rpad)
+    jcropped = jcp.crop(jpad)
+    np.testing.assert_array_equal(
+        np.asarray(jcropped), np.moveaxis(rcropped.numpy(), 1, -1)
+    )
+    np.testing.assert_array_equal(np.asarray(jcropped), img)
+
+
+# ---------------------------------------------------------------------------
 # utils/visualization.py — rendering formulas
 # ---------------------------------------------------------------------------
 
