@@ -275,6 +275,84 @@ def test_time_mode_direct(dataset):
     mine.close()
 
 
+def test_sparse_time_windows_direct(tmp_path):
+    """The <=10-events-per-window rule (h5.py:246-251: very sparse windows
+    are emptied before encoding) and empty-window encodings match the
+    genuine loader on a nearly-event-free stream (time mode)."""
+    root = str(tmp_path / "sparse")
+    make_dataset(root, num_sequences=1, resolution=(H, W),
+                 events_per_sec=150, duration=1.0, flows=[(5.0, -3.0)],
+                 gt_hz=10.0, seed=5)
+    cfg = _config(root, "time", 0.05)
+    ref = _ref_loader(cfg)
+    mine = H5EventStream(cfg, num_bins=2)
+
+    empties = 0
+    for i in range(30):
+        ref.new_seq = False
+        ref_out = ref[i]
+        got = mine.next_batch()
+        assert bool(got["new_seq"][0]) == bool(ref.new_seq), f"window {i}"
+        n_ref = ref_out["event_list"].shape[1]
+        empties += n_ref == 0
+        _compare_window(ref_out, got, i)
+    # ~7.5 events/window on average -> the <=10 rule must fire repeatedly
+    assert empties >= 5, f"sparse stream produced only {empties} empty windows"
+    mine.close()
+
+
+def test_hot_filter_direct(dataset):
+    """The stateful hot-pixel filter (base.py:237-256 create_hot_mask +
+    h5.py:327-333 application to cnt/voxel/mask but NOT event_list)
+    accumulates identically across windows in both loaders."""
+    cfg = _config(dataset, "events", 800)
+    cfg["hot_filter"] = {
+        "enabled": True, "max_px": 30, "min_obvs": 2, "max_rate": 0.3,
+    }
+    ref = _ref_loader(cfg)
+    mine = H5EventStream(cfg, num_bins=2)
+
+    filtered = 0
+    for i in range(12):
+        ref.new_seq = False
+        ref_out = ref[i]
+        got = mine.next_batch()
+        _compare_window(ref_out, got, i)
+        # the filter must actually be zeroing pixels for this to test it:
+        # count-image zeros at pixels the (unfiltered) event list hits
+        n = int(got["event_valid"][0].sum())
+        el = got["event_list"][0, :n]
+        cnt_sum = got["event_cnt"][0].sum(-1)
+        hits = cnt_sum[el[:, 1].astype(int), el[:, 2].astype(int)]
+        filtered += int((hits == 0).sum() > 0)
+    assert filtered >= 5, "hot filter never zeroed a pixel — test is vacuous"
+    mine.close()
+
+
+def test_frames_mode_direct(tmp_path):
+    """APS frames windows: the image pair read + window indexing
+    (h5.py:336-347) matches the genuine loader."""
+    root = str(tmp_path / "frames")
+    make_dataset(root, num_sequences=1, resolution=(H, W),
+                 events_per_sec=20_000, duration=1.0, flows=[(9.0, -6.0)],
+                 gt_hz=10.0, seed=7, with_frames=True)
+    cfg = _config(root, "frames", 1)
+    ref = _ref_loader(cfg)
+    mine = H5EventStream(cfg, num_bins=2)
+
+    for i in range(8):
+        ref.new_seq = False
+        ref_out = ref[i]
+        got = mine.next_batch()
+        assert bool(got["new_seq"][0]) == bool(ref.new_seq), f"window {i}"
+        _compare_window(ref_out, got, i)
+        rfr = ref_out["frames"].numpy()  # [2, H, W] uint8
+        np.testing.assert_array_equal(
+            got["frames"][0], np.moveaxis(rfr, 0, -1), f"window {i} frames"
+        )
+    mine.close()
+
+
 def test_fractional_gtflow_window_direct(dataset):
     """window < 1 GT frame: the fractional index interpolation
     (h5.py:165-171 + :221-237) — the dt4-style operating point — matches."""
