@@ -90,20 +90,24 @@ from evflow.data.synthetic import make_dataset  # noqa: E402
 H = W = 32
 
 
-def _config(root, mode, window, encoding="voxel"):
+def _config(root, mode, window, encoding="voxel", resolution=None,
+            keep_gt_full_res=False):
     """One config dict accepted by BOTH loaders (schemas intentionally
     compatible; see evflow/config.py)."""
+    loader = {
+        "resolution": list(resolution) if resolution else [H, W],
+        "std_resolution": [H, W],
+        "batch_size": 1,
+        "augment": [],
+        "augment_prob": [],
+        "seed": 0,
+    }
+    if keep_gt_full_res:
+        loader["keep_gt_full_res"] = True
     return {
         "data": {"path": root, "mode": mode, "window": window},
         "model": {"encoding": encoding},
-        "loader": {
-            "resolution": [H, W],
-            "std_resolution": [H, W],
-            "batch_size": 1,
-            "augment": [],
-            "augment_prob": [],
-            "seed": 0,
-        },
+        "loader": loader,
         "vis": {"bars": False},
         "hot_filter": {"enabled": False},
     }
@@ -350,6 +354,86 @@ def test_frames_mode_direct(tmp_path):
         np.testing.assert_array_equal(
             got["frames"][0], np.moveaxis(rfr, 0, -1), f"window {i} frames"
         )
+    mine.close()
+
+
+def test_events_spatial_filter_direct(dataset):
+    """Events mode at resolution < std_resolution: the center-crop
+    chunk-growing spatial sampler (h5.py:449-545) — exact event sets,
+    shifted coordinates, and the quirky double cursor advance
+    (batch_row set to the search stop THEN advanced by window)."""
+    cfg = _config(dataset, "events", 400, resolution=(16, 16))
+    ref = _ref_loader(cfg)
+    mine = H5EventStream(cfg, num_bins=2)
+
+    for i in range(10):
+        ref.new_seq = False
+        ref_out = ref[i]
+        got = mine.next_batch()
+        assert bool(got["new_seq"][0]) == bool(ref.new_seq), f"window {i}"
+        _compare_window(ref_out, got, i)
+        assert mine.batch_row[0] == ref.batch_row[0], f"window {i} cursor"
+    mine.close()
+
+
+@pytest.mark.parametrize("keep_full", [False, True])
+def test_gtflow_downsample_direct(dataset, keep_full):
+    """gtflow mode at resolution < std_resolution: avg-pooled encodings,
+    event-coordinate rescale + clamp, pooled (or kept-full-res) GT flow
+    and event mask (h5.py:374-430 + the keep_gt_full_res path) — the
+    reference's published multi-resolution operating points."""
+    cfg = _config(dataset, "gtflow_dt1", 1, resolution=(16, 16),
+                  keep_gt_full_res=keep_full)
+    ref = _ref_loader(cfg)
+    mine = H5EventStream(cfg, num_bins=2)
+
+    for i in range(8):
+        ref.new_seq = False
+        ref_out = ref[i]
+        got = mine.next_batch()
+        assert bool(got["new_seq"][0]) == bool(ref.new_seq), f"window {i}"
+        _compare_window(ref_out, got, i, has_gt=True)
+        # shape assertions make the operating point explicit
+        exp_mask = (H, W, 1) if keep_full else (16, 16, 1)
+        exp_gt = (H, W, 2) if keep_full else (16, 16, 2)
+        assert got["event_mask"][0].shape == exp_mask
+        assert got["gtflow"][0].shape == exp_gt
+        assert got["event_cnt"][0].shape == (16, 16, 2)
+    mine.close()
+
+
+def test_multi_slot_direct(dataset):
+    """B=2: per-slot file assignment and independent cursors
+    (h5.py:53-70 batch slot memory) — slot b's k-th window from the
+    genuine loader (``ref[B*k + b]``) equals slot b of evflow's k-th
+    batch, across a rollover."""
+    cfg = _config(dataset, "events", 1000)
+    cfg["loader"]["batch_size"] = 2
+    ref = _ref_loader(cfg)
+    mine = H5EventStream(cfg, num_bins=2)
+
+    idx = 0
+    for k in range(24):
+        got = mine.next_batch()
+        for b in range(2):
+            ref.new_seq = False
+            ref_out = ref[idx]
+            idx += 1
+            n = int(got["event_valid"][b].sum())
+            rlist = ref_out["event_list"].numpy()
+            assert rlist.shape[1] == n, f"batch {k} slot {b}"
+            if n:
+                np.testing.assert_array_equal(
+                    got["event_list"][b, :n, 1:],
+                    rlist[1:].T,
+                    f"batch {k} slot {b} events",
+                )
+            np.testing.assert_allclose(
+                got["event_cnt"][b],
+                np.moveaxis(ref_out["event_cnt"].numpy(), 0, -1),
+                atol=1e-6,
+                err_msg=f"batch {k} slot {b} cnt",
+            )
     mine.close()
 
 
