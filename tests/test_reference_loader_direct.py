@@ -402,6 +402,27 @@ def test_gtflow_downsample_direct(dataset, keep_full):
     mine.close()
 
 
+def test_augmented_stream_direct(dataset):
+    """Augmentation INTEGRATED into streaming (not just the pure
+    functions): with augment_prob = 1.0 both loaders deterministically
+    flip every window — events H/V/polarity (base.py:101-127) and the
+    GT flow map flip + component negation (base.py:144-159) must match
+    through the full gtflow pipeline."""
+    cfg = _config(dataset, "gtflow_dt1", 1)
+    cfg["loader"]["augment"] = ["Horizontal", "Vertical", "Polarity"]
+    cfg["loader"]["augment_prob"] = [1.0, 1.0, 1.0]
+    ref = _ref_loader(cfg)
+    mine = H5EventStream(cfg, num_bins=2)
+
+    for i in range(8):
+        ref.new_seq = False
+        ref_out = ref[i]
+        got = mine.next_batch()
+        assert bool(got["new_seq"][0]) == bool(ref.new_seq), f"window {i}"
+        _compare_window(ref_out, got, i, has_gt=True)
+    mine.close()
+
+
 def test_multi_slot_direct(dataset):
     """B=2: per-slot file assignment and independent cursors
     (h5.py:53-70 batch slot memory) — slot b's k-th window from the
