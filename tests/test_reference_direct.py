@@ -15,9 +15,11 @@ definitions (including the AAE inverted-ratio quirk, loss/flow.py:727), the
 encoding kernels, or the surrogate backward curves fails here against the
 actual reference, not a re-implementation of it.
 
-The model cells cannot be tested this way — models/spiking_submodules.py
-imports brevitas/snntorch at module scope and neither is installed — so the
-mirror-based cell/model parity tests remain authoritative there.
+The sigmoid-LIF cell family and the UNet flagship get the same treatment
+in tests/test_reference_model_direct.py (inert import stubs; the fp32
+path never calls brevitas/snntorch at runtime); only the snn.Leaky-based
+family remains mirror-based (tests/test_reference_parity.py) because it
+calls snntorch at runtime.
 """
 
 import importlib.util
