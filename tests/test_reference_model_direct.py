@@ -181,8 +181,13 @@ def test_genuine_sigmoid_recurrent_cell_parity():
 
 
 def _genuine_unet(seed):
+    """Build the genuine flagship and re-draw leak/thresh into an
+    actively-spiking regime: the default init (sigmoid(-4)≈0.02 leak,
+    thresh exactly 0.8) never fires the deeper layers at C=4 on sparse
+    count inputs — flows would be identically zero and every comparison
+    vacuous. (The mirror tests re-draw for the same reason.)"""
     torch.manual_seed(seed)
-    return ref_model.SpikingRecEVFlowNet({
+    model = ref_model.SpikingRecEVFlowNet({
         "num_bins": 2,
         "base_num_channels": 4,
         "kernel_size": 3,
@@ -196,6 +201,19 @@ def _genuine_unet(seed):
         "activations": ["arctanspike", "arctanspike"],
         "spiking_neuron": {"leak": (-4.0, 0.1), "thresh": (0.8, 0.0)},
     })
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (ref_cells.ConvLIF, ref_cells.ConvLIFRecurrent)):
+                m.leak.copy_(torch.randn_like(m.leak) * 0.5 - 2.0)
+                m.thresh.copy_(torch.rand_like(m.thresh) * 0.5 + 0.3)
+        # the reference zero-inits pred biases (submodules.py:50) — give
+        # them small nonzero values so no flow pixel is EXACTLY 0 (an
+        # untrained net otherwise outputs exact zeros wherever no spike
+        # reaches a pred, parking warped events exactly on splat kinks)
+        for n, p in model.named_parameters():
+            if ".preds." in n and n.endswith("bias"):
+                p.copy_(torch.randn_like(p) * 0.05 + 0.02)
+    return model
 
 
 def _evflow_unet(ckpt_path):
@@ -227,6 +245,7 @@ def test_genuine_unet_flagship_forward(tmp_path):
     tmodel.reset_states()
     jstates = None
     rng = np.random.default_rng(32)
+    live_frac = 0.0
     for t in range(3):
         cnt = rng.poisson(0.4, (1, Hc, Wc, 2)).astype(np.float32)
         with torch.no_grad():
@@ -239,6 +258,165 @@ def test_genuine_unet_flagship_forward(tmp_path):
                 np.asarray(jf), _nhwc(tf), atol=2e-5,
                 err_msg=f"genuine UNet flow scale {s} diverges at window {t}",
             )
+        live_frac = max(
+            live_frac, float((tout["flow"][-1] != 0).float().mean())
+        )
+    # the comparison must exercise real spiking dynamics, not a dead net
+    assert live_frac > 0.2, f"flows mostly zero ({live_frac:.2%}) — vacuous"
+
+
+def test_genuine_unet_real_loss_train_step(tmp_path):
+    """The genuine-everything training step: the GENUINE flagship model
+    (models/model.py:723-858) driven through the GENUINE EventWarping
+    loss (loss/flow.py:58-303) over a 2-pass TBPTT window, backpropagated
+    by reference autograd — versus evflow's model + event_warping_loss +
+    jax.grad. Loss value and d(loss)/d(param) for every parameter. No
+    mirror code anywhere in the oracle path.
+
+    Kink safety: the bilinear splat weight ``max(0, 1-|warped-idx|)`` has
+    subgradient kinks where a warped coordinate lands exactly on the
+    pixel lattice; the two frameworks' flows differ by f32 conv noise
+    (~1e-5), so a warped coordinate within that distance of a kink can
+    cross it in one framework only, flipping that term's gradient sign.
+    flow_scaling=1 keeps the noise-induced displacement ~2e-5 px, and the
+    window is drawn from candidate seeds until EVERY warped coordinate of
+    every scale and both warp directions clears a 5e-5 kink margin — the
+    comparison cannot be epsilon-flipped."""
+    from loss import flow as ref_flow  # genuine loss (REF_ROOT on sys.path)
+
+    from evflow.loss.warp_loss import event_warping_loss
+
+    Hc = Wc = 32
+    P, N = 2, 32
+    FLOW_SCALING = 1.0
+    KINK_MARGIN = 5e-5
+    tmodel = _genuine_unet(31)  # same draw as the forward test
+    path = os.path.join(str(tmp_path), "genuine_unet.pth")
+    torch.save({"model_state_dict": tmodel.state_dict()}, path)
+    jmodel, jvars = _evflow_unet(path)
+
+    cfg = {
+        "loader": {"resolution": [Hc, Wc]},
+        "loss": {"flow_regul_weight": 0.001},
+        "model": {"mask_output": True},
+    }
+
+    def draw_window(seed):
+        rng = np.random.default_rng(seed)
+        ts = rng.uniform(0.0, 1.0, (P, 1, N)).astype(np.float32)
+        ys = rng.integers(0, Hc, (P, 1, N)).astype(np.float32)
+        xs = rng.integers(0, Wc, (P, 1, N)).astype(np.float32)
+        ps = rng.choice([-1.0, 1.0], (P, 1, N)).astype(np.float32)
+        events = np.stack([ts, ys, xs, ps], axis=-1)
+        pol = np.stack([(ps > 0).astype(np.float32),
+                        (ps < 0).astype(np.float32)], axis=-1)
+        masks = np.zeros((P, 1, 1, Hc, Wc), np.float32)  # NCHW
+        cnts = []
+        for p in range(P):
+            c = np.zeros((1, Hc, Wc, 2), np.float32)
+            for n in range(N):
+                y, x = int(ys[p, 0, n]), int(xs[p, 0, n])
+                masks[p, 0, 0, y, x] = 1.0
+                c[0, y, x, int(ps[p, 0, n] > 0)] += 1.0
+            cnts.append(c)
+        return events, pol, masks, cnts
+
+    def kink_margin(ew):
+        m = np.inf
+        with torch.no_grad():
+            for flow_ev in ew._flow_list:
+                for tref_t in (float(P), 0.0):
+                    warped = (ew._event_list[:, :, 1:3]
+                              + (tref_t - ew._event_list[:, :, 0:1])
+                              * flow_ev * FLOW_SCALING)
+                    frac = warped - torch.floor(warped)
+                    m = min(m, float(torch.minimum(frac, 1.0 - frac).min()))
+        return m
+
+    ew = None
+    for window_seed in range(35, 55):
+        events, pol, masks, cnts = draw_window(window_seed)
+        ew = ref_flow.EventWarping(cfg, torch.device("cpu"),
+                                   flow_scaling=FLOW_SCALING)
+        tmodel.zero_grad(set_to_none=True)
+        tmodel.reset_states()
+        for p in range(P):
+            tflows = tmodel(None, _nchw(cnts[p]))["flow"]
+            ew.event_flow_association(
+                tflows,
+                torch.tensor(events[p]).clone(),
+                torch.tensor(pol[p]),
+                torch.tensor(masks[p]),
+            )
+        if kink_margin(ew) > KINK_MARGIN:
+            break
+        ew = None
+    assert ew is not None, "no candidate window cleared the kink margin"
+    valid = np.ones((P, 1, N), np.float32)
+    tloss = ew()
+    tloss.backward()
+    tgrads = {n: g.grad.detach().numpy()
+              for n, g in tmodel.named_parameters() if g.grad is not None}
+
+    em = jnp.asarray(np.moveaxis(masks, 2, -1))  # [P,B,H,W,1]
+
+    def loss_fn(params):
+        states = None
+        per_scale = None
+        for p in range(P):
+            out, states = jmodel.apply(
+                {"params": params}, None, jnp.asarray(cnts[p]), states,
+                train=True)
+            if per_scale is None:
+                per_scale = [[] for _ in out["flow"]]
+            for s, f in enumerate(out["flow"]):
+                per_scale[s].append(f)
+        return event_warping_loss(
+            [jnp.stack(fs) for fs in per_scale],
+            jnp.asarray(events), jnp.asarray(pol), em, jnp.asarray(valid),
+            flow_scaling=FLOW_SCALING, smoothness_weight=0.001,
+            res=(Hc, Wc), smoothing_mask=True)
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jvars["params"])
+    np.testing.assert_allclose(float(jloss), float(tloss.detach()),
+                               rtol=1e-5)
+    u = jgrads["multires_unetrec"]
+
+    def check(tname, jgrad, conv=False):
+        tg = tgrads[tname]
+        if conv:
+            tg = tg.transpose(2, 3, 1, 0)
+        else:
+            tg = tg.reshape(np.asarray(jgrad).shape)
+        np.testing.assert_allclose(
+            np.asarray(jgrad), tg, rtol=1e-3, atol=1e-7,
+            err_msg=f"genuine train-step gradient mismatch for {tname}",
+        )
+
+    def check_cell(dst, src, rec=False):
+        check(f"{src}.ff.weight", dst["ff"]["kernel"], conv=True)
+        if rec:
+            check(f"{src}.rec.weight", dst["rec"]["kernel"], conv=True)
+        check(f"{src}.leak", dst["leak"])
+        check(f"{src}.thresh", dst["thresh"])
+
+    for i in range(4):
+        check_cell(u[f"encoder{i}"]["conv"],
+                   f"multires_unetrec.encoders.{i}.conv")
+        check_cell(u[f"encoder{i}"]["recurrent_block"],
+                   f"multires_unetrec.encoders.{i}.recurrent_block",
+                   rec=True)
+        check_cell(u[f"decoder{i}"]["conv2d"],
+                   f"multires_unetrec.decoders.{i}.conv2d")
+        check(f"multires_unetrec.preds.{i}.conv2d.weight",
+              u[f"pred{i}"]["conv2d"]["kernel"], conv=True)
+        check(f"multires_unetrec.preds.{i}.conv2d.bias",
+              u[f"pred{i}"]["conv2d"]["bias"])
+    for i in range(2):
+        check_cell(u[f"resblock{i}"]["conv1"],
+                   f"multires_unetrec.resblocks.{i}.conv1")
+        check_cell(u[f"resblock{i}"]["conv2"],
+                   f"multires_unetrec.resblocks.{i}.conv2")
 
 
 def test_genuine_unet_tbptt_gradients(tmp_path):
