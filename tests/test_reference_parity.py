@@ -1,8 +1,16 @@
 """Cross-framework numeric parity: evflow (JAX) vs the reference's cell
 dynamics re-run in plain PyTorch (tests/_torch_ref.py mirrors).
 
-This is the strongest obtainable "AEE within 1% of reference" evidence
-absent real MVSEC data: identical weights are loaded into both frameworks
+Evidence tiers (round 5): the GENUINE reference code is now the oracle
+wherever it can run — tests/test_reference_direct.py (loss/metrics/IWE/
+encodings/config/viz), tests/test_reference_loader_direct.py (the whole
+H5 streaming state machine), and tests/test_reference_model_direct.py
+(the sigmoid cells + the UNet flagship + the genuine-everything training
+step). THIS file's mirror tier remains authoritative only for the
+snn.Leaky-based family (snntorch is called at runtime there and is not
+installed) and doubles as an independent re-derivation everywhere else.
+
+Mirror-tier design: identical weights are loaded into both frameworks
 (through ``import_torch_checkpoint`` from a *genuine* ``torch.save`` of a
 real ``nn.Module`` tree — no hand-synthesized dicts), identical multi-step
 event windows drive both, and membranes / spikes / flows / TBPTT gradients
