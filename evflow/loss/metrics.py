@@ -283,8 +283,17 @@ class _BaseMetric:
         self._dt_gt = jnp.asarray(inputs["dt_gt"], jnp.float32).reshape(-1)
         self._passes += 1
 
-    def overwrite_intermediate_flow(self, flow_list):
+    def overwrite_intermediate_flow(self, flow_list, event_mask=None):
+        """Replace the association's flow with a refined estimate
+        (loss/flow.py:409-433). The reference also collapses its
+        accumulated per-pass event masks to their union; this class
+        keeps only the latest window per association, so callers using
+        the overwrite protocol pass the union mask (``[B, H, W, 1]``)
+        explicitly — semantics pinned against the genuine reference in
+        test_metric_overwrite_intermediate_direct."""
         self._flow = flow_list[-1]
+        if event_mask is not None:
+            self._event_mask = event_mask[..., 0]
 
     def reset(self, slots=None):
         """Full reset, or — given a boolean [B] slot array — clear only the

@@ -699,6 +699,56 @@ def test_augment_flowmap_direct(rng, h_flip, v_flip):
     np.testing.assert_array_equal(np.asarray(rimg), jimg)
 
 
+def test_metric_overwrite_intermediate_direct(rng):
+    """Metric evaluation after overwrite_intermediate_flow
+    (loss/flow.py:409-433): the reference rebuilds the flow map AND
+    collapses the accumulated event masks to their union — AEE then
+    reads the union mask, not the last pass' mask."""
+    windows, dt_input, dt_gt = _metric_inputs(rng)
+    cfg = _config()
+
+    rmetric = ref_flow.AEE(cfg, torch.device("cpu"), flow_scaling=FLOW_SCALING)
+    for wdw in windows:
+        inputs = {
+            "event_list": torch.tensor(wdw["events"]),
+            "event_list_pol_mask": torch.tensor(wdw["pol"]),
+            "event_mask": torch.tensor(wdw["event_mask"]),
+            "gtflow": nchw(wdw["gtflow"]),
+            "dt_input": torch.tensor([dt_input]),
+            "dt_gt": torch.tensor([dt_gt]),
+        }
+        rmetric.event_flow_association([nchw(wdw["flow"])], inputs)
+    new_flow = make_flow_nhwc(rng, 1)
+    rmetric.overwrite_intermediate_flow([nchw(new_flow)])
+    rval, rpct = rmetric()
+
+    jmetric = metrics.AEE(cfg, flow_scaling=FLOW_SCALING)
+    for wdw in windows:
+        jmetric.event_flow_association(
+            [jnp.asarray(wdw["flow"])],
+            {
+                "gtflow": jnp.asarray(wdw["gtflow"]),
+                "event_mask": jnp.asarray(
+                    np.moveaxis(wdw["event_mask"], 1, -1)
+                ),
+                "dt_input": dt_input,
+                "dt_gt": dt_gt,
+            },
+        )
+    # reference semantics: overwrite collapses the mask window to the
+    # union of all associated passes
+    union = np.clip(
+        sum(np.moveaxis(w["event_mask"], 1, -1) for w in windows), 0, 1
+    )
+    jmetric.overwrite_intermediate_flow([jnp.asarray(new_flow)],
+                                        event_mask=jnp.asarray(union))
+    jval, jpct = jmetric()
+    np.testing.assert_allclose(np.asarray(jval), rval.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jpct).reshape(-1),
+                               rpct.numpy().reshape(-1), rtol=1e-5, atol=1e-6)
+
+
 def test_metric_association_gather_direct(rng):
     """The per-event flow gather inside metric association (loss/flow.py:
     355-367) vs evflow's lookup_event_flow — same (y, x) vector per event."""
