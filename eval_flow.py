@@ -29,6 +29,11 @@ def main():
                         help="scan K windows per device dispatch (identical "
                              "metrics; amortizes per-dispatch latency on "
                              "remote/tunneled hosts)")
+    parser.add_argument("--device_metrics", action="store_true",
+                        help="compute the metric protocol in-graph (needs "
+                             "--chunk>1): GT rides up with the events, only "
+                             "[K,B] metric scalars ride down, and the host "
+                             "does no per-window metric math")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler device trace to DIR "
                              "(TensorBoard/Perfetto format) for the run — the "
@@ -89,6 +94,7 @@ def main():
             fused=args.fused,
             chunk=args.chunk,
             mesh=mesh,
+            device_metrics=args.device_metrics,
         )
     print()
     for metric, per_file in results.items():

@@ -57,6 +57,9 @@ def main():
                         help="scan K windows per device dispatch (identical "
                              "metrics; amortizes per-dispatch latency on "
                              "remote/tunneled hosts)")
+    parser.add_argument("--device_metrics", action="store_true",
+                        help="compute the metric protocol in-graph (needs "
+                             "--chunk>1); flow maps never leave the device")
     args = parser.parse_args()
     if args.artifact:
         if args.mode != "deploy":
@@ -134,6 +137,7 @@ def main():
                 path_results=args.path_results,
                 runid="quant_deploy", debug=args.debug,
                 max_windows=args.max_windows, chunk=args.chunk,
+            device_metrics=args.device_metrics,
             )
             for metric, per_file in results.items():
                 for fname, val in per_file.items():
@@ -206,6 +210,7 @@ def main():
             path_results=args.path_results,
             runid="quant_deploy", debug=args.debug,
             max_windows=args.max_windows, chunk=args.chunk,
+            device_metrics=args.device_metrics,
         )
         for metric, per_file in results.items():
             for fname, val in per_file.items():
@@ -252,6 +257,7 @@ def main():
         path_results=args.path_results,
         runid=f"quant_{args.mode}", debug=args.debug,
         max_windows=args.max_windows, chunk=args.chunk,
+            device_metrics=args.device_metrics,
     )
 
     print()

@@ -26,6 +26,7 @@ import numpy as np
 
 from evflow import registry
 from evflow.data.h5_stream import H5EventStream, Prefetcher
+from evflow.loss import metrics as M
 from evflow.ops.iwe import compute_pol_iwe, upsample_flow
 from evflow.utils.checkpoint import load_checkpoint
 from evflow.utils.tracker import create_model_dir, log_config, log_results
@@ -75,6 +76,107 @@ def make_chunk_eval_step(raw_step):
     return step
 
 
+def _window_metric_values(criteria, names, flow, gtflow, event_mask, dt_gt,
+                          dt_input, want_heatmaps):
+    """In-graph metric values for ONE associated window.
+
+    Mirrors the host-side ``criteria[i]()`` calls with the same pure metric
+    kernels (loss/flow.py:597-938); returns ``vals[str(i)]`` — ``val[B]`` or
+    ``(val[B], percent[B])`` — plus, for the heatmap-accumulating metrics
+    (AEE/AAE/NAAE, loss/flow.py:489-594), the per-window batch-summed
+    ``(err * mask, mask)`` maps gated exactly as the host path gates its
+    criterion calls.
+    """
+    vals, hmaps = {}, {}
+    for i, (name, crit) in enumerate(zip(names, criteria)):
+        fs = float(crit.flow_scaling)
+        key = str(i)
+        hm = None
+        if name == "AEE":
+            v, p, err, mask = M.aee(flow, gtflow, event_mask, dt_gt, dt_input, fs)
+            vals[key] = (v, p)
+            # the host path calls the AEE criterion only on windows where
+            # some slot is due; at cadence 1 that is exactly (dt_gt > 0).any()
+            hm = (err, mask, (dt_gt > 0.0).any())
+        elif name == "NEE":
+            v, p, _, _ = M.nee(flow, gtflow, event_mask, dt_gt, dt_input, fs)
+            vals[key] = (v, p)
+        elif name == "AAE":
+            v, p, err, mask = M.aae(flow, gtflow, event_mask, dt_gt, dt_input,
+                                    fs, crit.strict)
+            vals[key] = (v, p)
+            hm = (err, mask, jnp.asarray(True))
+        elif name == "NAAE":
+            v, err, mask = M.naae(flow, gtflow, event_mask, dt_gt, dt_input, fs)
+            vals[key] = v
+            hm = (err, mask, jnp.asarray(True))
+        elif name == "AE_ofMeans":
+            vals[key] = M.ae_of_means(flow, gtflow, event_mask, dt_gt, dt_input, fs)
+        elif name == "AAE_Weighted":
+            vals[key] = M.aae_weighted(flow, gtflow, event_mask, dt_gt, dt_input, fs)
+        elif name == "AAE_Filtered":
+            vals[key] = M.aae_filtered(flow, gtflow, event_mask, dt_gt, dt_input,
+                                       fs, crit.mag_threshold)
+        else:  # registry guarantees the set above; fail loudly if it grows
+            raise NotImplementedError(f"device metric {name!r}")
+        if want_heatmaps and hm is not None:
+            err, mask, gate = hm
+            g = gate.astype(jnp.float32)
+            hmaps[key] = ((err * mask).sum(axis=0) * g, mask.sum(axis=0) * g)
+    return vals, hmaps
+
+
+def make_chunk_eval_metrics_step(raw_step, criteria, names, want_heatmaps,
+                                 keep_gt_full_res):
+    """Jitted K-window forward + ON-DEVICE metric protocol.
+
+    Like :func:`make_chunk_eval_step`, but instead of returning the K
+    stacked flow maps for a host-side metric pass, the scan body computes
+    every metric's per-slot value in-graph and accumulates the error
+    heatmaps in the carry — the host fetches only ``[K, B]`` scalars per
+    metric (and, once per run, two ``[H, W]`` heatmap accumulators). Flow
+    maps never leave the device: the dominant fetch of the chunked
+    protocol (K x B x H x W x 2 f32) is replaced by the GT upload the
+    metrics need anyway, and the per-window host metric math (the
+    unmodeled host-sizing term in docs/DEPLOYMENT.md) disappears.
+    Protocol parity with the host path is pinned by
+    tests/test_train_eval.py::test_evaluate_device_metrics_matches_host.
+    """
+
+    @jax.jit
+    def step(variables, voxels, cnts, states, gtflows, masks, dt_gts,
+             dt_inputs, hm):
+        def body(carry, inp):
+            st, hm = carry
+            flows, st2, act = raw_step(variables, inp["v"], inp["c"], st)
+            flow = flows[-1]
+            gt = inp["gt"]
+            if keep_gt_full_res:
+                # nearest-upsample + rescale predictions to GT resolution
+                # (eval_flow.py:239-252), in-graph
+                gh, gw = gt.shape[1:3]
+                ph, pw = flow.shape[1:3]
+                if gh > ph or gw > pw:
+                    up = upsample_flow(flow, gh, gw)
+                    flow = up * jnp.array([gw / pw, gh / ph], jnp.float32)
+            vals, hmaps = _window_metric_values(
+                criteria, names, flow, gt, inp["m"], inp["dtg"], inp["dti"],
+                want_heatmaps,
+            )
+            if hmaps:
+                hm = jax.tree.map(lambda a, b: a + b, hm, hmaps)
+            return (st2, hm), (vals, act)
+
+        (states, hm), (vals, acts) = jax.lax.scan(
+            body, (states, hm),
+            {"v": voxels, "c": cnts, "gt": gtflows, "m": masks,
+             "dtg": dt_gts, "dti": dt_inputs},
+        )
+        return vals, acts, states, hm
+
+    return step
+
+
 def _reset_slot_states(states, model, flags, B, H, W):
     """Mask-reset carries for slots that started a new sequence."""
     if not flags.any():
@@ -102,6 +204,7 @@ def evaluate(
     verbose: bool = True,
     chunk: int = 1,
     mesh=None,
+    device_metrics: bool = False,
 ):
     """Run the full evaluation protocol; returns the per-file results dict.
 
@@ -123,6 +226,20 @@ def evaluate(
     non-fused compute local because every op is batch-parallel; the
     Pallas ``fused`` backend cannot be partitioned and is rejected).
     Metric results are identical to single-device evaluation.
+
+    ``device_metrics`` (requires ``chunk > 1``) moves the metric protocol
+    in-graph: the chunked dispatch uploads each window's GT flow / event
+    mask / dt alongside the encoded events, computes every metric's
+    per-slot value inside the scan, and accumulates error heatmaps in the
+    device carry — the host fetches only ``[K, B]`` scalars per metric, and
+    flow maps never cross the wire. Cadence gating and per-file
+    accumulation stay host-side over the fetched scalars, so results match
+    the host path to f32 rounding. Visualization paths need the flow maps
+    and are rejected; ``heat_map`` needs ``window == 1`` (the AEE criterion
+    call gate is evaluated in-graph). On a normally-attached host this
+    removes the per-window host metric math from the serving bound
+    (docs/DEPLOYMENT.md host sizing); partial chunks at sequence rollovers
+    fall back to the host-side per-window program.
     """
     metrics_cfg = config.get("metrics", {})
     names = metrics_cfg.get("name", [])
@@ -239,7 +356,32 @@ def evaluate(
         state_model = model
     step_fn = jax.jit(_raw_step)
     chunk = max(int(chunk), 1)
-    chunk_fn = make_chunk_eval_step(_raw_step) if chunk > 1 else None
+    want_heatmaps = bool(metrics_cfg.get("heat_map", False))
+    cadence = int(np.round(1.0 / window)) if window else 1
+    if device_metrics:
+        if chunk <= 1:
+            raise ValueError("device_metrics needs chunk > 1 (per-window "
+                             "dispatch is host-driven)")
+        if not names:
+            raise ValueError("device_metrics without metrics does nothing — "
+                             "drop the flag or configure metrics.name")
+        if collect_vis or vis is not None:
+            raise ValueError("device_metrics never fetches flow maps; "
+                             "vis/collect_vis need them — disable one")
+        if want_heatmaps and cadence != 1:
+            raise ValueError("device_metrics with metrics.heat_map needs "
+                             "window == 1 (the AEE criterion-call gate is "
+                             "evaluated in-graph)")
+    chunk_fn = None
+    metrics_chunk_fn = None
+    if chunk > 1:
+        if device_metrics:
+            metrics_chunk_fn = make_chunk_eval_metrics_step(
+                _raw_step, criteria, names, want_heatmaps, keep_gt_full_res,
+            )
+        else:
+            chunk_fn = make_chunk_eval_step(_raw_step)
+    hm_dev = None  # device heatmap accumulators, lazily shaped at first chunk
 
     batch_shd = chunk_shd = None
     if mesh is not None:
@@ -269,7 +411,6 @@ def evaluate(
     # global; generalized per batch slot so each streamed file keeps its own
     # association cadence)
     idx_AEE = np.zeros(B, np.int64)
-    cadence = int(np.round(1.0 / window)) if window else 1
     # compact host->device wire: count encodings are exact small NON-NEGATIVE
     # integers unless downsample pooling (res < std_res) makes them
     # fractional, or temporal_cnt makes channel 0 = (pos - neg) signed —
@@ -307,18 +448,8 @@ def evaluate(
             return None, batch["event_cnt"].astype(cnt_wire_dtype)
         return None, batch["event_cnt"]
 
-    def process_window(batch, flows, activity, host=False):
-        """Host-side per-window protocol: activity log, IWE, full-res
-        upsample, metric association/cadence, vis. Identical for the
-        per-window and chunked dispatch paths. With ``host`` the metric /
-        IWE jits run on the CPU backend over already-fetched flows — on a
-        high-latency link each per-window device metric call costs a full
-        roundtrip, which would cancel the chunked forward's savings."""
-        nonlocal activity_log, windows_done
-        if host:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                return process_window(batch, flows, activity, host=False)
-        flows = list(flows)
+    def handle_activity(activity):
+        nonlocal activity_log
         if log_activity and activity is not None:
             from evflow.utils.viz import vis_activity
 
@@ -326,6 +457,64 @@ def evaluate(
                 {k: float(v) for k, v in activity.items()}, activity_log,
                 live=live_vis,
             )
+
+    def finish_window(batch):
+        nonlocal windows_done
+        windows_done += B
+        if verbose and windows_done % (100 * B) < B:
+            print(f"eval: {windows_done} windows, seq {data.seq_num}", end="\r")
+
+    def accumulate_metrics(batch, value_of, pre=None, post=None):
+        """Shared cadence / per-file accumulation protocol
+        (eval_flow.py:271-304). The host path passes the criterion call as
+        ``value_of``; the device_metrics path passes the fetched in-graph
+        values — the gating and bookkeeping live here exactly once."""
+        dt_gt_np = np.asarray(batch["dt_gt"], np.float64).reshape(-1)
+        for i, mname in enumerate(names):
+            if pre is not None:
+                pre(i)
+            if mname == "AEE":
+                # per-slot protocol (eval_flow.py:273-278 generalized):
+                # a slot only advances its cadence when it has valid GT
+                # this window, and only due slots accumulate
+                idx_AEE[dt_gt_np > 0.0] += 1
+                due = (idx_AEE >= cadence) & (dt_gt_np > 0.0)
+                if not due.any():
+                    continue
+            else:
+                due = np.ones(B, np.bool_)
+            val = value_of(i, mname)
+            if mname == "AEE":
+                idx_AEE[due] = 0
+            for b in range(B):
+                if not due[b]:
+                    continue
+                fname = batch["file_names"][b]
+                slot = val_results.setdefault(fname, {})
+                entry = slot.setdefault(
+                    mname, {"metric": 0.0, "it": 0, "percent": 0.0}
+                )
+                entry["it"] += 1
+                if criteria[i].has_percent:
+                    entry["metric"] += float(np.asarray(val[0][b]))
+                    entry["percent"] += float(np.asarray(val[1][b]))
+                else:
+                    entry["metric"] += float(np.asarray(val)[b])
+            if post is not None:
+                post(i)
+
+    def process_window(batch, flows, activity, host=False):
+        """Host-side per-window protocol: activity log, IWE, full-res
+        upsample, metric association/cadence, vis. Identical for the
+        per-window and chunked dispatch paths. With ``host`` the metric /
+        IWE jits run on the CPU backend over already-fetched flows — on a
+        high-latency link each per-window device metric call costs a full
+        roundtrip, which would cancel the chunked forward's savings."""
+        if host:
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                return process_window(batch, flows, activity, host=False)
+        flows = list(flows)
+        handle_activity(activity)
 
         iwe = None
         if collect_vis or vis is not None:
@@ -367,42 +556,21 @@ def evaluate(
             overwrite = bool(
                 config.get("loss", {}).get("overwrite_intermediate", False)
             )
-            dt_gt_np = np.asarray(batch["dt_gt"], np.float64).reshape(-1)
             for c in criteria:
                 c.event_flow_association(flows, inputs)
-            for i, mname in enumerate(names):
+
+            def pre(i):
                 # overwrite intermediate flows with the final estimate
                 # (eval_flow.py:271-272)
                 if overwrite:
                     criteria[i].overwrite_intermediate_flow(flows)
-                if mname == "AEE":
-                    # per-slot protocol (eval_flow.py:273-278 generalized):
-                    # a slot only advances its cadence when it has valid GT
-                    # this window, and only due slots accumulate
-                    idx_AEE[dt_gt_np > 0.0] += 1
-                    due = (idx_AEE >= cadence) & (dt_gt_np > 0.0)
-                    if not due.any():
-                        continue
-                else:
-                    due = np.ones(B, np.bool_)
-                val = criteria[i]()
-                if mname == "AEE":
-                    idx_AEE[due] = 0
-                for b in range(B):
-                    if not due[b]:
-                        continue
-                    fname = batch["file_names"][b]
-                    slot = val_results.setdefault(fname, {})
-                    entry = slot.setdefault(
-                        mname, {"metric": 0.0, "it": 0, "percent": 0.0}
-                    )
-                    entry["it"] += 1
-                    if criteria[i].has_percent:
-                        entry["metric"] += float(np.asarray(val[0][b]))
-                        entry["percent"] += float(np.asarray(val[1][b]))
-                    else:
-                        entry["metric"] += float(np.asarray(val)[b])
-                criteria[i].reset()
+
+            accumulate_metrics(
+                batch,
+                lambda i, mname: criteria[i](),
+                pre=pre,
+                post=lambda i: criteria[i].reset(),
+            )
 
         if vis is not None:
             sequence = os.path.splitext(batch["file_names"][0])[0]
@@ -438,9 +606,7 @@ def evaluate(
                 error_is_angle=err_is_angle,
             )
 
-        windows_done += B
-        if verbose and windows_done % (100 * B) < B:
-            print(f"eval: {windows_done} windows, seq {data.seq_num}", end="\r")
+        finish_window(batch)
 
     pending: list = []
 
@@ -449,17 +615,70 @@ def evaluate(
         chunk, the per-window jit otherwise (partial chunks at sequence /
         epoch / stream boundaries reuse the per-window program so only two
         compiled programs exist)."""
-        nonlocal states
+        nonlocal states, hm_dev
         if not pending:
             return
-        if chunk_fn is not None and len(pending) == chunk:
+        full = len(pending) == chunk
+
+        def up(stack):  # [K, B, ...] upload, batch axis over the mesh
+            a = np.stack(stack)
+            return (jax.device_put(a, chunk_shd) if chunk_shd is not None
+                    else jnp.asarray(a))
+
+        if metrics_chunk_fn is not None and full:
             vs, cs = zip(*(encode_wire(p) for p in pending))
+            voxels = up(vs) if vs[0] is not None else None
+            cnts = up(cs) if cs[0] is not None else None
+            # metric inputs ride UP the wire instead of flow maps riding
+            # down: GT f32 (exactness), event mask as its boolean (all the
+            # metrics read, loss/flow.py:621-634) in uint8
+            gts = up([np.asarray(p["gtflow"], np.float32) for p in pending])
+            ems = up([
+                (np.asarray(p["event_mask"])[..., 0] > 0).astype(np.uint8)
+                for p in pending
+            ])
+            dtg = up([np.asarray(p["dt_gt"], np.float32).reshape(-1)
+                      for p in pending])
+            dti = up([np.asarray(p["dt_input"], np.float32).reshape(-1)
+                      for p in pending])
+            if hm_dev is None:
+                hm_dev = {}
+                if want_heatmaps:
+                    # error maps live at the metric-input resolution: GT res
+                    # when keep_gt_full_res upsamples in-graph, model res
+                    # otherwise; merged to std_res at save time
+                    res_hm = (tuple(gts.shape[3:5]) if keep_gt_full_res
+                              else (H, W))
+                    for i, mname in enumerate(names):
+                        if mname in ("AEE", "AAE", "NAAE"):
+                            hm_dev[str(i)] = (
+                                jnp.zeros(res_hm, jnp.float32),
+                                jnp.zeros(res_hm, jnp.float32),
+                            )
+            vals, acts, states, hm_dev = metrics_chunk_fn(
+                step_variables, voxels, cnts, states, gts, ems, dtg, dti,
+                hm_dev,
+            )
+            # the ONLY per-chunk fetch: [K, B] scalars per metric (+ the
+            # activity scalars); flow maps stay on the device
+            vals_np = jax.device_get(vals)
+            acts_np = jax.device_get(acts) if acts is not None else None
+            for k, b in enumerate(pending):
+                if acts_np is not None:
+                    handle_activity({kk: vv[k] for kk, vv in acts_np.items()})
 
-            def up(stack):  # [K, B, ...] upload, batch axis over the mesh
-                a = np.stack(stack)
-                return (jax.device_put(a, chunk_shd) if chunk_shd is not None
-                        else jnp.asarray(a))
+                def value_of(i, mname, _k=k):
+                    v = vals_np[str(i)]
+                    if isinstance(v, tuple):
+                        return (v[0][_k], v[1][_k])
+                    return v[_k]
 
+                accumulate_metrics(b, value_of)
+                finish_window(b)
+            pending.clear()
+            return
+        if chunk_fn is not None and full:
+            vs, cs = zip(*(encode_wire(p) for p in pending))
             voxels = up(vs) if vs[0] is not None else None
             cnts = up(cs) if cs[0] is not None else None
             flows_st, states, acts = chunk_fn(step_variables, voxels, cnts, states)
@@ -549,6 +768,14 @@ def evaluate(
             results[mname][fname] = str(v[mname]["metric"] / v[mname]["it"])
             if has_pct:
                 results[pct_key][fname] = str(v[mname]["percent"] / v[mname]["it"])
+
+    if hm_dev:
+        # fold the device-accumulated heatmaps into the criteria aggregates
+        # (partial chunks accumulated host-side into the same aggregates)
+        for i, crit in enumerate(criteria):
+            if str(i) in hm_dev:
+                e_dev, c_dev = hm_dev[str(i)]
+                crit.merge_aggregated(np.asarray(e_dev), np.asarray(c_dev))
 
     if not debug and names:
         log_results(runid, results, path_results, eval_id)

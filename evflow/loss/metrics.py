@@ -330,7 +330,17 @@ class _BaseMetric:
     def accumulate_error_heatmap(self, error_map, mask_map):
         e = np.asarray(error_map, np.float32) * np.asarray(mask_map, np.float32)
         c = np.asarray(mask_map, np.float32)
-        e, c = e.sum(axis=0), c.sum(axis=0)
+        self._merge_std(e.sum(axis=0), c.sum(axis=0))
+
+    def merge_aggregated(self, err_sum, count_sum):
+        """Fold already-accumulated (sum-of-masked-error, sum-of-mask) maps
+        into the heatmap aggregate — the device-side accumulation path of
+        ``evaluate(device_metrics=True)``, where whole chunks of windows
+        accumulate on the chip and are merged host-side once."""
+        self._merge_std(np.asarray(err_sum, np.float32),
+                        np.asarray(count_sum, np.float32))
+
+    def _merge_std(self, e, c):
         # accumulate at std_resolution: nearest-upsample pooled-resolution
         # error maps so the stored artifact matches the reference's full-res
         # heatmap (loss/flow.py:330 + eval_flow.py:164-173)

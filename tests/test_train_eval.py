@@ -805,3 +805,159 @@ def test_derive_voxel_round_ts():
         resolution=(H, W), num_bins=NB, round_ts=True)
     np.testing.assert_allclose(np.asarray(rw["event_voxel"])[0, 0], host,
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# device_metrics: the metric protocol computed in-graph (evaluate() fast path)
+# ---------------------------------------------------------------------------
+
+def _results_match(r1, r2, rel=1e-5):
+    assert set(r1) == set(r2)
+    for mname in r1:
+        assert set(r1[mname]) == set(r2[mname]), mname
+        for fname in r1[mname]:
+            assert float(r1[mname][fname]) == pytest.approx(
+                float(r2[mname][fname]), rel=rel, abs=1e-7), (mname, fname)
+
+
+@pytest.mark.parametrize("chunk", [3, 8])
+def test_evaluate_device_metrics_matches_host(dataset, tmp_path, chunk):
+    """device_metrics computes every metric in-graph inside the chunked
+    scan and fetches only [K, B] scalars; per-file results must match the
+    host-side metric path (chunk=3 forces partial chunks at sequence
+    rollovers, exercising the mixed device/host accumulation)."""
+    from evflow.registry import build_model
+
+    cfg = eval_cfg(dataset)
+    # every in-graph metric branch: percent metrics, heatmap metrics,
+    # scalar-only metrics
+    cfg["metrics"]["name"] = [
+        "AEE", "NEE", "AAE", "NAAE", "AE_ofMeans", "AAE_Weighted",
+        "AAE_Filtered",
+    ]
+    model = build_model(cfg["model"])
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(7), None, jnp.zeros((1, 32, 32, 2)), states)
+
+    r_host = evaluate(cfg, path_results=str(tmp_path / "h"), debug=True,
+                      model=model, variables=v, verbose=False, chunk=chunk)
+    r_dev = evaluate(cfg, path_results=str(tmp_path / "d"), debug=True,
+                     model=model, variables=v, verbose=False, chunk=chunk,
+                     device_metrics=True)
+    _results_match(r_host, r_dev)
+
+
+def test_evaluate_device_metrics_b2(dataset, tmp_path):
+    """B=2: per-slot cadence counters and per-file accumulation over the
+    fetched [K, B] values match the host path."""
+    from evflow.registry import build_model
+
+    cfg = eval_cfg(dataset)
+    cfg["loader"]["batch_size"] = 2
+    cfg["metrics"]["name"] = ["AEE", "AAE"]
+    model = build_model(cfg["model"])
+    states = model.init_states(2, 32, 32)
+    v = model.init(jax.random.PRNGKey(3), None, jnp.zeros((2, 32, 32, 2)), states)
+
+    r_host = evaluate(cfg, path_results=str(tmp_path / "h"), debug=True,
+                      model=model, variables=v, verbose=False, chunk=4)
+    r_dev = evaluate(cfg, path_results=str(tmp_path / "d"), debug=True,
+                     model=model, variables=v, verbose=False, chunk=4,
+                     device_metrics=True)
+    _results_match(r_host, r_dev)
+
+
+def test_evaluate_device_metrics_dt4_cadence(dataset, tmp_path):
+    """window=0.25 (AEE cadence 4): gating runs host-side over the fetched
+    per-window values and must match the host path's due windows."""
+    cfg = eval_cfg(dataset)
+    cfg["data"] = {"path": dataset, "mode": "gtflow_dt4", "window": 0.25}
+    cfg["metrics"] = {"name": ["AEE"], "flow_scaling": 32}
+    from evflow.registry import build_model
+
+    model = build_model(cfg["model"])
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(5), None, jnp.zeros((1, 32, 32, 2)), states)
+    r_host = evaluate(cfg, path_results=str(tmp_path / "h"), debug=True,
+                      model=model, variables=v, verbose=False, chunk=4,
+                      max_windows=24)
+    r_dev = evaluate(cfg, path_results=str(tmp_path / "d"), debug=True,
+                     model=model, variables=v, verbose=False, chunk=4,
+                     max_windows=24, device_metrics=True)
+    _results_match(r_host, r_dev)
+
+
+def test_evaluate_device_metrics_keep_gt_full_res(dataset, tmp_path):
+    """keep_gt_full_res: the nearest-upsample + flow rescale happens
+    in-graph on the device path."""
+    from evflow.registry import build_model
+
+    cfg = eval_cfg(dataset)
+    cfg["loader"]["resolution"] = [16, 16]
+    cfg["loader"]["std_resolution"] = [32, 32]
+    cfg["loader"]["keep_gt_full_res"] = True
+    cfg["metrics"]["name"] = ["AEE", "AAE"]
+    model = build_model(cfg["model"])
+    states = model.init_states(1, 16, 16)
+    v = model.init(jax.random.PRNGKey(9), None, jnp.zeros((1, 16, 16, 2)), states)
+    r_host = evaluate(cfg, path_results=str(tmp_path / "h"), debug=True,
+                      model=model, variables=v, verbose=False, chunk=4)
+    r_dev = evaluate(cfg, path_results=str(tmp_path / "d"), debug=True,
+                     model=model, variables=v, verbose=False, chunk=4,
+                     device_metrics=True)
+    _results_match(r_host, r_dev)
+
+
+def test_evaluate_device_metrics_heatmap_parity(dataset, tmp_path, monkeypatch):
+    """The device carry accumulates (err*mask, mask) sums; the merged
+    heatmap aggregate must match the host path's accumulation."""
+    from evflow.loss.metrics import _BaseMetric
+    from evflow.registry import build_model
+
+    captured = {}
+    orig = _BaseMetric.save_error_heatmap
+
+    def capture(self, save_path, **kw):
+        avg, count = self.get_final_error_heatmap()
+        run = "dev" if f"{os.sep}dev{os.sep}" in save_path else "host"
+        captured.setdefault(run, []).append(
+            (np.asarray(avg), np.asarray(count))
+        )
+        return orig(self, save_path, **kw)
+
+    monkeypatch.setattr(_BaseMetric, "save_error_heatmap", capture)
+
+    cfg = eval_cfg(dataset)
+    cfg["metrics"]["name"] = ["AEE", "AAE"]
+    cfg["metrics"]["heat_map"] = True
+    model = build_model(cfg["model"])
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(11), None, jnp.zeros((1, 32, 32, 2)), states)
+
+    evaluate(cfg, path_results=str(tmp_path / "host"), debug=False,
+             runid="h", model=model, variables=v, verbose=False, chunk=4)
+    evaluate(cfg, path_results=str(tmp_path / "dev"), debug=False,
+             runid="d", model=model, variables=v, verbose=False, chunk=4,
+             device_metrics=True)
+    h_maps, d_maps = captured["host"], captured["dev"]
+    assert len(h_maps) == len(d_maps) == 2  # AEE + AAE
+    for (ha, hc), (da, dc) in zip(h_maps, d_maps):
+        np.testing.assert_allclose(hc, dc, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ha, da, rtol=1e-4, atol=1e-6)
+
+
+def test_evaluate_device_metrics_rejections(dataset, tmp_path):
+    """Paths that need flow maps on the host are rejected loudly."""
+    cfg = eval_cfg(dataset)
+    with pytest.raises(ValueError, match="chunk"):
+        evaluate(cfg, path_results=str(tmp_path / "a"), debug=True,
+                 verbose=False, device_metrics=True)
+    with pytest.raises(ValueError, match="vis"):
+        evaluate(cfg, path_results=str(tmp_path / "b"), debug=True,
+                 verbose=False, chunk=4, device_metrics=True, collect_vis=True)
+    cfg2 = eval_cfg(dataset)
+    cfg2["data"] = {"path": dataset, "mode": "gtflow_dt4", "window": 0.25}
+    cfg2["metrics"] = {"name": ["AEE"], "flow_scaling": 32, "heat_map": True}
+    with pytest.raises(ValueError, match="heat_map"):
+        evaluate(cfg2, path_results=str(tmp_path / "c"), debug=True,
+                 verbose=False, chunk=4, device_metrics=True)
