@@ -48,11 +48,13 @@ cfg = {
 }
 cfg = combine_entries(cfg)
 
-for chunk in (16, 64):
+for chunk, dev_metrics in ((16, False), (64, False), (16, True), (64, True)):
     t0 = time.perf_counter()
     res = evaluate(cfg, checkpoint=None, debug=True, verbose=False,
-                   max_windows=N_WINDOWS, chunk=chunk)
+                   max_windows=N_WINDOWS, chunk=chunk,
+                   device_metrics=dev_metrics)
     dt = time.perf_counter() - t0
     aee = {k: round(float(v), 4) for k, v in res["AEE"].items()}
-    print(f"chunk={chunk:3d}: {N_WINDOWS / dt:7.1f} win/s wall over "
+    tag = " device_metrics" if dev_metrics else ""
+    print(f"chunk={chunk:3d}{tag}: {N_WINDOWS / dt:7.1f} win/s wall over "
           f"{N_WINDOWS} windows ({dt:.1f} s)  AEE={aee}", flush=True)

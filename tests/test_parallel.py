@@ -396,3 +396,34 @@ def test_evaluate_rejects_fused_with_mesh(dataset):
     }
     with pytest.raises(ValueError, match="fused.*mesh|mesh.*fused"):
         evaluate(cfg, debug=True, verbose=False, fused=True, mesh=make_mesh(2))
+
+
+def test_eval_fanout_device_metrics_matches_single(dataset, tmp_path):
+    """evaluate(mesh=..., chunk=K, device_metrics=True): the in-graph
+    metric protocol under batch fan-out — GT/mask uploads ride the chunk
+    sharding, metric reductions cross the mesh via GSPMD — must match the
+    single-device device_metrics run per file."""
+    from tests.test_train_eval import eval_cfg
+    from evflow.eval import evaluate
+    from evflow.registry import build_model
+
+    cfg = eval_cfg(dataset)
+    cfg["loader"]["batch_size"] = 2
+    cfg["metrics"]["name"] = ["AEE", "AAE"]
+    model = build_model(cfg["model"])
+    states = model.init_states(2, 32, 32)
+    v = model.init(jax.random.PRNGKey(21), None, jnp.zeros((2, 32, 32, 2)),
+                   states)
+
+    r_single = evaluate(cfg, path_results=str(tmp_path / "s"), debug=True,
+                        model=model, variables=v, verbose=False, chunk=4,
+                        device_metrics=True)
+    mesh = make_mesh(2)
+    r_mesh = evaluate(cfg, path_results=str(tmp_path / "m"), debug=True,
+                      model=model, variables=v, verbose=False, chunk=4,
+                      device_metrics=True, mesh=mesh)
+    assert set(r_single["AEE"]) == set(r_mesh["AEE"])
+    for mname in ("AEE", "AAE"):
+        for fname in r_single[mname]:
+            assert float(r_single[mname][fname]) == pytest.approx(
+                float(r_mesh[mname][fname]), rel=1e-5), (mname, fname)
