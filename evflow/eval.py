@@ -151,6 +151,13 @@ def make_chunk_eval_metrics_step(raw_step, criteria, names, want_heatmaps,
             flows, st2, act = raw_step(variables, inp["v"], inp["c"], st)
             flow = flows[-1]
             gt = inp["gt"]
+            m = inp["m"]
+            if m is None:
+                # derive_mask wire contract (train.py compact_window,
+                # pinned by test_derive_mask_matches_loader): the loader's
+                # event_mask IS cnt.sum(-1) > 0 for plain cnt windows —
+                # skip the mask upload and rebuild it in-graph
+                m = (inp["c"].astype(jnp.float32).sum(-1) > 0).astype(jnp.uint8)
             if keep_gt_full_res:
                 # nearest-upsample + rescale predictions to GT resolution
                 # (eval_flow.py:239-252), in-graph
@@ -160,7 +167,7 @@ def make_chunk_eval_metrics_step(raw_step, criteria, names, want_heatmaps,
                     up = upsample_flow(flow, gh, gw)
                     flow = up * jnp.array([gw / pw, gh / ph], jnp.float32)
             vals, hmaps = _window_metric_values(
-                criteria, names, flow, gt, inp["m"], inp["dtg"], inp["dti"],
+                criteria, names, flow, gt, m, inp["dtg"], inp["dti"],
                 want_heatmaps,
             )
             if hmaps:
@@ -631,9 +638,11 @@ def evaluate(
             cnts = up(cs) if cs[0] is not None else None
             # metric inputs ride UP the wire instead of flow maps riding
             # down: GT f32 (exactness), event mask as its boolean (all the
-            # metrics read, loss/flow.py:621-634) in uint8
+            # metrics read, loss/flow.py:621-634) in uint8 — or not at all
+            # when the derive_mask contract lets the chip rebuild it from
+            # the count wire (cnt encoding, unpooled, unsigned)
             gts = up([np.asarray(p["gtflow"], np.float32) for p in pending])
-            ems = up([
+            ems = None if (encoding == "cnt" and compact_wire) else up([
                 (np.asarray(p["event_mask"])[..., 0] > 0).astype(np.uint8)
                 for p in pending
             ])

@@ -961,3 +961,47 @@ def test_evaluate_device_metrics_rejections(dataset, tmp_path):
     with pytest.raises(ValueError, match="heat_map"):
         evaluate(cfg2, path_results=str(tmp_path / "c"), debug=True,
                  verbose=False, chunk=4, device_metrics=True)
+
+
+def test_evaluate_device_metrics_voxel_encoding(dataset, tmp_path):
+    """Voxel encoding has no count wire, so the event mask must ride up
+    explicitly (the derive_mask elision only applies to plain cnt wires)."""
+    from evflow.registry import build_model
+
+    cfg = eval_cfg(dataset)
+    cfg["model"]["encoding"] = "voxel"
+    cfg["metrics"]["name"] = ["AEE", "AAE"]
+    model = build_model(cfg["model"])
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(13), jnp.zeros((1, 32, 32, 2)), None,
+                   states)
+    r_host = evaluate(cfg, path_results=str(tmp_path / "h"), debug=True,
+                      model=model, variables=v, verbose=False, chunk=4)
+    r_dev = evaluate(cfg, path_results=str(tmp_path / "d"), debug=True,
+                     model=model, variables=v, verbose=False, chunk=4,
+                     device_metrics=True)
+    _results_match(r_host, r_dev)
+
+
+def test_evaluate_device_metrics_deploy_engine(dataset, tmp_path):
+    """The int8 serving engine under device_metrics (the
+    eval_flow_quant.py --mode deploy --device_metrics path): integer
+    dataflow is deterministic, so results match the engine's host-metric
+    run exactly."""
+    from evflow.deploy import Int8DeployEngine
+    from evflow.registry import build_model
+
+    cfg = eval_cfg(dataset)
+    cfg["metrics"]["name"] = ["AEE", "AAE"]
+    model = build_model(cfg["model"])
+    states = model.init_states(1, 32, 32)
+    v = model.init(jax.random.PRNGKey(17), None, jnp.zeros((1, 32, 32, 2)),
+                   states)
+    engine = Int8DeployEngine(model, v, mem_dtype="bfloat16")
+    r_host = evaluate(cfg, path_results=str(tmp_path / "h"), debug=True,
+                      model=engine, variables=engine.params, verbose=False,
+                      chunk=4)
+    r_dev = evaluate(cfg, path_results=str(tmp_path / "d"), debug=True,
+                     model=engine, variables=engine.params, verbose=False,
+                     chunk=4, device_metrics=True)
+    _results_match(r_host, r_dev)
