@@ -459,3 +459,41 @@ def test_autotune_pooled_config_input_scale(workspace, trained_run):
         env=dict(os.environ, JAX_PLATFORMS="cpu"),
     )
     assert out.returncode != 0 and "rejected" in out.stderr
+
+
+def test_train_flow_validation_device_metrics_cli(workspace):
+    """--val_chunk/--val_device_metrics: the periodic validation pass runs
+    the in-graph metric protocol (only [K,B] scalars fetched)."""
+    import glob
+
+    runs = os.path.join(workspace["ws"], "runs_val_dm")
+    out = run_cli(["train_flow_validation.py",
+                   "--config", workspace["train_cfg"],
+                   "--val_config", workspace["eval_cfg"],
+                   "--path_runs", runs,
+                   "--val_every", "1", "--val_max_windows", "8",
+                   "--max_steps", "20",
+                   "--val_chunk", "4", "--val_device_metrics"])
+    assert "validation" in out.stdout and "best val AAE" in out.stdout
+
+
+def test_eval_flow_device_metrics_cli(workspace, trained_run):
+    """--device_metrics end-to-end through the eval CLI: same per-file
+    metrics as the host-side path."""
+    ckpt = _ckpt(trained_run)
+    out_h = run_cli(["eval_flow.py", ckpt, "--config", workspace["eval_cfg"],
+                     "--debug", "--max_windows", "8", "--chunk", "4"])
+    out_d = run_cli(["eval_flow.py", ckpt, "--config", workspace["eval_cfg"],
+                     "--debug", "--max_windows", "8", "--chunk", "4",
+                     "--device_metrics"])
+    def parse(stdout):
+        vals = {}
+        for line in stdout.splitlines():
+            parts = line.split()
+            if len(parts) == 3 and parts[1].endswith(".h5"):
+                vals[(parts[0], parts[1])] = float(parts[2])
+        return vals
+    vh, vd = parse(out_h.stdout), parse(out_d.stdout)
+    assert vh and vh.keys() == vd.keys()
+    for k in vh:
+        assert vh[k] == pytest.approx(vd[k], rel=1e-5, abs=1e-7), k

@@ -27,6 +27,12 @@ def main():
                         help="cap validation windows (smoke tests)")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N train steps (smoke tests)")
+    parser.add_argument("--val_chunk", type=int, default=1,
+                        help="scan K validation windows per device dispatch")
+    parser.add_argument("--val_device_metrics", action="store_true",
+                        help="compute validation metrics in-graph (needs "
+                             "--val_chunk>1); keeps validation off the host "
+                             "critical path between training epochs")
     args = parser.parse_args()
 
     import jax
@@ -53,6 +59,8 @@ def main():
             debug=True,
             verbose=False,
             max_windows=args.val_max_windows,
+            chunk=args.val_chunk,
+            device_metrics=args.val_device_metrics,
         )
         vals = {}
         for mname in ("AAE", "AEE"):
