@@ -616,6 +616,30 @@ def evaluate(
         finish_window(batch)
 
     pending: list = []
+    inflight: list = []  # dispatched device-metrics chunks not yet fetched
+
+    def drain_inflight(keep=0):
+        """Fetch + accumulate dispatched device-metrics chunks in stream
+        order, leaving at most ``keep`` in flight. ``keep=1`` is depth-1
+        pipelining: the newest chunk computes on-device while the host
+        assembles and uploads the next one — metric accumulation order is
+        unchanged because chunks drain strictly front-first."""
+        while len(inflight) > keep:
+            batches, vals_f, acts_f = inflight.pop(0)
+            vals_np = jax.device_get(vals_f)
+            acts_np = jax.device_get(acts_f) if acts_f is not None else None
+            for k, b in enumerate(batches):
+                if acts_np is not None:
+                    handle_activity({kk: vv[k] for kk, vv in acts_np.items()})
+
+                def value_of(i, mname, _k=k):
+                    v = vals_np[str(i)]
+                    if isinstance(v, tuple):
+                        return (v[0][_k], v[1][_k])
+                    return v[_k]
+
+                accumulate_metrics(b, value_of)
+                finish_window(b)
 
     def run_pending():
         """Dispatch buffered windows: one scanned device call for a full
@@ -669,23 +693,17 @@ def evaluate(
                 hm_dev,
             )
             # the ONLY per-chunk fetch: [K, B] scalars per metric (+ the
-            # activity scalars); flow maps stay on the device
-            vals_np = jax.device_get(vals)
-            acts_np = jax.device_get(acts) if acts is not None else None
-            for k, b in enumerate(pending):
-                if acts_np is not None:
-                    handle_activity({kk: vv[k] for kk, vv in acts_np.items()})
-
-                def value_of(i, mname, _k=k):
-                    v = vals_np[str(i)]
-                    if isinstance(v, tuple):
-                        return (v[0][_k], v[1][_k])
-                    return v[_k]
-
-                accumulate_metrics(b, value_of)
-                finish_window(b)
+            # activity scalars); flow maps stay on the device. The fetch of
+            # THIS chunk is deferred until the next one is dispatched
+            # (depth-1 pipelining) — jit returns futures, so holding them
+            # costs nothing and device_get later syncs exactly once
+            inflight.append((list(pending), vals, acts))
             pending.clear()
+            drain_inflight(keep=1)
             return
+        # a non-fast dispatch processes its windows synchronously — older
+        # in-flight chunks must accumulate first to keep stream order
+        drain_inflight()
         if chunk_fn is not None and full:
             vs, cs = zip(*(encode_wire(p) for p in pending))
             voxels = up(vs) if vs[0] is not None else None
@@ -720,10 +738,13 @@ def evaluate(
             batch = next(fetch)
             if batch["epoch_done"]:
                 run_pending()
+                drain_inflight()
                 break
             if batch["new_seq"].any():
-                # flush so carries reset BEFORE this window runs
+                # flush so carries reset BEFORE this window runs; in-flight
+                # chunks must accumulate before idx_AEE / association resets
                 run_pending()
+                drain_inflight()
                 activity_log = None
                 states = _reset_slot_states(
                     states, state_model, batch["new_seq"], B, H, W
@@ -742,9 +763,17 @@ def evaluate(
             pending.append(batch)
             if len(pending) >= chunk:
                 run_pending()
-            if max_windows is not None and windows_done >= max_windows:
-                run_pending()
-                break
+            if max_windows is not None:
+                # windows_done lags by the in-flight chunk; drain before
+                # testing the stop condition once the total could reach it
+                if (windows_done
+                        + B * sum(len(bs) for bs, _, _ in inflight)
+                        >= max_windows):
+                    drain_inflight()
+                if windows_done >= max_windows:
+                    run_pending()
+                    drain_inflight()
+                    break
 
     except KeyboardInterrupt:
         # close video writers cleanly on interrupt (eval_flow.py:344-348)
@@ -752,6 +781,7 @@ def evaluate(
     finally:
         # join the prefetch worker BEFORE closing the HDF5 files it reads
         fetch.close()
+    drain_inflight()  # at most one chunk (KeyboardInterrupt mid-pipeline)
     data.close()
     if vis is not None:
         vis.close_videos()
